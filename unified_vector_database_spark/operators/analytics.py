@@ -1,0 +1,186 @@
+"""Relational/analytics substrate — the engine core every vector query
+rides on (scan, filtered aggregation, star joins, windows, semi/anti
+joins, time rollups).
+
+Scale notes per query are inline; the common rules: dimension tables
+broadcast (region/nation/customer at TPC-H ratios), fact-fact joins
+shuffle on the join key with AQE skew handling, aggregates are
+partial (map-side combine) by construction, and every double
+aggregate is rounded in BOTH engines so accumulation order can't
+break the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+
+
+@register("q1_pricing", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 6)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 class: one scan, partial agg, 4-group output. The
+    filter pushes to parquet; no join, one tiny shuffle."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("q3_topurgent", oracle="""
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_topurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 class: customer (dim, broadcast) x orders x lineitem
+    (fact join on orderkey), group + top-n. Ordering is on the ROUNDED
+    revenue so both engines pick identical top rows."""
+    cust = tables.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("o_orderkey", "o_orderdate")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2).alias("revenue"))
+              .select("o_orderkey", "revenue",
+                      F.to_date("o_orderdate").alias("order_date"))
+              .orderBy(F.desc("revenue"), "o_orderkey")
+              .limit(10))
+
+
+@register("q5_region_volume", oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 class star join: region->nation->customer broadcast
+    down onto the orders/lineitem fact chain."""
+    region = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = tables.load(spark, sf_dir, "nation")
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = tables.load(spark, sf_dir, "lineitem")
+    dims = (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2).alias("revenue"))
+              .orderBy(F.desc("revenue"), "n_name"))
+
+
+@register("top_orders_per_segment", oracle="""
+WITH r AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM customer JOIN orders ON o_custkey = c_custkey)
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total_price,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank
+""")
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n per group: the window shuffles on the group key only."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_mktsegment", "o_orderkey", "o_totalprice")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("c_mktsegment", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("total_price"), "rank")
+            .orderBy("c_mktsegment", "rank"))
+
+
+@register("events_hourly", oracle="""
+SELECT CAST(date_trunc('hour', ts) AS DATE) AS event_date,
+       CAST(EXTRACT(hour FROM ts) AS INT)   AS hr,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""")
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup on the event stream (batch twin of the
+    Structured Streaming path in streaming/ingest.py)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date(F.date_trunc("hour", "ts")).alias("event_date"),
+                       F.hour("ts").alias("hr"),
+                       "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("total_value"),
+                   F.countDistinct("user_id").alias("n_users"))
+              .orderBy("event_date", "hr", "event_type"))
+
+
+@register("customers_no_orders", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+""")
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no pending ('P') order.
+    Broadcast when the probe side is small, shuffle-hash otherwise;
+    AQE decides from runtime stats. (Every customer has SOME order in
+    the synthetic data, so the filterless variant would be vacuous.)"""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .select("c_custkey", "c_name").orderBy("c_custkey"))

@@ -1,0 +1,236 @@
+"""Vector search operators — the Spark re-expression of the reference
+backends' query surface (knn/query across Chroma/ES/Milvus/Qdrant/
+Weaviate; reference README.md:3-9, VECTOR_DB selector README.md:82):
+
+- knn single query (cosine / dot / l2), with metadata pre-filter
+- batch knn (a query table against the corpus)
+- range search (all hits within a radius — Milvus/Qdrant range_search)
+- grouped top-k (Milvus/Qdrant group_by search)
+- pagination (Chroma/Qdrant offset+limit)
+
+Scale shape: a single-query knn is scan -> map(score) ->
+TakeOrderedAndProject: embarrassingly parallel, no shuffle, no full
+sort (per-partition top-k then a k-row merge on the driver). Batch knn
+broadcasts the query side (queries << corpus always holds in batch
+retrieval) so the corpus is read exactly once with no shuffle; the
+per-query top-k window shuffles only (qid, score) pairs, not vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..functions import distance as D
+from ..registry import register
+
+
+def corpus_with_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "label",
+                        D.vec_double("embedding").alias("vec"))
+    qdf = (emb.where(F.col("vec_id") == query_vec_id)
+              .select(D.vec_double("embedding").alias("qvec")))
+    return corpus, qdf
+
+
+def knn(corpus: DataFrame, query_df: DataFrame, k: int, metric: str = "cosine",
+        id_col: str = "vec_id", vec_col: str = "vec", qvec_col: str = "qvec",
+        payload: tuple[str, ...] = ()) -> DataFrame:
+    """Brute-force (FLAT) top-k: the exact baseline every reference
+    backend offers. ORDER BY + LIMIT compiles to TakeOrdered — no
+    global sort at any scale."""
+    score = D.METRICS[metric](vec_col, qvec_col).alias("score")
+    order = (F.col("score").asc() if D.ASCENDING[metric]
+             else F.col("score").desc())
+    return (corpus.crossJoin(F.broadcast(query_df))
+                  .select(id_col, *payload, score)
+                  .orderBy(order, id_col)
+                  .limit(k))
+
+
+def batch_knn(corpus: DataFrame, queries: DataFrame, k: int,
+              metric: str = "cosine", id_col: str = "vec_id",
+              qid_col: str = "qid", vec_col: str = "vec",
+              qvec_col: str = "qvec") -> DataFrame:
+    score = D.METRICS[metric](vec_col, qvec_col).alias("score")
+    order = (F.col("score").asc() if D.ASCENDING[metric]
+             else F.col("score").desc())
+    w = W.partitionBy(qid_col).orderBy(order, F.col(id_col))
+    return (corpus.crossJoin(F.broadcast(queries))  # broadcast nested-loop, one corpus pass
+                  .select(qid_col, id_col, score)
+                  .withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------- queries
+
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, {score_sql} AS score
+FROM embeddings, q
+ORDER BY score {dir}, vec_id
+LIMIT 10
+"""
+
+
+@register("knn_cosine", oracle=_KNN_ORACLE.format(
+    score_sql="list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec)))", dir="DESC"))
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return knn(corpus, q, k=10, metric="cosine", payload=("label",))
+
+
+@register("knn_dot", oracle=_KNN_ORACLE.format(
+    score_sql="list_dot_product(embedding::DOUBLE[], qvec)", dir="DESC"))
+def knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return knn(corpus, q, k=10, metric="dot", payload=("label",))
+
+
+@register("knn_l2", oracle=_KNN_ORACLE.format(
+    score_sql="list_distance(embedding::DOUBLE[], qvec)", dir="ASC"))
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return knn(corpus, q, k=10, metric="l2", payload=("label",))
+
+
+@register("knn_filtered", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+FROM embeddings, q
+WHERE label = 3
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pre-filter before scoring (every backend's `filter`/
+    `where` knob). The predicate sits below the scorer, so Catalyst
+    pushes it into the parquet scan."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return knn(corpus.where(F.col("label") == 3), q, k=10,
+               metric="cosine", payload=("label",))
+
+
+@register("batch_knn", oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+s AS (SELECT qid, vec_id,
+             list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q),
+r AS (SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+""")
+def batch_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    queries = (emb.where(F.col("vec_id") % 100 == 0)
+                  .select(F.col("vec_id").alias("qid"),
+                          D.vec_double("embedding").alias("qvec")))
+    return batch_knn(corpus, queries, k=5)
+
+
+@register("range_search", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+FROM embeddings, q
+WHERE list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) >= 0.25
+ORDER BY score DESC, vec_id
+""")
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (Milvus range_search / Qdrant score_threshold):
+    a pure filter — fully parallel, output only."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return (corpus.crossJoin(F.broadcast(q))
+            .select("vec_id", D.cosine("vec", "qvec").alias("score"))
+            .where(F.col("score") >= 0.25)
+            .orderBy(F.desc("score"), "vec_id"))
+
+
+@register("grouped_topk", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+s AS (SELECT label, vec_id,
+             list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q),
+r AS (SELECT label, vec_id, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT label, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+""")
+def grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per metadata group (Milvus/Qdrant group_by search)."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    w = W.partitionBy("label").orderBy(F.desc("score"), F.col("vec_id"))
+    return (corpus.crossJoin(F.broadcast(q))
+            .select("label", "vec_id", D.cosine("vec", "qvec").alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3))
+
+
+@register("knn_paged", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+r AS (SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score,
+             row_number() OVER (
+                 ORDER BY list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) DESC,
+                          vec_id) AS rank
+      FROM embeddings, q)
+SELECT vec_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank > 10 AND rank <= 20
+""")
+def knn_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset pagination (page 2 of size 10). Rank over a global window
+    is acceptable here because the window input is already cut to a
+    bounded candidate set by TakeOrdered in the scale path; the
+    reference backends page the same way (offset+limit)."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    top = (corpus.crossJoin(F.broadcast(q))
+           .select("vec_id", D.cosine("vec", "qvec").alias("score"))
+           .orderBy(F.desc("score"), "vec_id").limit(20))
+    w = W.orderBy(F.desc("score"), F.col("vec_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") > 10))
+
+
+# ------------------------------------------------- collection-CRUD views
+
+@register("get_by_id", oracle="""
+SELECT vec_id, label FROM embeddings
+WHERE vec_id IN (1, 2, 3, 5, 8) ORDER BY vec_id
+""")
+def get_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup batch (reference: collection.get(ids=[...]))."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return (emb.where(F.col("vec_id").isin(1, 2, 3, 5, 8))
+               .select("vec_id", "label").orderBy("vec_id"))
+
+
+@register("filtered_scan", oracle="""
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
+ORDER BY doc_id
+""")
+def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata scan with projection — predicate + column pruning reach
+    the parquet reader (asserted in tests/test_plans.py)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.where((F.col("lang") == "en")
+                       & F.col("n_chars").between(200, 400))
+                .select("doc_id", "source", "n_chars").orderBy("doc_id"))
+
+
+@register("count_by_filter", oracle="""
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def count_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars"))
+                .orderBy("lang"))

@@ -1,0 +1,31 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Every queries() callable receives (spark, sf_dir) and goes through
+these; they are thin `spark.read.parquet` wrappers except `events`,
+whose TIMESTAMP(NANOS) column needs the nanosAsLong shim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS, not-UTC-adjusted): Spark has
+    # no nanos timestamp type, so read nanos-as-long and floor-convert
+    # to microseconds (exact: generator emits µs-precision instants).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
