@@ -28,11 +28,13 @@ def rolling_fingerprint(text: Column | str, length: int = FP_LEN) -> Column:
     sum(ascii(c_i) * 131^i) mod 1e9+7 — terms stay < 2^63 so a single
     end-of-sum mod matches the oracle exactly."""
     c = F.col(text) if isinstance(text, str) else text
-    pw = F.array(*[F.lit(p) for p in FP_POW[:length]])
+    # powers as longs: ascii(int) * power(int) overflows int32 under
+    # ANSI mode; each long term stays < 128 * 1e9 << 2^63.
+    pw = F.array(*[F.lit(p).cast("long") for p in FP_POW[:length]])
     n = F.least(F.length(c), F.lit(length))
     return F.aggregate(
         F.sequence(F.lit(1), n),
         F.lit(0).cast("long"),
         lambda acc, i: acc + F.ascii(F.substring(c, 1, length).substr(i, F.lit(1)))
-        * F.element_at(pw, i),
+        .cast("long") * F.element_at(pw, i),
     ) % F.lit(FP_MOD)

@@ -1,1 +1,198 @@
-"""Placeholder — filled in this round."""
+"""Dedup family (SURVEY §2.5) — exact, MinHash+LSH, n-gram Jaccard,
+and embedding-cosine near-dup. First-class pipeline operators for
+100 TB corpus hygiene.
+
+Scale shape (the part that matters): candidate **pairs are only ever
+generated inside LSH band buckets**, never by a quadratic self-join.
+The shuffle key is the band hash, which is uniform by construction
+(it is a min of universal hashes), so the bucket join parallelizes
+evenly; the expensive Jaccard verification runs on the tiny candidate
+set. MinHash signatures themselves are one groupBy over the shingle
+table. Everything bottoms out in md5 (functions/hashing.py) so the
+DuckDB oracle reproduces each stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..constants import LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_P
+from ..functions.hashing import md5_int32, minhash_perm
+from ..functions.text import word_shingles
+from ..registry import register
+
+_K = len(MINHASH_A)
+_SHINGLE_N = 3
+
+# ---- shared DuckDB CTE: tokens -> 3-word shingles -> minhash sigs ----
+_SIG_CTE = f"""
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS token,
+         generate_subscripts(list_filter(string_split(trim(text), ' '), t -> t <> ''), 1) AS pos
+  FROM documents),
+sh AS (
+  SELECT doc_id, concat_ws(' ', token, t1, t2) AS shingle
+  FROM (SELECT doc_id, token,
+               lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+               lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM tok)
+  WHERE t2 IS NOT NULL),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+  FROM shd),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS m{j}" for j in range(_K))}
+  FROM hashed GROUP BY doc_id)
+"""
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    return word_shingles(docs, "doc_id", "text", _SHINGLE_N).distinct()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7): one shingle explode + one groupBy."""
+    sh = shingle_sets(docs)
+    h = md5_int32("shingle")
+    hashed = sh.select("doc_id", h.alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
+          for j in range(_K)])
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signatures (bands of LSH_ROWS values) and emit doc
+    pairs sharing any band — the scale-safe candidate generator."""
+    n_bands = _K // LSH_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.concat_ws("_", *[F.col(f"m{i * LSH_ROWS + r}")
+                                        for r in range(LSH_ROWS)]).alias("key"))
+            for i in range(n_bands)])).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+
+
+@register("dedup_exact", oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+       count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dup_docs
+FROM documents
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: group on md5, keep-one.
+    At scale this is a single hash aggregate; the summary row reports
+    corpus-level dup stats."""
+    docs = tables.load(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(key).alias("n_unique"),
+        (F.count("*") - F.countDistinct(key)).alias("n_dup_docs"))
+
+
+@register("dedup_minhash", oracle=f"""
+WITH {_SIG_CTE}
+SELECT doc_id, {", ".join(f"m{j}" for j in range(_K))}
+FROM sig ORDER BY doc_id
+""")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8 permutations over word-3-shingles)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return minhash_signatures(docs).orderBy("doc_id")
+
+
+@register("dedup_jaccard", oracle=f"""
+WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, band, key FROM (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', m{i * LSH_ROWS}, m{i * LSH_ROWS + 1}) AS key FROM sig"
+        for i in range(_K // LSH_ROWS))})),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+nsh AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.id_a
+  JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b, i.shared,
+       round(i.shared * 1.0 / (na.n + nb.n - i.shared), 6) AS jaccard
+FROM inter i
+JOIN nsh na ON na.doc_id = i.id_a
+JOIN nsh nb ON nb.doc_id = i.id_b
+ORDER BY jaccard DESC, i.id_a, i.id_b
+LIMIT 20
+""")
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact n-gram Jaccard verification, top pairs.
+    The verify join touches only banded candidates — at 100 TB the
+    candidate set is O(near-dups), not O(n^2)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig)
+    shd = shingle_sets(docs)
+    nsh = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = shd.alias("sa"), shd.alias("sb")
+    inter = (cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+                 .join(sb, (F.col("sb.doc_id") == F.col("id_b"))
+                       & (F.col("sb.shingle") == F.col("sa.shingle")))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("shared")))
+    na, nb = nsh.alias("na"), nsh.alias("nb")
+    return (inter.join(na, F.col("na.doc_id") == F.col("id_a"))
+                 .join(nb, F.col("nb.doc_id") == F.col("id_b"))
+                 .select("id_a", "id_b", "shared",
+                         F.round(F.col("shared") * 1.0
+                                 / (F.col("na.n") + F.col("nb.n") - F.col("shared")),
+                                 6).alias("jaccard"))
+                 .orderBy(F.desc("jaccard"), "id_a", "id_b")
+                 .limit(20))
+
+
+@register("embed_near_dup", oracle="""
+WITH q AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT id_a, vec_id AS id_b,
+             list_dot_product(embedding::DOUBLE[], qvec)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q
+      WHERE vec_id <> id_a)
+SELECT id_a, id_b, score FROM s WHERE score >= 0.28
+ORDER BY id_a, id_b
+""")
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs for a 1-in-50 probe sample
+    against the full corpus (radius join). The oracle-checked variant
+    samples the left side; the unrestricted scale path is the LSH
+    similarity join (operators/index.py) with this as its verifier."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    from ..functions import distance as D
+    q = (emb.where(F.col("vec_id") % 50 == 0)
+            .select(F.col("vec_id").alias("id_a"),
+                    D.vec_double("embedding").alias("qvec")))
+    c = emb.select(F.col("vec_id").alias("id_b"),
+                   D.vec_double("embedding").alias("vec"))
+    return (c.crossJoin(F.broadcast(q))
+             .where(F.col("id_b") != F.col("id_a"))
+             .select("id_a", "id_b", D.cosine("vec", "qvec").alias("score"))
+             .where(F.col("score") >= 0.28)
+             .orderBy("id_a", "id_b"))

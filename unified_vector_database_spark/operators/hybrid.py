@@ -1,1 +1,163 @@
-"""Placeholder — filled in this round."""
+"""Full-text (BM25) and hybrid keyword+vector search — the reference's
+Elasticsearch/Weaviate/Qdrant/Milvus hybrid surface (SURVEY §2.4):
+
+- BM25 top-k over the documents corpus (Lucene-default k1/b)
+- weighted-sum fusion of normalized BM25 + cosine scores
+- reciprocal-rank fusion (RRF, k=60 — the ES/Weaviate default)
+
+Scale shape: corpus stats (N, avgdl, per-term df for the handful of
+query terms) are scalar/broadcast; the per-doc tf pass is map-only
+after an early filter to query terms, so BM25 is one scan + one tiny
+join. Fusion joins two top-k-able score tables on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..constants import BM25_B, BM25_K1, RRF_K
+from ..functions import distance as D
+from ..functions.text import tokens
+from ..registry import register
+
+QUERY_TERMS = ("merge", "vector", "fast")
+_TERMS_SQL = "('merge', 'vector', 'fast')"
+_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+# Explicit-form cosine (see functions/distance.py: DuckDB's builtin
+# list_cosine_similarity is NOT bit-reproducible; this form is).
+_COS = ("list_dot_product(embedding::DOUBLE[], qvec)"
+        "/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "*sqrt(list_dot_product(qvec, qvec)))")
+
+_BM25_CTE = f"""
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(len({_TOK})) AS avgdl FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN {_TERMS_SQL} GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN {_TERMS_SQL} GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / stats.avgdl))), 6)
+           AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+"""
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str,
+                terms: tuple[str, ...] = QUERY_TERMS) -> DataFrame:
+    """BM25 score per matching document (docs containing >= 1 term)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    stats = docs.agg(F.count("*").alias("n"),
+                     F.avg(F.size(tokens("text"))).alias("avgdl"))
+    qtok = tok.where(F.col("term").isin(*terms))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    weight = (idf * F.col("tf") * (BM25_K1 + 1.0)
+              / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                                          + BM25_B * F.col("dl") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(weight), 6).alias("score")))
+
+
+@register("bm25_search", oracle=f"""
+WITH {_BM25_CTE}
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 15
+""")
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (bm25_scores(spark, sf_dir)
+            .orderBy(F.desc("score"), "doc_id").limit(15))
+
+
+def _vec_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every embedding to the query vector (vec_id 0);
+    embeddings.vec_id is the documents.doc_id foreign key."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    return (emb.select(F.col("vec_id").alias("doc_id"),
+                       D.vec_double("embedding").alias("vec"))
+               .crossJoin(F.broadcast(q))
+               .select("doc_id", D.cosine("vec", "qvec").alias("vscore")))
+
+
+_VEC_CTE = f"""
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (SELECT vec_id AS doc_id, {_COS} AS vscore FROM embeddings, q)
+"""
+
+
+@register("hybrid_weighted", oracle=f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+kmax AS (SELECT max(score) AS m FROM bm25),
+vmax AS (SELECT max(vscore) AS m FROM vec),
+fused AS (
+  SELECT coalesce(bm25.doc_id, vec.doc_id) AS doc_id,
+         round(0.5 * coalesce(bm25.score / kmax.m, 0)
+               + 0.5 * coalesce(vec.vscore / vmax.m, 0), 6) AS hybrid_score
+  FROM bm25 FULL OUTER JOIN vec ON bm25.doc_id = vec.doc_id, kmax, vmax)
+SELECT doc_id, hybrid_score FROM fused
+ORDER BY hybrid_score DESC, doc_id LIMIT 15
+""")
+def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sum hybrid (Weaviate hybrid alpha=0.5 / Milvus
+    WeightedRanker): each modality max-normalized, then blended."""
+    kw = bm25_scores(spark, sf_dir)
+    vec = _vec_scores(spark, sf_dir)
+    kmax = kw.agg(F.max("score").alias("km"))
+    vmax = vec.agg(F.max("vscore").alias("vm"))
+    return (kw.join(vec, "doc_id", "full_outer")
+              .crossJoin(F.broadcast(kmax)).crossJoin(F.broadcast(vmax))
+              .select("doc_id",
+                      F.round(0.5 * F.coalesce(F.col("score") / F.col("km"), F.lit(0.0))
+                              + 0.5 * F.coalesce(F.col("vscore") / F.col("vm"), F.lit(0.0)),
+                              6).alias("hybrid_score"))
+              .orderBy(F.desc("hybrid_score"), "doc_id").limit(15))
+
+
+@register("hybrid_rrf", oracle=f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM bm25),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS r
+       FROM vec),
+fused AS (
+  SELECT coalesce(kr.doc_id, vr.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + kr.r), 0)
+               + coalesce(1.0 / ({RRF_K} + vr.r), 0), 9) AS rrf_score
+  FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 15
+""")
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (ES / Weaviate relativeScoreFusion's
+    sibling): rank each modality, sum 1/(k+rank). Rank windows are
+    global but their inputs are score tables already bounded by the
+    candidate generation at scale."""
+    kw = bm25_scores(spark, sf_dir)
+    vec = _vec_scores(spark, sf_dir)
+    kr = kw.select("doc_id", F.row_number().over(
+        W.orderBy(F.desc("score"), F.col("doc_id"))).alias("kr"))
+    vr = vec.select("doc_id", F.row_number().over(
+        W.orderBy(F.desc("vscore"), F.col("doc_id"))).alias("vr"))
+    return (kr.join(vr, "doc_id", "full_outer")
+              .select("doc_id",
+                      F.round(F.coalesce(1.0 / (RRF_K + F.col("kr")), F.lit(0.0))
+                              + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)),
+                              9).alias("rrf_score"))
+              .orderBy(F.desc("rrf_score"), "doc_id").limit(15))

@@ -1,1 +1,208 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators (SURVEY §2.6): language-ID, quality
+scoring, token counting, document fingerprinting — the per-document
+map-only stage of an LLM data pipeline. Everything here is pure
+`F.*` column math over the tokenizer in functions/text.py: no UDFs,
+no shuffle except the final small aggregations, so the stage streams
+at parquet-scan speed regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..constants import FP_LEN, FP_MOD, FP_POW
+from ..functions.hashing import rolling_fingerprint
+from ..functions.text import tokens
+from ..registry import register
+
+# Marker lexicons for the language-ID heuristic: the most frequent
+# tokens per language in the corpus generator's per-language word
+# distribution. The heuristic is a deterministic argmax vote — the
+# point is the operator shape (lexicon broadcast, vectorized count),
+# not linguistic accuracy on synthetic text.
+LANG_MARKERS = {
+    "en": ("column", "sort", "agg"),
+    "de": ("small", "data", "table"),
+    "es": ("part", "hash", "line"),
+    "fr": ("order", "query", "stream"),
+    "zh": ("merge", "vector", "group"),
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _marker_count(toks: Column, lang: str) -> Column:
+    m = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*m)))
+
+
+def _tok_sql(col: str = "text") -> str:
+    return f"list_filter(string_split(trim({col}), ' '), t -> t <> '')"
+
+
+@register("term_tf", oracle=f"""
+WITH tok AS (SELECT unnest({_tok_sql()}) AS term FROM documents)
+SELECT term, count(*) AS cnt FROM tok
+GROUP BY term ORDER BY cnt DESC, term LIMIT 30
+""")
+def term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (the TF side of every keyword index the
+    reference backends build)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.select(F.explode(tokens("text")).alias("term"))
+                .groupBy("term").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), "term").limit(30))
+
+
+@register("tfidf_topterms", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_tok_sql()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, round(tf * ln(n / df), 6) AS tfidf
+FROM tf JOIN df USING (term), n
+ORDER BY tfidf DESC, doc_id, term LIMIT 50
+""")
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring; the idf table is tiny (vocabulary-sized) and
+    broadcast onto the tf table, so the only real shuffle is the tf
+    groupBy on (doc, term) — uniform keys."""
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (tf.join(F.broadcast(df), "term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")),
+                              6).alias("tfidf"))
+              .orderBy(F.desc("tfidf"), "doc_id", "term").limit(50))
+
+
+@register("token_stats", oracle=f"""
+SELECT doc_id,
+       CAST(len({_tok_sql()}) AS INT)                          AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS re_tokens,
+       CAST(length(text) AS INT)                               AS n_chars_actual,
+       CAST(ceil(length(text) / 4.0) AS BIGINT)                AS bpe_est
+FROM documents ORDER BY doc_id
+""")
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, and the
+    chars/4 BPE estimate used for LLM token budgeting."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).alias("re_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.ceil(F.length("text") / 4.0).alias("bpe_est"))
+        .orderBy("doc_id"))
+
+
+def _lang_oracle() -> str:
+    counts = ",\n       ".join(
+        f"len(list_filter({_tok_sql()}, t -> t IN "
+        f"{tuple(LANG_MARKERS[lang])})) AS c_{lang}"
+        for lang in _LANG_ORDER)
+    # argmax with fixed priority order (en > de > es > fr > zh on ties)
+    pred = "CASE WHEN total = 0 THEN 'und' "
+    for lang in _LANG_ORDER:
+        others = [o for o in _LANG_ORDER if o != lang]
+        cond = " AND ".join(f"c_{lang} >= c_{o}" for o in others)
+        pred += f"WHEN {cond} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return f"""
+WITH c AS (SELECT doc_id, lang AS true_lang,
+       {counts}
+FROM documents),
+t AS (SELECT *, c_en + c_de + c_es + c_fr + c_zh AS total FROM c)
+SELECT doc_id, true_lang, {pred} AS pred_lang,
+       round(greatest(c_en, c_de, c_es, c_fr, c_zh) * 1.0
+             / greatest(total, 1), 6) AS confidence
+FROM t ORDER BY doc_id
+"""
+
+
+@register("lang_id", oracle=_lang_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-lexicon vote (n-gram-free heuristic; the
+    lexicon is a broadcast literal, the vote is a map-only pass)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    c = docs.select(
+        "doc_id", F.col("lang").alias("true_lang"),
+        *[_marker_count(toks, lang).alias(f"c_{lang}") for lang in _LANG_ORDER])
+    total = sum(F.col(f"c_{lang}") for lang in _LANG_ORDER)
+    t = c.withColumn("total", total)
+    pred = F.when(F.col("total") == 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        others = [o for o in _LANG_ORDER if o != lang]
+        cond = F.lit(True)
+        for o in others:
+            cond = cond & (F.col(f"c_{lang}") >= F.col(f"c_{o}"))
+        pred = pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    conf = F.round(
+        F.greatest(*[F.col(f"c_{lang}") for lang in _LANG_ORDER]) * 1.0
+        / F.greatest(F.col("total"), F.lit(1)), 6)
+    return (t.select("doc_id", "true_lang", pred.alias("pred_lang"),
+                     conf.alias("confidence"))
+             .orderBy("doc_id"))
+
+
+@register("quality_score", oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_tok_sql()}) AS n_tokens,
+         list_sum(list_transform({_tok_sql()}, t -> length(t))) AS tok_chars,
+         len(list_filter({_tok_sql()}, t -> t IN ('the', 'a'))) AS n_stop
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       tok_chars / n_tokens AS avg_token_len,
+       n_stop / n_tokens AS stopword_ratio,
+       0.4 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * (1.0 - n_stop / n_tokens)
+         + 0.3 * least((tok_chars / n_tokens) / 8.0, 1.0) AS quality
+FROM s ORDER BY doc_id
+""")
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic: length, word-shape, and stopword
+    ratios combined into one [0,1] score — the standard pre-training
+    filter signal, computed entirely JVM-side."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0), lambda acc, x: acc + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"))
+    avg_len = F.col("tok_chars") / F.col("n_tokens")
+    stop = F.col("n_stop") / F.col("n_tokens")
+    # No rounding: every term is per-row exact arithmetic (identical
+    # in both engines); rounding at a decimal half-boundary is what
+    # would break parity (Spark HALF_UP vs DuckDB binary round).
+    return (s.select(
+        "doc_id", "n_tokens",
+        avg_len.alias("avg_token_len"),
+        stop.alias("stopword_ratio"),
+        (0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+         + 0.3 * (1.0 - stop)
+         + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))).alias("quality"))
+        .orderBy("doc_id"))
+
+
+@register("doc_fingerprint", oracle=f"""
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, least(length(text), {FP_LEN}) + 1),
+                     i -> ascii(substr(text, i, 1))::BIGINT * ({FP_POW})[i]))
+            % {FP_MOD} AS BIGINT) AS fp
+FROM documents ORDER BY doc_id
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint of the document head — the cheap
+    content-identity key for incremental ingest (constants.py)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+                .orderBy("doc_id"))
