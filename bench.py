@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from unified_vector_database_spark import registry
+from unified_vector_database_spark.session import get_spark
+
+registry.load_all()
+
+# Headline set: the queries a reference user actually runs (vector
+# search, hybrid retrieval, dedup sweep) plus the relational core.
+HEADLINE = [
+    "knn_cosine", "knn_l2", "knn_filtered", "batch_knn", "range_search",
+    "grouped_topk", "bm25_search", "hybrid_rrf", "hybrid_weighted",
+    "dedup_minhash", "dedup_jaccard", "embed_near_dup", "doc_fingerprint",
+    "tfidf_topterms", "lang_id", "quality_score",
+    "q1_pricing", "q3_topurgent", "q5_region_volume", "events_hourly",
+    "top_orders_per_segment", "ivf_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("uvdb-bench")
+
+    # warm the JVM/parquet footers once so per-query numbers measure
+    # the operators, not session startup
+    registry.QUERIES["get_by_id"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # no cross-query cache bleed
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

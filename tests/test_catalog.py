@@ -1,0 +1,58 @@
+"""Collection lifecycle (SURVEY §2.1 C1-C3, §2.3 I6): create / upsert
+/ delete / snapshot / restore over versioned parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from unified_vector_database_spark.sources.catalog import Collection
+
+
+def _rows(i0, n, tag):
+    return [Row(id=i, embedding=[float(i), 1.0], tag=tag)
+            for i in range(i0, i0 + n)]
+
+
+def test_lifecycle(spark, tmp_path):
+    base = str(tmp_path)
+    col = Collection.create(spark, base, "c1", id_col="id", dim=2)
+    assert Collection.list_collections(base) == ["c1"]
+    assert col.describe().version == 0
+    assert col.read() is None
+
+    n = col.upsert(spark.createDataFrame(_rows(0, 10, "a")))
+    assert n == 10 and col.count() == 10
+
+    # upsert replaces overlapping ids, appends new
+    n = col.upsert(spark.createDataFrame(_rows(5, 10, "b")))
+    assert n == 15
+    tags = dict(col.read().groupBy("tag").count().collect()
+                and [(r.tag, r["count"]) for r in
+                     col.read().groupBy("tag").count().collect()])
+    assert tags == {"a": 5, "b": 10}
+
+    col.snapshot("before-delete")
+    assert col.delete(F.col("id") < 3) == 12
+    assert col.count() == 12
+
+    col.restore("before-delete")
+    assert col.count() == 15
+
+    with pytest.raises(ValueError):
+        Collection.create(spark, base, "c1")
+
+    col.drop()
+    assert Collection.list_collections(base) == []
+
+
+def test_delete_ids_and_open(spark, tmp_path):
+    base = str(tmp_path)
+    col = Collection.create(spark, base, "c2")
+    col.upsert(spark.createDataFrame(_rows(0, 5, "x")))
+    col2 = Collection.open(spark, base, "c2")
+    col2.delete_ids([0, 4])
+    assert sorted(r.id for r in col2.read().collect()) == [1, 2, 3]
+    with pytest.raises(ValueError):
+        Collection.open(spark, base, "nope")

@@ -1,0 +1,72 @@
+"""ANN index guarantees: recall vs the FLAT baseline (the contract the
+reference backends document for IVF/HNSW/SQ8), plus determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_vector_database_spark import tables
+from unified_vector_database_spark.functions import distance as D
+from unified_vector_database_spark.operators.index import (
+    KMEANS_K, assign_cells, ivf_probe, kmeans_fit, lsh_bucket_knn,
+    lsh_planes, sq8_bounds, sq8_quantize,
+)
+from unified_vector_database_spark.operators.knn import knn
+
+
+def _corpus_query(spark, sf_dir, qid=0):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == qid)
+            .select(D.vec_double("embedding").alias("qvec")))
+    return corpus, q
+
+
+def test_ivf_recall(spark, sf_dir):
+    corpus, q = _corpus_query(spark, sf_dir)
+    flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}
+    cents = kmeans_fit(corpus)
+    assert cents.count() == KMEANS_K
+    assigned = assign_cells(corpus, cents)
+    # every vector lands in exactly one cell
+    assert assigned.count() == corpus.count()
+    ivf = {r.vec_id for r in
+           ivf_probe(corpus, cents, assigned, q, k=10).collect()}
+    recall = len(flat & ivf) / 10
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall}"
+
+
+def test_lsh_recall_and_balance(spark, sf_dir):
+    corpus, q = _corpus_query(spark, sf_dir)
+    flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}
+    got = {r.vec_id for r in
+           lsh_bucket_knn(corpus, q, k=10, dim=64).collect()}
+    # single-bucket probe: the query's own bucket must contain the
+    # query vector itself (sanity) and some true neighbors
+    assert 0 in got
+    assert len(flat & got) >= 1
+
+
+def test_lsh_planes_deterministic():
+    assert lsh_planes(8, 4) == lsh_planes(8, 4)
+    assert lsh_planes(8, 4) != lsh_planes(8, 4, seed=43)
+
+
+def test_sq8_roundtrip_rank_correlation(spark, sf_dir):
+    corpus, q = _corpus_query(spark, sf_dir)
+    bounds = sq8_bounds(corpus)
+    coded = sq8_quantize(corpus, bounds)
+    row = coded.where(F.col("vec_id") == 1).first()
+    assert len(row.codes) == 64
+    assert all(0 <= c <= 255 for c in row.codes)
+    # decode approximates the original: top-10 by quantized cosine
+    # overlaps top-10 exact by >= 6
+    lo, hi = bounds.first().lo, bounds.first().hi
+    dec = F.transform(
+        F.arrays_zip("codes", F.array(*[F.lit(float(x)) for x in lo]).alias("lo"),
+                     F.array(*[F.lit(float(h - l)) for l, h in zip(lo, hi)]).alias("rng")),
+        lambda s: s.lo + s.codes / F.lit(255.0) * s.rng)
+    approx = coded.select("vec_id", dec.alias("vec"))
+    exact = {r.vec_id for r in knn(corpus, q, k=10).collect()}
+    quant = {r.vec_id for r in knn(approx, q, k=10).collect()}
+    assert len(exact & quant) >= 6

@@ -1,0 +1,39 @@
+"""Plan-shape guarantees (SURVEY §5d / §6): pushdown, pruning,
+broadcast, TakeOrdered — the properties that make these operators
+survive a 100x scale-up."""
+
+from __future__ import annotations
+
+from unified_vector_database_spark.operators import knn as knn_ops
+from unified_vector_database_spark.plans.asserts import (
+    assert_broadcast_join, assert_column_pruned, assert_filter_pushed,
+    assert_take_ordered, plan_text,
+)
+
+
+def test_knn_is_takeordered_broadcast(spark, sf_dir):
+    df = knn_ops.knn_cosine(spark, sf_dir)
+    assert_take_ordered(df)          # no global sort for top-k
+    assert_broadcast_join(df)        # query side broadcast
+
+
+def test_filtered_scan_pushdown(spark, sf_dir):
+    df = knn_ops.filtered_scan(spark, sf_dir)
+    assert_filter_pushed(df, "EqualTo(lang,en)")
+    assert_column_pruned(df, "text")  # projection avoids the wide column
+
+
+def test_knn_filtered_pushdown(spark, sf_dir):
+    df = knn_ops.knn_filtered(spark, sf_dir)
+    assert_filter_pushed(df, "EqualTo(label,3)")
+
+
+def test_batch_knn_no_corpus_shuffle_before_score(spark, sf_dir):
+    # the corpus side must reach the scorer without an Exchange below
+    # the join (queries are broadcast); the only hash Exchange allowed
+    # is the per-query window on (qid, score) pairs.
+    text = plan_text(knn_ops.batch_knn_q(spark, sf_dir))
+    join_part = text.split("Window")[0] if "Window" in text else text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+    scan_to_join = join_part
+    assert scan_to_join.count("Exchange hashpartitioning") <= 1

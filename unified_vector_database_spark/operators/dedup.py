@@ -55,9 +55,11 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     return word_shingles(docs, "doc_id", "text", _SHINGLE_N).distinct()
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m7): one shingle explode + one groupBy."""
-    sh = shingle_sets(docs)
+def minhash_signatures(docs: DataFrame,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, m0..m7): one shingle explode + one groupBy. Pass a
+    cached `shingles` frame to share the explode with other stages."""
+    sh = shingles if shingles is not None else shingle_sets(docs)
     h = md5_int32("shingle")
     hashed = sh.select("doc_id", h.alias("h"))
     return hashed.groupBy("doc_id").agg(
@@ -111,7 +113,7 @@ FROM sig ORDER BY doc_id
 """)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8 permutations over word-3-shingles)."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     return minhash_signatures(docs).orderBy("doc_id")
 
 
@@ -145,11 +147,20 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates -> exact n-gram Jaccard verification, top pairs.
     The verify join touches only banded candidates — at 100 TB the
     candidate set is O(near-dups), not O(n^2)."""
-    docs = tables.load(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    # the shingle explode feeds signatures, set sizes AND the verify
+    # join — cache it once (at cluster scale: persist to DISK_AND_MEM
+    # or a checkpointed table between the build and verify stages)
+    shd = shingle_sets(docs).cache()
+    hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
+    # signatures and set sizes in ONE aggregation pass
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
+          for j in range(_K)],
+        F.count("*").alias("n"))
+    sig = per_doc.drop("n")
     cand = lsh_candidate_pairs(sig)
-    shd = shingle_sets(docs)
-    nsh = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nsh = per_doc.select("doc_id", "n")
     sa, sb = shd.alias("sa"), shd.alias("sb")
     inter = (cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
                  .join(sb, (F.col("sb.doc_id") == F.col("id_b"))
@@ -184,15 +195,19 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the full corpus (radius join). The oracle-checked variant
     samples the left side; the unrestricted scale path is the LSH
     similarity join (operators/index.py) with this as its verifier."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     from ..functions import distance as D
     q = (emb.where(F.col("vec_id") % 50 == 0)
             .select(F.col("vec_id").alias("id_a"),
-                    D.vec_double("embedding").alias("qvec")))
-    c = emb.select(F.col("vec_id").alias("id_b"),
-                   D.vec_double("embedding").alias("vec"))
+                    D.vec_double("embedding").alias("qvec"))
+            .withColumn("nq", D.norm("qvec")))
+    c = (emb.select(F.col("vec_id").alias("id_b"),
+                    D.vec_double("embedding").alias("vec"))
+            .withColumn("nvec", D.norm("vec")))
     return (c.crossJoin(F.broadcast(q))
              .where(F.col("id_b") != F.col("id_a"))
-             .select("id_a", "id_b", D.cosine("vec", "qvec").alias("score"))
+             .select("id_a", "id_b",
+                     (D.dot("vec", "qvec")
+                      / (F.col("nvec") * F.col("nq"))).alias("score"))
              .where(F.col("score") >= 0.28)
              .orderBy("id_a", "id_b"))

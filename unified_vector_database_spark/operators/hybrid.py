@@ -54,7 +54,7 @@ bm25 AS (
 def bm25_scores(spark: SparkSession, sf_dir: str,
                 terms: tuple[str, ...] = QUERY_TERMS) -> DataFrame:
     """BM25 score per matching document (docs containing >= 1 term)."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
     stats = docs.agg(F.count("*").alias("n"),
@@ -85,13 +85,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vec_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of every embedding to the query vector (vec_id 0);
     embeddings.vec_id is the documents.doc_id foreign key."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     q = (emb.where(F.col("vec_id") == 0)
-            .select(D.vec_double("embedding").alias("qvec")))
+            .select(D.vec_double("embedding").alias("qvec"))
+            .withColumn("nq", D.norm("qvec")))
     return (emb.select(F.col("vec_id").alias("doc_id"),
                        D.vec_double("embedding").alias("vec"))
+               .withColumn("nvec", D.norm("vec"))
                .crossJoin(F.broadcast(q))
-               .select("doc_id", D.cosine("vec", "qvec").alias("vscore")))
+               .select("doc_id", (D.dot("vec", "qvec")
+                                  / (F.col("nvec") * F.col("nq"))).alias("vscore")))
 
 
 _VEC_CTE = f"""

@@ -26,23 +26,36 @@ from ..registry import register
 
 
 def corpus_with_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0):
-    emb = tables.load(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "label",
-                        D.vec_double("embedding").alias("vec"))
+    """Corpus and single-query frames, each carrying a precomputed
+    norm column: cosine then costs ONE dot per pair instead of three
+    (norms are per-row, reused across every pair — bit-identical to
+    the inline form since the expression tree per value is unchanged)."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
     qdf = (emb.where(F.col("vec_id") == query_vec_id)
-              .select(D.vec_double("embedding").alias("qvec")))
+              .select(D.vec_double("embedding").alias("qvec"))
+              .withColumn("nq", D.norm("qvec")))
     return corpus, qdf
+
+
+def cosine_score():
+    """Score column for frames produced by corpus_with_query."""
+    return D.dot("vec", "qvec") / (F.col("nvec") * F.col("nq"))
 
 
 def knn(corpus: DataFrame, query_df: DataFrame, k: int, metric: str = "cosine",
         id_col: str = "vec_id", vec_col: str = "vec", qvec_col: str = "qvec",
-        payload: tuple[str, ...] = ()) -> DataFrame:
+        payload: tuple[str, ...] = (), score=None) -> DataFrame:
     """Brute-force (FLAT) top-k: the exact baseline every reference
     backend offers. ORDER BY + LIMIT compiles to TakeOrdered — no
-    global sort at any scale."""
-    score = D.METRICS[metric](vec_col, qvec_col).alias("score")
-    order = (F.col("score").asc() if D.ASCENDING[metric]
-             else F.col("score").desc())
+    global sort at any scale. Pass `score` to reuse precomputed-norm
+    columns (cosine_score())."""
+    ascending = D.ASCENDING[metric]
+    score = (score if score is not None
+             else D.METRICS[metric](vec_col, qvec_col)).alias("score")
+    order = F.col("score").asc() if ascending else F.col("score").desc()
     return (corpus.crossJoin(F.broadcast(query_df))
                   .select(id_col, *payload, score)
                   .orderBy(order, id_col)
@@ -52,8 +65,9 @@ def knn(corpus: DataFrame, query_df: DataFrame, k: int, metric: str = "cosine",
 def batch_knn(corpus: DataFrame, queries: DataFrame, k: int,
               metric: str = "cosine", id_col: str = "vec_id",
               qid_col: str = "qid", vec_col: str = "vec",
-              qvec_col: str = "qvec") -> DataFrame:
-    score = D.METRICS[metric](vec_col, qvec_col).alias("score")
+              qvec_col: str = "qvec", score=None) -> DataFrame:
+    score = (score if score is not None
+             else D.METRICS[metric](vec_col, qvec_col)).alias("score")
     order = (F.col("score").asc() if D.ASCENDING[metric]
              else F.col("score").desc())
     w = W.partitionBy(qid_col).orderBy(order, F.col(id_col))
@@ -78,7 +92,8 @@ LIMIT 10
     score_sql="list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec)))", dir="DESC"))
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, q = corpus_with_query(spark, sf_dir)
-    return knn(corpus, q, k=10, metric="cosine", payload=("label",))
+    return knn(corpus, q, k=10, metric="cosine", payload=("label",),
+               score=cosine_score())
 
 
 @register("knn_dot", oracle=_KNN_ORACLE.format(
@@ -110,7 +125,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes it into the parquet scan."""
     corpus, q = corpus_with_query(spark, sf_dir)
     return knn(corpus.where(F.col("label") == 3), q, k=10,
-               metric="cosine", payload=("label",))
+               metric="cosine", payload=("label",), score=cosine_score())
 
 
 @register("batch_knn", oracle="""
@@ -126,12 +141,14 @@ r AS (SELECT qid, vec_id, score,
 SELECT qid, vec_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """)
 def batch_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tables.load(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
     queries = (emb.where(F.col("vec_id") % 100 == 0)
                   .select(F.col("vec_id").alias("qid"),
-                          D.vec_double("embedding").alias("qvec")))
-    return batch_knn(corpus, queries, k=5)
+                          D.vec_double("embedding").alias("qvec"))
+                  .withColumn("nq", D.norm("qvec")))
+    return batch_knn(corpus, queries, k=5, score=cosine_score())
 
 
 @register("range_search", oracle="""
@@ -146,7 +163,7 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure filter — fully parallel, output only."""
     corpus, q = corpus_with_query(spark, sf_dir)
     return (corpus.crossJoin(F.broadcast(q))
-            .select("vec_id", D.cosine("vec", "qvec").alias("score"))
+            .select("vec_id", cosine_score().alias("score"))
             .where(F.col("score") >= 0.25)
             .orderBy(F.desc("score"), "vec_id"))
 
@@ -167,7 +184,7 @@ def grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, q = corpus_with_query(spark, sf_dir)
     w = W.partitionBy("label").orderBy(F.desc("score"), F.col("vec_id"))
     return (corpus.crossJoin(F.broadcast(q))
-            .select("label", "vec_id", D.cosine("vec", "qvec").alias("score"))
+            .select("label", "vec_id", cosine_score().alias("score"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3))
 
@@ -190,7 +207,7 @@ def knn_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference backends page the same way (offset+limit)."""
     corpus, q = corpus_with_query(spark, sf_dir)
     top = (corpus.crossJoin(F.broadcast(q))
-           .select("vec_id", D.cosine("vec", "qvec").alias("score"))
+           .select("vec_id", cosine_score().alias("score"))
            .orderBy(F.desc("score"), "vec_id").limit(20))
     w = W.orderBy(F.desc("score"), F.col("vec_id"))
     return (top.withColumn("rank", F.row_number().over(w))

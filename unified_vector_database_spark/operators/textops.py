@@ -48,7 +48,7 @@ GROUP BY term ORDER BY cnt DESC, term LIMIT 30
 def term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies (the TF side of every keyword index the
     reference backends build)."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     return (docs.select(F.explode(tokens("text")).alias("term"))
                 .groupBy("term").agg(F.count("*").alias("cnt"))
                 .orderBy(F.desc("cnt"), "term").limit(30))
@@ -67,7 +67,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring; the idf table is tiny (vocabulary-sized) and
     broadcast onto the tf table, so the only real shuffle is the tf
     groupBy on (doc, term) — uniform keys."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     n = docs.count()
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -90,7 +90,7 @@ FROM documents ORDER BY doc_id
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, regex word tokens, and the
     chars/4 BPE estimate used for LLM token budgeting."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     return (docs.select(
         "doc_id",
         F.size(tokens("text")).alias("ws_tokens"),
@@ -128,7 +128,7 @@ FROM t ORDER BY doc_id
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-lexicon vote (n-gram-free heuristic; the
     lexicon is a broadcast literal, the vote is a map-only pass)."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     toks = tokens("text")
     c = docs.select(
         "doc_id", F.col("lang").alias("true_lang"),
@@ -170,7 +170,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic: length, word-shape, and stopword
     ratios combined into one [0,1] score — the standard pre-training
     filter signal, computed entirely JVM-side."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     toks = tokens("text")
     s = docs.select(
         "doc_id",
@@ -203,6 +203,6 @@ FROM documents ORDER BY doc_id
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint of the document head — the cheap
     content-identity key for incremental ingest (constants.py)."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     return (docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
                 .orderBy("doc_id"))

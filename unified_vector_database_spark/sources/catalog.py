@@ -1,0 +1,163 @@
+"""Collection catalog (SURVEY §2.1, §2.10 S3): the durable form of a
+reference 'collection' (create/list/describe/drop; add/upsert/delete;
+snapshot/restore) as versioned parquet + a JSON manifest.
+
+Layout:  <base>/<name>/manifest.json
+         <base>/<name>/data_v<N>/part-*.parquet
+
+Writes are copy-on-write: a new data_v<N+1> directory is fully
+written, then the manifest pointer flips — readers of v<N> are never
+disturbed, which is exactly how object-store tables (and the
+reference's MinIO-backed snapshots) stay consistent without locks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Manifest:
+    name: str
+    id_col: str
+    dim: int | None
+    metric: str
+    version: int
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+
+class Collection:
+    def __init__(self, spark: SparkSession, base: str, name: str):
+        self.spark = spark
+        self.base = base
+        self.name = name
+        self.path = os.path.join(base, name)
+
+    # -------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, spark: SparkSession, base: str, name: str,
+               id_col: str = "id", dim: int | None = None,
+               metric: str = "cosine") -> "Collection":
+        col = cls(spark, base, name)
+        if os.path.exists(col.path):
+            raise ValueError(f"collection {name!r} already exists")
+        os.makedirs(col.path)
+        col._write_manifest(Manifest(name, id_col, dim, metric, version=0))
+        return col
+
+    @classmethod
+    def open(cls, spark: SparkSession, base: str, name: str) -> "Collection":
+        col = cls(spark, base, name)
+        if not os.path.exists(col._manifest_path):
+            raise ValueError(f"collection {name!r} does not exist")
+        return col
+
+    @staticmethod
+    def list_collections(base: str) -> list[str]:
+        if not os.path.isdir(base):
+            return []
+        return sorted(n for n in os.listdir(base)
+                      if os.path.exists(os.path.join(base, n, "manifest.json")))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path)
+
+    def describe(self) -> Manifest:
+        with open(self._manifest_path) as f:
+            return Manifest(**json.load(f))
+
+    # ---------------------------------------------------------- ingest
+    def upsert(self, df: DataFrame) -> int:
+        """Keep-latest upsert: existing rows whose id appears in the
+        batch are replaced (anti-join), then the batch is appended.
+        One shuffle on the id column; at scale the anti-join broadcasts
+        when the batch is small."""
+        m = self.describe()
+        current = self.read()
+        if current is not None:
+            kept = current.join(df.select(m.id_col), m.id_col, "left_anti")
+            out = kept.unionByName(df)
+        else:
+            out = df
+        return self._commit(out, m)
+
+    def delete(self, predicate) -> int:
+        """Delete by predicate (Column) — rewrite keeping the negation."""
+        m = self.describe()
+        current = self.read()
+        if current is None:
+            return 0
+        return self._commit(current.where(~predicate), m)
+
+    def delete_ids(self, ids: list) -> int:
+        m = self.describe()
+        return self.delete(F.col(m.id_col).isin(ids))
+
+    # ----------------------------------------------------------- reads
+    def read(self) -> DataFrame | None:
+        m = self.describe()
+        if m.version == 0:
+            return None
+        return self.spark.read.parquet(self._data_path(m.version))
+
+    def count(self) -> int:
+        df = self.read()
+        return 0 if df is None else df.count()
+
+    # ------------------------------------------------------- snapshots
+    def snapshot(self, tag: str) -> str:
+        """Pin the current version under a tag (pointer copy, O(1) —
+        data directories are immutable)."""
+        m = self.describe()
+        snaps = self._read_snapshots()
+        snaps[tag] = m.version
+        with open(self._snapshots_path, "w") as f:
+            json.dump(snaps, f)
+        return tag
+
+    def restore(self, tag: str) -> None:
+        snaps = self._read_snapshots()
+        if tag not in snaps:
+            raise ValueError(f"no snapshot {tag!r}")
+        m = self.describe()
+        m.version = snaps[tag]
+        self._write_manifest(m)
+
+    # --------------------------------------------------------- private
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    @property
+    def _snapshots_path(self) -> str:
+        return os.path.join(self.path, "snapshots.json")
+
+    def _read_snapshots(self) -> dict:
+        if not os.path.exists(self._snapshots_path):
+            return {}
+        with open(self._snapshots_path) as f:
+            return json.load(f)
+
+    def _data_path(self, version: int) -> str:
+        return os.path.join(self.path, f"data_v{version}")
+
+    def _write_manifest(self, m: Manifest) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m.to_json(), f)
+        os.replace(tmp, self._manifest_path)
+
+    def _commit(self, df: DataFrame, m: Manifest) -> int:
+        new_version = m.version + 1
+        df.write.mode("overwrite").parquet(self._data_path(new_version))
+        n = self.spark.read.parquet(self._data_path(new_version)).count()
+        m.version = new_version
+        self._write_manifest(m)
+        return n

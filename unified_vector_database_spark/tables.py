@@ -19,6 +19,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str,
+                  key: str) -> DataFrame:
+    """Load + hash-repartition on `key` to the session's parallelism.
+
+    The local test tables are single parquet files, i.e. one input
+    split — compute-heavy per-row operators (shingling, fingerprints,
+    per-pair vector math) would otherwise run on one core. On a real
+    cluster the scan has one split per 128 MB and this shuffle is
+    usually unnecessary — hence a distinct entry point rather than a
+    default: operators opt in only where per-row work dominates scan
+    cost (then the one-time shuffle amortizes at any scale)."""
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target, key)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS, not-UTC-adjusted): Spark has
     # no nanos timestamp type, so read nanos-as-long and floor-convert
