@@ -1,0 +1,64 @@
+"""Structured Streaming (SURVEY §2.9): replay the events table as a
+file stream and check the windowed aggregation matches the batch twin;
+streaming dedup drops in-watermark duplicate keys."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from unified_vector_database_spark import tables
+from unified_vector_database_spark.streaming.ingest import (
+    dedup_events, windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def event_stream_dir(spark, sf_dir, tmp_path):
+    """Events re-written as multiple parquet files (a replayable file
+    stream source)."""
+    out = str(tmp_path / "stream_src")
+    tables.load_events(spark, sf_dir).repartition(4).write.parquet(out)
+    return out
+
+
+def _run_stream(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
+    batch = tables.load_events(spark, sf_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(event_stream_dir))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="0 seconds")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+           for r in spark.table("win_counts").collect()}
+
+    exp = {(r.ws, r.event_type): (r.n, round(r.tv, 6))
+           for r in (batch.groupBy(F.date_trunc("hour", "ts").alias("ws"),
+                                   "event_type")
+                     .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+                     .collect())}
+    assert got == exp
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dup_src")
+    rows = [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:01:00", 2.0),
+            (2, "2024-01-01 00:02:00", 3.0), (2, "2024-01-01 00:03:00", 4.0),
+            (3, "2024-01-01 00:04:00", 5.0)]
+    df = (spark.createDataFrame(rows, "event_id long, ts_s string, value double")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s"))
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, value double, ts timestamp").parquet(src)
+    out = _run_stream(spark, dedup_events(stream), "dedup_out")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3]

@@ -168,6 +168,53 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("event_date", "hr", "event_type"))
 
 
+@register("events_percentiles", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type (Spark
+    `percentile` == DuckDB `quantile_cont`). The exact form shuffles
+    values per group; the scale alternative is approx_percentile
+    (t-digest, mergeable map-side) — exact here because the oracle
+    must match bit-for-bit."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                   F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                   F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+                   F.countDistinct("user_id").alias("n_users"))
+              .orderBy("event_type"))
+
+
+@register("q6_forecast_revenue", oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 class: pure filtered aggregate — every predicate
+    pushes to the parquet scan, zero joins, one partial agg."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                     & F.col("l_discount").between(0.03, 0.07)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                           2).alias("revenue"),
+                   F.count("*").alias("n_items")))
+
+
 @register("customers_no_orders", oracle="""
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders

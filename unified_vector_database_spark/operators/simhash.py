@@ -1,0 +1,119 @@
+"""SimHash near-dup (SURVEY §2.5 D3): 32-bit signature by tf-weighted
+bit voting over md5-derived token hashes, plus banded Hamming pairing.
+
+Fully oracle-checked: every stage is integer math over md5, identical
+in DuckDB. Scale shape: signature = one tf groupBy + one vote groupBy
+(both keyed by doc — uniform); pair generation bands the 32 bits into
+4 bytes, so any pair within Hamming distance 3 shares >= 1 intact band
+(pigeonhole) and the self-join never goes quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..functions.hashing import md5_int32
+from ..functions.text import tokens
+from ..registry import register
+
+BITS = 32
+BANDS = 4
+BAND_BITS = BITS // BANDS
+_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): tf-weighted bit vote."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    h = md5_int32("token")
+    votes = tf.select("doc_id", F.col("tf"), h.alias("h"))
+    bit_sums = votes.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+        for i in range(BITS)])
+    sig = None
+    for i in range(BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) \
+                .cast("long")
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded Hamming join: 4 bytes per signature;
+    a <= max_hamming pair shares an intact byte."""
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", i * BAND_BITS)
+                 .bitwiseAND(F.lit((1 << BAND_BITS) - 1)).alias("key"))
+            for i in range(BANDS)])).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+_ORACLE_BITS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+    for i in range(BITS))
+_ORACLE_SIG = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+    for i in range(BITS))
+
+
+@register("dedup_simhash", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+votes AS (SELECT doc_id, tf,
+                 ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+          FROM tf),
+bits AS (SELECT doc_id, {_ORACLE_BITS} FROM votes GROUP BY doc_id)
+SELECT doc_id, {_ORACLE_SIG} AS simhash
+FROM bits ORDER BY doc_id
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+@register("simhash_pairs", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+votes AS (SELECT doc_id, tf,
+                 ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+          FROM tf),
+bits AS (SELECT doc_id, {_ORACLE_BITS} FROM votes GROUP BY doc_id),
+sig AS (SELECT doc_id, {_ORACLE_SIG} AS simhash FROM bits),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {BAND_BITS})) & {(1 << BAND_BITS) - 1} AS key
+  FROM sig, (SELECT unnest(range(0, {BANDS})) AS band)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 8
+ORDER BY hamming, id_a, id_b LIMIT 25
+""")
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest banded SimHash pairs (relaxed Hamming cap so the
+    synthetic corpus yields a non-vacuous result set)."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    sig = simhash_signatures(docs)
+    return (simhash_pairs(sig, max_hamming=8)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("hamming", "id_a", "id_b").limit(25))

@@ -1,0 +1,33 @@
+"""Structured Streaming ingest (SURVEY §2.9): the reference's live
+add/upsert path, re-expressed as readStream -> windowed aggregation /
+streaming dedup -> sink.
+
+At scale these are the standard Spark streaming shapes: event-time
+tumbling windows with a watermark bound the state store; streaming
+dedup keys expire with the watermark so state is O(in-flight window),
+not O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window rollup (streaming twin of analytics.events_hourly)."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on the event key within the watermark
+    horizon (reference: idempotent upsert on id)."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
