@@ -29,6 +29,8 @@ HEADLINE = [
     "tfidf_topterms", "lang_id", "quality_score",
     "q1_pricing", "q3_topurgent", "q5_region_volume", "events_hourly",
     "top_orders_per_segment", "ivf_knn",
+    "dedup_simhash", "events_sessionized", "label_centroids",
+    "events_percentiles", "q6_forecast_revenue",
 ]
 
 
@@ -41,13 +43,20 @@ def main() -> None:
     # the operators, not session startup
     registry.QUERIES["get_by_id"](spark, sf_dir).collect()
 
+    # min of 2 runs per query: first run pays JIT/codegen warmup and
+    # is exposed to transient host contention; the min measures the
+    # operator's steady-state cost, which is what baselines compare.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # no cross-query cache bleed
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()  # no cross-query cache bleed
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -215,6 +215,35 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_items")))
 
 
+@register("events_sessionized", oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id
+ORDER BY user_id LIMIT 100
+""")
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag window +
+    running session break count. Shuffles once on user_id; state per
+    user is one row — the batch twin of a session_window stream."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("new_session", new_s)
+              .groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum("new_session").cast("long").alias("n_sessions"))
+              .orderBy("user_id").limit(100))
+
+
 @register("customers_no_orders", oracle="""
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders

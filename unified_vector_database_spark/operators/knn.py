@@ -241,6 +241,29 @@ def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "source", "n_chars").orderBy("doc_id"))
 
 
+@register("label_centroids", oracle="""
+SELECT label, pos, round(avg(x), 6) AS centroid_val
+FROM (SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings)
+GROUP BY 1, 2
+ORDER BY label, pos
+""")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group elementwise centroid (the aggregate behind IVF cells
+    and label-profile analytics), long-form: (label, pos, value).
+    posexplode keeps the aggregation a plain (label, pos) groupBy —
+    shuffle rows are scalars, not vectors, and partial aggregation
+    (map-side combine) applies."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    return (emb.select("label", F.posexplode(D.vec_double("embedding"))
+                       .alias("pos", "x"))
+               .groupBy("label", "pos")
+               .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+               .orderBy("label", "pos"))
+
+
 @register("count_by_filter", oracle="""
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
