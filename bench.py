@@ -30,7 +30,7 @@ HEADLINE = [
     "q1_pricing", "q3_topurgent", "q5_region_volume", "events_hourly",
     "top_orders_per_segment", "ivf_knn",
     "dedup_simhash", "events_sessionized", "label_centroids",
-    "events_percentiles", "q6_forecast_revenue",
+    "events_percentiles", "q6_forecast_revenue", "knn_cosine_arrow",
 ]
 
 

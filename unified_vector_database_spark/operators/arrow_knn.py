@@ -1,0 +1,58 @@
+"""Arrow/numpy fast-path knn (SURVEY §6): the BLAS alternative to the
+JVM `F.aggregate` scorer for throughput-bound scans.
+
+The oracle-checked queries keep the JVM scorer (bit-exact vs DuckDB);
+this path trades bit-reproducibility (BLAS reassociates the sums) for
+a matrix-multiply inner loop — per partition: one np.dot of the batch
+against the query block, then a partial top-k, then the global
+TakeOrdered merges k rows per partition. At 100 TB this is the scan
+you want: Arrow batches amortize the Python boundary and the work per
+batch is one GEMV.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..functions import distance as D
+from ..registry import register
+
+
+def knn_arrow(corpus: DataFrame, qvec: list[float], k: int,
+              id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """Cosine top-k with a vectorized per-partition scorer."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())
+            norms = np.sqrt((m * m).sum(axis=1))
+            s = (m @ q) / (norms * qn)
+            # partial top-k inside the batch: only k rows leave Python
+            idx = np.argsort(-s)[:k]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[idx],
+                                "score": s[idx]})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=f"{id_col} long, score double")
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+@register("knn_cosine_arrow")  # rows-only: BLAS sums are not bit-exact
+def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-path knn for the same query as knn_cosine; the id set is
+    asserted identical to the JVM path in tests/test_simjoin.py."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first().embedding]
+    return knn_arrow(corpus, qvec, k=10)

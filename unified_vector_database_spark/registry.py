@@ -30,6 +30,6 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from .operators import (  # noqa: F401
-        analytics, dedup, hybrid, index, knn, multimodal, rerank, simhash,
-        textops,
+        analytics, arrow_knn, dedup, hybrid, index, knn, multimodal, rerank,
+        simhash, simjoin, textops,
     )
