@@ -47,6 +47,17 @@ def test_lifecycle(spark, tmp_path):
     assert Collection.list_collections(base) == []
 
 
+def test_update_metadata(spark, tmp_path):
+    from pyspark.sql import functions as F
+    base = str(tmp_path)
+    col = Collection.create(spark, base, "c3")
+    col.upsert(spark.createDataFrame(_rows(0, 6, "old")))
+    col.update(F.col("id") >= 3, tag="new")
+    tags = {r.id: r.tag for r in col.read().collect()}
+    assert tags == {0: "old", 1: "old", 2: "old",
+                    3: "new", 4: "new", 5: "new"}
+
+
 def test_delete_ids_and_open(spark, tmp_path):
     base = str(tmp_path)
     col = Collection.create(spark, base, "c2")

@@ -215,6 +215,50 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_items")))
 
 
+@register("lineitem_rollup", oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""")
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag -> flag+status -> grand total) in
+    one pass — partial aggregation applies to every grouping set."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.count("*").alias("n"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                      "sum_qty", "n")
+              .orderBy("returnflag", "linestatus"))
+
+
+@register("events_pivot", oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot day x event_type counts (explicit value list — at scale a
+    pivot without a value list would need an extra distinct pass)."""
+    ev = tables.load(spark, sf_dir, "events")
+    out = (ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_date"))
+             .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+             .count()
+             .orderBy("event_date"))
+    return out.select("event_date",
+                      *[F.coalesce(c, F.lit(0)).alias(c)
+                        for c in ["click", "error", "purchase", "signup", "view"]])
+
+
 @register("events_sessionized", oracle="""
 WITH o AS (
   SELECT user_id, ts,

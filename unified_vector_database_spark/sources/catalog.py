@@ -18,7 +18,7 @@ import os
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 @dataclass
@@ -99,6 +99,21 @@ class Collection:
     def delete_ids(self, ids: list) -> int:
         m = self.describe()
         return self.delete(F.col(m.id_col).isin(ids))
+
+    def update(self, predicate, **assignments) -> int:
+        """Metadata update (reference: payload/metadata set on matching
+        records): rewrite matching rows with the new column values —
+        one conditional projection, no join."""
+        m = self.describe()
+        current = self.read()
+        if current is None:
+            return 0
+        out = current
+        for col, value in assignments.items():
+            lit = value if isinstance(value, Column) else F.lit(value)
+            out = out.withColumn(
+                col, F.when(predicate, lit).otherwise(F.col(col)))
+        return self._commit(out, m)
 
     # ----------------------------------------------------------- reads
     def read(self) -> DataFrame | None:
