@@ -49,6 +49,34 @@ def test_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
     assert got == exp
 
 
+def test_stateful_running_topk(spark, sf_dir, event_stream_dir):
+    from unified_vector_database_spark.streaming.stateful import running_topk
+    batch = tables.load_events(spark, sf_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 2).parquet(event_stream_dir))
+    q = (running_topk(stream).writeStream.format("memory")
+         .queryName("topk_state").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last update per key == batch-global top-3
+    out = spark.table("topk_state").collect()
+    last = {}
+    for r in out:  # memory sink appends updates in order; keep final
+        last[r.key] = (list(r.topk), r.n_seen)
+    exp = {r.event_type: [round(v, 9) for v in r.top]
+           for r in (batch.groupBy("event_type")
+                     .agg(F.slice(F.sort_array(F.collect_list("value"), False),
+                                  1, 3).alias("top"))
+                     .collect())}
+    counts = {r.event_type: r.n for r in
+              batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(last) == set(exp)
+    for k in exp:
+        got_top, got_n = last[k]
+        assert [round(v, 9) for v in got_top] == exp[k]
+        assert got_n == counts[k]
+
+
 def test_streaming_dedup(spark, tmp_path):
     src = str(tmp_path / "dup_src")
     rows = [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:01:00", 2.0),
