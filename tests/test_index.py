@@ -36,6 +36,40 @@ def test_ivf_recall(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall@10 too low: {recall}"
 
 
+def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    from unified_vector_database_spark.operators.index import (
+        ivf_probe_partitioned, ivf_write_partitioned,
+    )
+    from unified_vector_database_spark.plans.asserts import plan_text
+    corpus, q = _corpus_query(spark, sf_dir)
+    cents = kmeans_fit(corpus)
+    path = str(tmp_path / "ivf_cells")
+    ivf_write_partitioned(corpus, cents, path)
+
+    probe = ivf_probe_partitioned(spark, path, cents, q, k=10)
+    text = plan_text(probe)
+    assert "PartitionFilters" in text and "cid" in text  # pruned scan
+    got = {r.vec_id for r in probe.collect()}
+    flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}
+    assert len(flat & got) / 10 >= 0.6
+
+
+def test_salted_join_preserves_results(spark, sf_dir):
+    from unified_vector_database_spark.operators.skew import salted_join
+    from unified_vector_database_spark import tables as tl
+    orders = tl.load(spark, sf_dir, "orders")
+    cust = tl.load(spark, sf_dir, "customer")
+    plain = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+             .groupBy("c_mktsegment").count())
+    salted = (salted_join(orders.withColumnRenamed("o_custkey", "ck"),
+                          cust.withColumnRenamed("c_custkey", "ck"),
+                          key="ck", hot_keys=[1, 2, 3], factor=4)
+              .groupBy("c_mktsegment").count())
+    a = {(r.c_mktsegment, r["count"]) for r in plain.collect()}
+    b = {(r.c_mktsegment, r["count"]) for r in salted.collect()}
+    assert a == b
+
+
 def test_lsh_recall_and_balance(spark, sf_dir):
     corpus, q = _corpus_query(spark, sf_dir)
     flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}

@@ -103,6 +103,36 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(corpus, cents, assigned, q, k=10)
 
 
+def ivf_write_partitioned(corpus: DataFrame, cents: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "vec") -> None:
+    """Materialize the IVF index as a cell-partitioned parquet layout
+    (`cid=<n>/part-*.parquet`). At 100 TB this is the whole point of
+    IVF-on-Spark: a probe filtered on `cid` is PRUNED AT THE FILE
+    LISTING — the nprobe/k fraction of the corpus is the only data
+    read, verified by plan assertion in tests/test_index.py."""
+    assigned = assign_cells(corpus, cents, id_col, vec_col)
+    (corpus.join(assigned, id_col)
+           .write.mode("overwrite").partitionBy("cid").parquet(path))
+
+
+def ivf_probe_partitioned(spark, path: str, cents: DataFrame,
+                          query_df: DataFrame, k: int,
+                          nprobe: int = NPROBE,
+                          id_col: str = "vec_id",
+                          vec_col: str = "vec") -> DataFrame:
+    """Probe the partitioned layout: cell filter -> partition pruning
+    -> knn inside the surviving files."""
+    qcells = [r.cid for r in
+              (cents.crossJoin(F.broadcast(query_df))
+               .select("cid", D.l2("cvec", "qvec").alias("d"))
+               .orderBy("d", "cid").limit(nprobe).collect())]
+    cand = spark.read.parquet(path).where(F.col("cid").isin(qcells))
+    from .knn import knn
+    return knn(cand, query_df, k=k, metric="cosine",
+               id_col=id_col, vec_col=vec_col)
+
+
 # ------------------------------------------------------------------ LSH
 
 def lsh_planes(dim: int, planes: int = LSH_PLANES, seed: int = 42) -> list[list[float]]:

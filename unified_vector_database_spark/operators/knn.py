@@ -241,6 +241,47 @@ def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "source", "n_chars").orderBy("doc_id"))
 
 
+@register("recommend", oracle="""
+WITH p0 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
+p1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 17),
+n0 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 225),
+t AS (SELECT list_transform(range(1, 65),
+             i -> (p0.v[i] + p1.v[i]) / 2.0 - n0.v[i]) AS qvec
+      FROM p0, p1, n0)
+SELECT vec_id, label,
+       list_dot_product(embedding::DOUBLE[], qvec)
+       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(list_dot_product(qvec, qvec))) AS score
+FROM embeddings, t
+WHERE vec_id NOT IN (0, 17, 225)
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation search (Qdrant `recommend` / Chroma where-not):
+    target = mean(positive examples) - negative example, then knn,
+    excluding the example ids. The target-vector arithmetic is a
+    3-row broadcast — no extra pass over the corpus."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    def vec_of(vid):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias("v")))
+    p0 = vec_of(0).select(F.col("v").alias("p0"))
+    p1 = vec_of(17).select(F.col("v").alias("p1"))
+    n0 = vec_of(225).select(F.col("v").alias("n0"))
+    target = (p0.crossJoin(p1).crossJoin(n0)
+              .select(F.zip_with(
+                  F.zip_with("p0", "p1", lambda a, b: (a + b) / 2.0),
+                  "n0", lambda m, c: m - c).alias("qvec"))
+              .withColumn("nq", D.norm("qvec")))
+    corpus = (emb.where(~F.col("vec_id").isin(0, 17, 225))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    return knn(corpus, target, k=10, metric="cosine",
+               payload=("label",), score=cosine_score())
+
+
 @register("label_centroids", oracle="""
 SELECT label, pos, round(avg(x), 6) AS centroid_val
 FROM (SELECT label,
