@@ -215,6 +215,57 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_items")))
 
 
+@register("events_props_json", oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_max,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction (reference: metadata/payload
+    JSON on every record): get_json_object stays JVM-side; at scale
+    prefer parsing once into a typed column over repeated extraction."""
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+              .agg(F.sum(k).alias("k_sum"),
+                   F.max(k).alias("k_max"),
+                   F.count("*").alias("n"))
+              .orderBy("event_type"))
+
+
+@register("customer_running_totals", oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+FROM orders
+WHERE o_custkey <= 20
+ORDER BY o_custkey, order_seq
+""")
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregates per customer (ROWS frame: one sort
+    per partition key, no extra shuffle beyond the partitionBy)."""
+    orders = tables.load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2)
+         .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"))
+        .orderBy("o_custkey", "order_seq"))
+
+
 @register("lineitem_rollup", oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -216,6 +216,48 @@ def knn_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- collection-CRUD views
 
+@register("upsert_semantics", oracle="""
+WITH batch AS (
+  SELECT vec_id, label + 100 AS label
+  FROM embeddings WHERE vec_id < 50),
+merged AS (
+  SELECT e.vec_id, e.label FROM embeddings e
+  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.vec_id = e.vec_id)
+  UNION ALL
+  SELECT vec_id, label FROM batch)
+SELECT label, count(*) AS n FROM merged
+GROUP BY label ORDER BY label
+""")
+def upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest upsert (C2) as a pure plan — the exact anti-join ∪
+    batch rewrite Collection.upsert commits, hash-checked against the
+    relational definition. One shuffle on the id column; small batches
+    broadcast."""
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    batch = (emb.where(F.col("vec_id") < 50)
+                .select("vec_id", (F.col("label") + 100).alias("label")))
+    merged = (emb.join(batch.select("vec_id"), "vec_id", "left_anti")
+                 .unionByName(batch))
+    return (merged.groupBy("label").agg(F.count("*").alias("n"))
+                  .orderBy("label"))
+
+
+@register("delete_semantics", oracle="""
+SELECT label, count(*) AS n
+FROM embeddings
+WHERE NOT (label = 3 OR vec_id % 7 = 0)
+GROUP BY label ORDER BY label
+""")
+def delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-filter (C3) as a pure plan: the negated-predicate
+    rewrite Collection.delete commits."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    deleted = (F.col("label") == 3) | (F.col("vec_id") % 7 == 0)
+    return (emb.where(~deleted)
+               .groupBy("label").agg(F.count("*").alias("n"))
+               .orderBy("label"))
+
+
 @register("get_by_id", oracle="""
 SELECT vec_id, label FROM embeddings
 WHERE vec_id IN (1, 2, 3, 5, 8) ORDER BY vec_id
