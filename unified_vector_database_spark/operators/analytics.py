@@ -339,6 +339,30 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("user_id").limit(100))
 
 
+@register("q4_order_priority", oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 class: EXISTS -> left_semi join (probe side never
+    duplicates, build side deduped by the join itself)."""
+    orders = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = tables.load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li, (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("order_count"))
+                .orderBy("o_orderpriority"))
+
+
 @register("customers_no_orders", oracle="""
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
