@@ -70,6 +70,22 @@ def test_salted_join_preserves_results(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
+    corpus, q = _corpus_query(spark, sf_dir)
+    flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}
+    cents = kmeans_fit(corpus)
+    assigned = assign_cells(corpus, cents).cache()
+    recalls = []
+    for nprobe in (1, 4, KMEANS_K):
+        got = {r.vec_id for r in
+               ivf_probe(corpus, cents, assigned, q, k=10,
+                         nprobe=nprobe).collect()}
+        recalls.append(len(flat & got) / 10)
+    # monotone non-decreasing, and full probe == exact
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
 def test_lsh_recall_and_balance(spark, sf_dir):
     corpus, q = _corpus_query(spark, sf_dir)
     flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}

@@ -49,6 +49,41 @@ def test_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
     assert got == exp
 
 
+def test_stream_into_collection(spark, sf_dir, tmp_path):
+    from unified_vector_database_spark.sources.catalog import Collection
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_into_collection,
+    )
+    emb = tables.load(spark, sf_dir, "embeddings").limit(200)
+    src = str(tmp_path / "vec_stream")
+    emb.repartition(4).write.parquet(src)
+
+    col = Collection.create(spark, str(tmp_path / "cols"), "live",
+                            id_col="vec_id", dim=64)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_into_collection(stream, col,
+                                str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert col.count() == 200
+    assert col.describe().version >= 1  # at least one committed batch
+    got = {r.vec_id for r in col.read().select("vec_id").collect()}
+    assert got == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_upsert_validation(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from unified_vector_database_spark.sources.catalog import Collection
+    col = Collection.create(spark, str(tmp_path), "v", id_col="id", dim=3)
+    with _pytest.raises(ValueError, match="missing the id column"):
+        col.upsert(spark.createDataFrame([Row(x=1)]))
+    with _pytest.raises(ValueError, match="dim mismatch"):
+        col.upsert(spark.createDataFrame(
+            [Row(id=1, embedding=[1.0, 2.0])]))
+
+
 def test_stateful_running_topk(spark, sf_dir, event_stream_dir):
     from unified_vector_database_spark.streaming.stateful import running_topk
     batch = tables.load_events(spark, sf_dir)

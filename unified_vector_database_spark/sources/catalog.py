@@ -80,6 +80,18 @@ class Collection:
         One shuffle on the id column; at scale the anti-join broadcasts
         when the batch is small."""
         m = self.describe()
+        if m.id_col not in df.columns:
+            raise ValueError(
+                f"batch is missing the id column {m.id_col!r}")
+        if m.dim is not None:
+            vec_cols = [f.name for f in df.schema.fields
+                        if f.dataType.typeName() == "array"]
+            if vec_cols:
+                bad = df.where(
+                    F.size(vec_cols[0]) != m.dim).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"vector dim mismatch: collection expects {m.dim}")
         current = self.read()
         if current is not None:
             kept = current.join(df.select(m.id_col), m.id_col, "left_anti")

@@ -25,6 +25,21 @@ def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
                     "event_type", "n_events", "total_value"))
 
 
+def stream_into_collection(stream: DataFrame, collection,
+                           checkpoint: str):
+    """Live ingest into a versioned collection (the reference's
+    streaming add/upsert): each micro-batch commits one copy-on-write
+    upsert, so readers always see a consistent version and replays are
+    idempotent per batch via the checkpoint."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection.upsert(batch_df)
+
+    return (stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint))
+
+
 def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact-dedup on the event key within the watermark
     horizon (reference: idempotent upsert on id)."""
