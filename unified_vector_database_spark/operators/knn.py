@@ -347,6 +347,41 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("label", "pos"))
 
 
+@register("facet_counts", oracle="""
+SELECT lang, source, count(*) AS n
+FROM documents
+WHERE n_chars >= 100
+GROUP BY lang, source
+ORDER BY lang, source
+""")
+def facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted counts under a filter (Qdrant facet API / ES terms
+    aggregation): one partial-aggregated groupBy; facet cardinality
+    bounds the output, not the corpus."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.where(F.col("n_chars") >= 100)
+                .groupBy("lang", "source").agg(F.count("*").alias("n"))
+                .orderBy("lang", "source"))
+
+
+@register("scroll_by_cursor", oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE lang = 'en' AND doc_id > 150
+ORDER BY doc_id
+LIMIT 20
+""")
+def scroll_by_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (the scroll/cursor API every backend has):
+    WHERE id > cursor ORDER BY id LIMIT n. Unlike OFFSET, the
+    predicate pushes to the scan, so page 10^6 costs the same as
+    page 1."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.where((F.col("lang") == "en") & (F.col("doc_id") > 150))
+                .select("doc_id", "source", "n_chars")
+                .orderBy("doc_id").limit(20))
+
+
 @register("count_by_filter", oracle="""
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
