@@ -31,6 +31,7 @@ HEADLINE = [
     "top_orders_per_segment", "ivf_knn",
     "dedup_simhash", "events_sessionized", "label_centroids",
     "events_percentiles", "q6_forecast_revenue", "knn_cosine_arrow",
+    "pipeline_clean_search", "recommend",
 ]
 
 

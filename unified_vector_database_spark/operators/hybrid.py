@@ -132,6 +132,64 @@ def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy(F.desc("hybrid_score"), "doc_id").limit(15))
 
 
+@register("pipeline_clean_search", oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         len({_TOK}) AS n_tokens,
+         list_sum(list_transform({_TOK}, t -> length(t))) AS tok_chars,
+         len(list_filter({_TOK}, t -> t IN ('the', 'a'))) AS n_stop
+  FROM documents),
+quality AS (
+  SELECT doc_id, text,
+         0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - n_stop / n_tokens)
+           + 0.3 * least((tok_chars / n_tokens) / 8.0, 1.0) AS q
+  FROM s),
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                              ORDER BY doc_id) AS rn
+    FROM quality WHERE q >= 0.65)
+  WHERE rn = 1),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS} AS score
+FROM embeddings e JOIN kept k ON k.doc_id = e.vec_id, qv
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def pipeline_clean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-pipeline composition: quality filter -> exact
+    dedup (keep lowest id per normalized-content hash) -> vector
+    search over the surviving corpus. One declarative plan: Catalyst
+    fuses the quality filter into the documents scan, the dedup is one
+    window over the content hash, and the knn stays TakeOrdered."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                            F.lit(0), lambda a, x: a + x)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    q = (0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+         + 0.3 * (1.0 - n_stop / n_tok)
+         + 0.3 * F.least((tok_chars / n_tok) / 8.0, F.lit(1.0)))
+    w = W.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    kept = (docs.withColumn("q", q).where(F.col("q") >= 0.65)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("doc_id"))
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.join(kept, emb.vec_id == kept.doc_id, "left_semi")
+                 .select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    qdf = (emb.where(F.col("vec_id") == 0)
+              .select(D.vec_double("embedding").alias("qvec"))
+              .withColumn("nq", D.norm("qvec")))
+    score = D.dot("vec", "qvec") / (F.col("nvec") * F.col("nq"))
+    return (corpus.crossJoin(F.broadcast(qdf))
+            .select("vec_id", score.alias("score"))
+            .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
 @register("hybrid_rrf", oracle=f"""
 WITH {_BM25_CTE},
 {_VEC_CTE},
