@@ -132,6 +132,30 @@ def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy(F.desc("hybrid_score"), "doc_id").limit(15))
 
 
+@register("phrase_search", oracle="""
+SELECT doc_id, lang,
+       CAST((length(text) - length(replace(text, 'fast join', '')))
+            / length('fast join') AS INT) AS n_hits
+FROM documents
+WHERE text LIKE '%fast join%'
+ORDER BY n_hits DESC, doc_id
+LIMIT 25
+""")
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match with hit counts (ES match_phrase / Qdrant
+    text match): a substring scan — no index needed for batch; at
+    scale the LIKE predicate evaluates inside the scan stage."""
+    docs = tables.load(spark, sf_dir, "documents")
+    phrase = "fast join"
+    n_hits = ((F.length("text")
+               - F.length(F.replace(F.col("text"), F.lit(phrase), F.lit(""))))
+              / len(phrase)).cast("int")
+    return (docs.where(F.col("text").contains(phrase))
+                .select("doc_id", "lang", n_hits.alias("n_hits"))
+                .orderBy(F.desc("n_hits"), "doc_id")
+                .limit(25))
+
+
 @register("pipeline_clean_search", oracle=f"""
 WITH s AS (
   SELECT doc_id, text,

@@ -128,6 +128,25 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                metric="cosine", payload=("label",), score=cosine_score())
 
 
+@register("knn_must_not", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+FROM embeddings, q
+WHERE label NOT IN (3, 7) AND vec_id % 2 = 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def knn_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative + positive filter combination (the reference DSL's
+    must_not/must): both predicates push below the scorer."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    filtered = corpus.where(~F.col("label").isin(3, 7)
+                            & (F.col("vec_id") % 2 == 0))
+    return knn(filtered, q, k=10, metric="cosine", payload=("label",),
+               score=cosine_score())
+
+
 @register("batch_knn", oracle="""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),
