@@ -44,20 +44,22 @@ def main() -> None:
     # the operators, not session startup
     registry.QUERIES["get_by_id"](spark, sf_dir).collect()
 
-    # min of 2 runs per query: first run pays JIT/codegen warmup and
-    # is exposed to transient host contention; the min measures the
-    # operator's steady-state cost, which is what baselines compare.
+    # min over two FULL passes: pass 1 pays JIT/codegen warmup, and
+    # interleaving (rather than back-to-back repeats) decorrelates
+    # transient host contention from a query's two samples. The min
+    # measures steady-state operator cost, which is what baselines
+    # compare.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = None
-        for _ in range(2):
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()  # no cross-query cache bleed
-        times[name] = round(best, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    times = {k: round(v, 3) for k, v in times.items()}
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -28,6 +28,22 @@ def test_knn_filtered_pushdown(spark, sf_dir):
     assert_filter_pushed(df, "EqualTo(label,3)")
 
 
+def test_scroll_cursor_pushdown(spark, sf_dir):
+    # keyset pagination's whole point: the cursor predicate reaches
+    # the scan, so deep pages don't read skipped rows
+    df = knn_ops.scroll_by_cursor(spark, sf_dir)
+    assert_filter_pushed(df, "GreaterThan(doc_id,150)")
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from unified_vector_database_spark.operators import analytics
+    df = analytics.q6_forecast_revenue(spark, sf_dir)
+    text = plan_text(df)
+    assert "PushedFilters" in text
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)"):
+        assert frag in text, f"missing pushed filter {frag}:\n{text}"
+
+
 def test_batch_knn_no_corpus_shuffle_before_score(spark, sf_dir):
     # the corpus side must reach the scorer without an Exchange below
     # the join (queries are broadcast); the only hash Exchange allowed
