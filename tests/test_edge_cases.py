@@ -1,0 +1,64 @@
+"""Robustness edge cases: empty inputs, k > corpus, null vectors,
+degenerate documents — the operators must degrade gracefully, not
+throw."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from unified_vector_database_spark.functions import distance as D
+from unified_vector_database_spark.functions.text import tokens
+from unified_vector_database_spark.operators.knn import batch_knn, knn
+
+
+def _corpus(spark, n=5, dim=4):
+    return spark.createDataFrame(
+        [Row(vec_id=i, vec=[float(i + j) for j in range(dim)])
+         for i in range(n)])
+
+
+def _qdf(spark, dim=4):
+    return spark.createDataFrame([Row(qvec=[1.0] * dim)])
+
+
+def test_knn_k_exceeds_corpus(spark):
+    out = knn(_corpus(spark, n=3), _qdf(spark), k=10).collect()
+    assert len(out) == 3  # all rows, no error
+
+
+def test_knn_empty_corpus(spark):
+    empty = _corpus(spark).where(F.col("vec_id") < 0)
+    assert knn(empty, _qdf(spark), k=5).collect() == []
+
+
+def test_batch_knn_empty_queries(spark):
+    corpus = _corpus(spark)
+    queries = spark.createDataFrame(
+        [], "qid long, qvec array<double>")
+    assert batch_knn(corpus, queries, k=3).collect() == []
+
+
+def test_null_vector_scores_null_and_sorts_last(spark):
+    rows = [Row(vec_id=0, vec=[1.0, 0.0]), Row(vec_id=1, vec=None)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    q = spark.createDataFrame([Row(qvec=[1.0, 0.0])])
+    out = knn(df, q, k=2).collect()
+    # null-scored row sorts after real scores (desc puts nulls last)
+    assert out[0].vec_id == 0 and out[0].score == 1.0
+    assert out[1].score is None
+
+
+def test_zero_vector_cosine_is_null_not_error(spark):
+    # ANSI mode would throw DIVIDE_BY_ZERO on a raw division; the
+    # try_divide form yields NULL, matching DuckDB's /0 semantics
+    df = spark.createDataFrame([Row(a=[0.0, 0.0], b=[1.0, 0.0])])
+    r = df.select(D.cosine("a", "b").alias("c")).first()
+    assert r.c is None
+
+
+def test_tokens_degenerate_documents(spark):
+    df = spark.createDataFrame(
+        [Row(i=0, t=""), Row(i=1, t="   "), Row(i=2, t="one")])
+    out = {r.i: list(r.toks) for r in
+           df.select("i", tokens("t").alias("toks")).collect()}
+    assert out == {0: [], 1: [], 2: ["one"]}

@@ -97,6 +97,23 @@ def test_lsh_recall_and_balance(spark, sf_dir):
     assert len(flat & got) >= 1
 
 
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    corpus, q = _corpus_query(spark, sf_dir)
+    flat = {r.vec_id for r in knn(corpus, q, k=10).collect()}
+    # 8 planes = 256 buckets, sized to the ~500-row test corpus (the
+    # 16-plane default targets 1e6+ rows — see lsh_bucket_knn doc)
+    single = {r.vec_id for r in
+              lsh_bucket_knn(corpus, q, k=10, dim=64,
+                             n_planes=8).collect()}
+    multi = {r.vec_id for r in
+             lsh_bucket_knn(corpus, q, k=10, dim=64,
+                            n_planes=8, multiprobe=16).collect()}
+    r1 = len(flat & single) / 10
+    r2 = len(flat & multi) / 10
+    assert r2 >= r1  # probing more buckets never hurts recall
+    assert r2 >= 0.3
+
+
 def test_lsh_planes_deterministic():
     assert lsh_planes(8, 4) == lsh_planes(8, 4)
     assert lsh_planes(8, 4) != lsh_planes(8, 4, seed=43)

@@ -37,13 +37,21 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """Division that yields NULL on a zero divisor — Spark ANSI mode
+    would otherwise THROW on degenerate (zero-norm) vectors, while
+    DuckDB yields NULL; try_divide is the exact DuckDB twin and is
+    bit-identical to plain division for every nonzero divisor."""
+    return F.try_divide(num, den)
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     # Divide form dot/(sqrt(na)*sqrt(nb)). Oracles must spell this out
     # with list_dot_product rather than call list_cosine_similarity:
     # DuckDB's builtin uses a fused accumulation that drifts by 1 ulp
     # on some pairs (verified exhaustively on 25k pairs — the explicit
     # form is bit-identical between engines, the builtin is not).
-    return dot(a, b) / (norm(a) * norm(b))
+    return safe_div(dot(a, b), norm(a) * norm(b))
 
 
 def l2(a: Column | str, b: Column | str) -> Column:

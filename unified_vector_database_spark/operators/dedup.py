@@ -207,7 +207,7 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.crossJoin(F.broadcast(q))
              .where(F.col("id_b") != F.col("id_a"))
              .select("id_a", "id_b",
-                     (D.dot("vec", "qvec")
-                      / (F.col("nvec") * F.col("nq"))).alias("score"))
+                     D.safe_div(D.dot("vec", "qvec"),
+                                F.col("nvec") * F.col("nq")).alias("score"))
              .where(F.col("score") >= 0.28)
              .orderBy("id_a", "id_b"))

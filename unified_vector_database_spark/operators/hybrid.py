@@ -93,8 +93,9 @@ def _vec_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                        D.vec_double("embedding").alias("vec"))
                .withColumn("nvec", D.norm("vec"))
                .crossJoin(F.broadcast(q))
-               .select("doc_id", (D.dot("vec", "qvec")
-                                  / (F.col("nvec") * F.col("nq"))).alias("vscore")))
+               .select("doc_id", D.safe_div(D.dot("vec", "qvec"),
+                                            F.col("nvec") * F.col("nq"))
+                       .alias("vscore")))
 
 
 _VEC_CTE = f"""
@@ -208,7 +209,7 @@ def pipeline_clean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = (emb.where(F.col("vec_id") == 0)
               .select(D.vec_double("embedding").alias("qvec"))
               .withColumn("nq", D.norm("qvec")))
-    score = D.dot("vec", "qvec") / (F.col("nvec") * F.col("nq"))
+    score = D.safe_div(D.dot("vec", "qvec"), F.col("nvec") * F.col("nq"))
     return (corpus.crossJoin(F.broadcast(qdf))
             .select("vec_id", score.alias("score"))
             .orderBy(F.desc("score"), "vec_id").limit(10))

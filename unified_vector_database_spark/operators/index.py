@@ -166,17 +166,52 @@ def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
 
 def lsh_bucket_knn(corpus: DataFrame, query_df: DataFrame, k: int,
                    dim: int, id_col: str = "vec_id",
-                   vec_col: str = "vec") -> DataFrame:
+                   vec_col: str = "vec", multiprobe: int = 0,
+                   n_planes: int = LSH_PLANES) -> DataFrame:
     """ANN probe restricted to the query's LSH bucket (plus exact
-    rerank). Bucket key is the shuffle/join key — 2^planes buckets,
-    uniform for centered data."""
-    planes = lsh_planes(dim)
+    rerank). Bucket key is the shuffle/join key — 2^n_planes buckets,
+    uniform for centered data. Size n_planes to the corpus: target
+    ~log2(N / desired_candidates) bits so a bucket holds a rerankable
+    candidate set (16 bits suits ~1e6-1e8 rows; tests use fewer).
+
+    `multiprobe` = 2^t > 1 additionally probes the buckets reachable
+    by flipping any subset of the t sign bits whose projection margin
+    |q . plane| is smallest — the standard multi-probe LSH recall
+    lever (Lv et al., VLDB'07): a near-zero margin means a true
+    neighbor plausibly lands on the other side of that plane. xN
+    buckets scanned, no index change, no re-hash; the probe list is
+    built on the tiny query side only and broadcast."""
+    planes = lsh_planes(dim, planes=n_planes)
     sig = lsh_signature(vec_col, planes)
     qsig = lsh_signature("qvec", planes)
     bucketed = corpus.withColumn("bucket", sig)
     qb = query_df.withColumn("bucket", qsig)
+    if multiprobe > 1:
+        t = max(1, min(int(math.log2(multiprobe)), len(planes)))
+        # planes ranked by |margin| ascending, as (|q.p|, plane_idx);
+        # materialized ONCE as a column — inlining this expression into
+        # every mask term would blow the expression tree up 2^t-fold
+        margins = F.array_sort(F.array(*[
+            F.struct(
+                F.abs(D.dot("qvec",
+                            F.array(*[F.lit(float(x)) for x in p]))).alias("m"),
+                F.lit(i).alias("i"))
+            for i, p in enumerate(planes)]))
+        masks = []
+        for s in range(1 << t):
+            mask = F.lit(0).cast("long")
+            for j in range(t):
+                if s >> j & 1:
+                    idx = F.element_at(F.col("_margins"), j + 1).getField("i")
+                    mask = mask + F.pow(F.lit(2.0), idx).cast("long")
+            masks.append(F.col("bucket").bitwiseXOR(mask))
+        probes = (qb.withColumn("_margins", margins)
+                    .select(F.explode(F.array(*masks)).alias("bucket"))
+                    .distinct())
+    else:
+        probes = qb.select("bucket")
     from .knn import knn
-    cand = bucketed.join(F.broadcast(qb.select("bucket")), "bucket")
+    cand = bucketed.join(F.broadcast(probes), "bucket")
     return knn(cand, query_df, k=k, metric="cosine",
                id_col=id_col, vec_col=vec_col)
 

@@ -42,7 +42,7 @@ def corpus_with_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0):
 
 def cosine_score():
     """Score column for frames produced by corpus_with_query."""
-    return D.dot("vec", "qvec") / (F.col("nvec") * F.col("nq"))
+    return D.safe_div(D.dot("vec", "qvec"), F.col("nvec") * F.col("nq"))
 
 
 def knn(corpus: DataFrame, query_df: DataFrame, k: int, metric: str = "cosine",

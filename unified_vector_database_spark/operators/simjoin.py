@@ -53,6 +53,6 @@ def similarity_join(corpus: DataFrame, threshold: float, dim: int,
                      F.col("a.nrm").alias("na"),
                      F.col("b.nrm").alias("nb"))
              .dropDuplicates(["id_a", "id_b"]))
-    score = D.dot("va", "vb") / (F.col("na") * F.col("nb"))
+    score = D.safe_div(D.dot("va", "vb"), F.col("na") * F.col("nb"))
     return (pairs.select("id_a", "id_b", score.alias("score"))
                  .where(F.col("score") >= threshold))
