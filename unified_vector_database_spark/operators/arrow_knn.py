@@ -50,8 +50,15 @@ def knn_arrow(corpus: DataFrame, qvec: list[float], k: int,
 @register("knn_cosine_arrow")  # rows-only: BLAS sums are not bit-exact
 def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-path knn for the same query as knn_cosine; the id set is
-    asserted identical to the JVM path in tests/test_simjoin.py."""
-    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    asserted identical to the JVM path in tests/test_simjoin.py.
+
+    Deliberately NOT load_parallel: the Arrow path wants LARGE batches
+    (one GEMV per batch amortizes the Python boundary), so the natural
+    parquet splits (one per 128 MB on a cluster) are exactly right —
+    a 32-way repartition of a small local file would hand each Python
+    worker a ~60-row batch, the Arrow anti-pattern, and pay 32 worker
+    spawns for one matrix multiply's worth of work."""
+    emb = tables.load(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).first().embedding]

@@ -53,24 +53,46 @@ bm25 AS (
 
 def bm25_scores(spark: SparkSession, sf_dir: str,
                 terms: tuple[str, ...] = QUERY_TERMS) -> DataFrame:
-    """BM25 score per matching document (docs containing >= 1 term)."""
+    """BM25 score per matching document (docs containing >= 1 term).
+
+    Scale shape — the query-term set is tiny and FIXED, so the whole
+    computation needs ZERO shuffles of the corpus: one map-only pass
+    computes per-term tf + doc length as array ops (no explode, no
+    groupBy(doc_id, term)); one global agg reduces that to the scalar
+    stats row (N, avgdl, per-term df); the stats broadcast back and
+    scoring is map-side arithmetic. Two corpus scans total, both
+    fully parallel, vs. the naive explode plan's two wide shuffles +
+    a doc-length join."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
-    stats = docs.agg(F.count("*").alias("n"),
-                     F.avg(F.size(tokens("text"))).alias("avgdl"))
-    qtok = tok.where(F.col("term").isin(*terms))
-    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    weight = (idf * F.col("tf") * (BM25_K1 + 1.0)
-              / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
-                                          + BM25_B * F.col("dl") / F.col("avgdl"))))
-    return (tf.join(F.broadcast(df), "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats))
-              .groupBy("doc_id")
-              .agg(F.round(F.sum(weight), 6).alias("score")))
+
+    def eq(term):  # NB: a 2-arg lambda would become an (elem, idx) lambda
+        return lambda t: t == F.lit(term)
+
+    per = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        *[F.size(F.filter(tokens("text"), eq(term))).alias(f"tf_{i}")
+          for i, term in enumerate(terms)])
+    stats = per.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+          for i in range(len(terms))])
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(1 + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
+        w = (idf * tf * (BM25_K1 + 1.0)
+             / (tf + BM25_K1 * (1.0 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl"))))
+        parts.append(F.when(tf > 0, w).otherwise(F.lit(0.0)))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    hit = F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
+    return (per.crossJoin(F.broadcast(stats))
+               .where(hit)
+               .select("doc_id", F.round(total, 6).alias("score")))
 
 
 @register("bm25_search", oracle=f"""
