@@ -44,13 +44,15 @@ def main() -> None:
     # the operators, not session startup
     registry.QUERIES["get_by_id"](spark, sf_dir).collect()
 
-    # min over two FULL passes: pass 1 pays JIT/codegen warmup, and
+    # min over three FULL passes: pass 1 pays JIT/codegen warmup, and
     # interleaving (rather than back-to-back repeats) decorrelates
-    # transient host contention from a query's two samples. The min
+    # transient host contention from a query's samples (observed
+    # loadavg spikes slow single samples 2-10x; with 3 interleaved
+    # samples the min survives a spike spanning a whole pass). The min
     # measures steady-state operator cost, which is what baselines
     # compare.
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()

@@ -379,3 +379,163 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "P")
     return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
                 .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@register("q10_returned_revenue", oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 class (returned-item revenue per customer): the
+    orders date filter pushes to the parquet scan; nation broadcasts
+    (25 rows); customer<->orders<->lineitem shuffle on their keys with
+    partial aggs before the final top-20 TakeOrdered."""
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+                .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .groupBy("c_custkey", "c_name", "n_name")
+                .agg(F.round(F.sum(rev), 2).alias("revenue"))
+                .orderBy(F.desc("revenue"), "c_custkey")
+                .limit(20))
+
+
+@register("q14_promo_share", oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""")
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 class (promo revenue share): part is the dimension ->
+    broadcast hash join, so the lineitem side never shuffles; one
+    scalar aggregate row out."""
+    part = tables.load(spark, sf_dir, "part")
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+                     .alias("promo_share"),
+                   F.round(F.sum(rev), 2).alias("total_revenue")))
+
+
+@register("q18_large_orders", oracle="""
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       round(o_totalprice, 2)   AS total_price,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 class (large-volume orders): the quantity rollup
+    groups on the ORDER key, so the agg reuses the join's shuffle
+    partitioning (no extra exchange); HAVING prunes before the
+    top-20. Quantities are integral doubles -> the >300 cut is exact
+    in both engines."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+                .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                .groupBy("c_custkey", "o_orderkey", "o_orderdate",
+                         "o_totalprice")
+                .agg(F.sum("l_quantity").alias("_sq"))
+                .where(F.col("_sq") > 300)
+                .select("c_custkey", "o_orderkey",
+                        F.col("o_orderdate").cast("date").alias("order_date"),
+                        F.round("o_totalprice", 2).alias("total_price"),
+                        F.round("_sq", 2).alias("sum_qty"))
+                .orderBy(F.desc("o_totalprice"), "o_orderkey")
+                .limit(20))
+
+
+@register("q19_bracket_filters", oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""")
+def q19_bracket_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 class (disjunctive bracket predicates across the
+    join): per-side conjuncts (l_quantity ranges on lineitem, brand/
+    size on part) are derivable and push below the join; the residual
+    OR evaluates inside the join stage."""
+    part = tables.load(spark, sf_dir, "part")
+    li = tables.load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    br = (((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+           & q.between(1, 20))
+          | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+             & q.between(10, 35))
+          | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50)
+             & q.between(20, 50)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .where(br)
+              .agg(F.round(F.sum(rev), 2).alias("revenue"),
+                   F.count("*").alias("n_lines")))
+
+
+@register("embedding_stats", oracle="""
+SELECT pos,
+       round(avg(x), 6)         AS avg_x,
+       round(stddev_samp(x), 6) AS std_x,
+       round(min(x), 6)         AS min_x,
+       round(max(x), 6)         AS max_x
+FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY pos ORDER BY pos
+""")
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats over the embedding corpus —
+    the drift/quality telemetry a training-data pipeline runs before
+    trusting a new embedding batch. One posexplode + one 64-group agg
+    (partial map-side); output is O(dim)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (emb.select(F.posexplode("embedding").alias("p0", "x"))
+               .select((F.col("p0") + 1).alias("pos"), x.alias("x"))
+               .groupBy("pos")
+               .agg(F.round(F.avg("x"), 6).alias("avg_x"),
+                    F.round(F.stddev_samp("x"), 6).alias("std_x"),
+                    F.round(F.min("x"), 6).alias("min_x"),
+                    F.round(F.max("x"), 6).alias("max_x"))
+               .orderBy("pos"))
