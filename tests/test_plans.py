@@ -53,3 +53,31 @@ def test_batch_knn_no_corpus_shuffle_before_score(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
     scan_to_join = join_part
     assert scan_to_join.count("Exchange hashpartitioning") <= 1
+
+
+def test_bm25_zero_corpus_shuffles(spark, sf_dir):
+    # the rewrite's whole claim: per-term tf is array math in the scan
+    # stage, stats broadcast back — no explode/groupBy shuffle at all
+    from unified_vector_database_spark.operators import hybrid
+    text = plan_text(hybrid.bm25_search(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in text
+    assert "TakeOrderedAndProject" in text
+
+
+def test_q19_disjunction_pushed_per_side(spark, sf_dir):
+    # Catalyst extracts each side's projection of the OR-of-brackets
+    # and pushes it into that side's scan (quantity ranges to
+    # lineitem, brand/size to part)
+    from unified_vector_database_spark.operators import analytics
+    df = analytics.q19_bracket_filters(spark, sf_dir)
+    text = plan_text(df)
+    assert "LessThanOrEqual(l_quantity,50.0)" in text
+    assert "EqualTo(p_brand,Brand#11)" in text
+    assert_broadcast_join(df)
+
+
+def test_q14_broadcast_and_pushdown(spark, sf_dir):
+    from unified_vector_database_spark.operators import analytics
+    df = analytics.q14_promo_share(spark, sf_dir)
+    assert_filter_pushed(df, "GreaterThanOrEqual(l_shipdate")
+    assert_broadcast_join(df)
