@@ -67,3 +67,40 @@ def test_delete_ids_and_open(spark, tmp_path):
     assert sorted(r.id for r in col2.read().collect()) == [1, 2, 3]
     with pytest.raises(ValueError):
         Collection.open(spark, base, "nope")
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    import glob
+    import os
+    base = str(tmp_path)
+    col = Collection.create(spark, base, "c4")
+    # trickle ingest: 4 upserts -> 4 versions, current one written by
+    # a many-partition plan = many small files
+    for i in range(4):
+        col.upsert(spark.createDataFrame(_rows(i * 10, 10, "t"))
+                   .repartition(8))
+    m = col.describe()
+    before = glob.glob(os.path.join(base, "c4", f"data_v{m.version}", "*.parquet"))
+    assert len(before) > 1
+    n = col.compact(target_rows_per_file=1000)
+    assert n == 40 and col.count() == 40
+    m2 = col.describe()
+    after = glob.glob(os.path.join(base, "c4", f"data_v{m2.version}", "*.parquet"))
+    assert len(after) == 1          # 40 rows < target -> one file
+    assert m2.version == m.version + 1   # copy-on-write, old intact
+
+
+def test_vacuum_keeps_manifest_and_snapshot_versions(spark, tmp_path):
+    import os
+    base = str(tmp_path)
+    col = Collection.create(spark, base, "c5")
+    col.upsert(spark.createDataFrame(_rows(0, 5, "a")))    # v1
+    col.snapshot("pin")                                     # pins v1
+    col.upsert(spark.createDataFrame(_rows(5, 10, "b")))    # v2
+    col.upsert(spark.createDataFrame(_rows(10, 15, "c")))   # v3
+    removed = col.vacuum()
+    assert removed == [2]           # v1 pinned, v3 current
+    assert os.path.isdir(os.path.join(base, "c5", "data_v1"))
+    assert not os.path.isdir(os.path.join(base, "c5", "data_v2"))
+    col.restore("pin")
+    assert col.count() == 5         # pinned version still readable

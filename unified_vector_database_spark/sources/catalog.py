@@ -138,6 +138,40 @@ class Collection:
         df = self.read()
         return 0 if df is None else df.count()
 
+    # ----------------------------------------------------- maintenance
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """OPTIMIZE: rewrite the current version into right-sized files.
+        Micro-batch streaming ingest and trickle upserts leave a long
+        tail of small files; scans then pay one task + one object-store
+        request per file. Compaction is a coalesce-style rewrite into
+        ceil(n / target) files — copy-on-write like every commit, so
+        concurrent readers of the old version are undisturbed. (On a
+        real deployment size by bytes via maxPartitionBytes; rows are
+        the deterministic local proxy.)"""
+        m = self.describe()
+        current = self.read()
+        if current is None:
+            return 0
+        n = current.count()
+        files = max(1, -(-n // target_rows_per_file))
+        return self._commit(current.repartition(files), m)
+
+    def vacuum(self) -> list[int]:
+        """Drop data versions no longer reachable from the manifest or
+        any snapshot tag — the GC half of copy-on-write. Returns the
+        versions removed."""
+        m = self.describe()
+        keep = {m.version} | set(self._read_snapshots().values())
+        removed = []
+        for entry in os.listdir(self.path):
+            if not entry.startswith("data_v"):
+                continue
+            v = int(entry.removeprefix("data_v"))
+            if v not in keep:
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.append(v)
+        return sorted(removed)
+
     # ------------------------------------------------------- snapshots
     def snapshot(self, tag: str) -> str:
         """Pin the current version under a tag (pointer copy, O(1) —
