@@ -5,9 +5,13 @@ joins, time rollups).
 Scale notes per query are inline; the common rules: dimension tables
 broadcast (region/nation/customer at TPC-H ratios), fact-fact joins
 shuffle on the join key with AQE skew handling, aggregates are
-partial (map-side combine) by construction, and every double
-aggregate is rounded in BOTH engines so accumulation order can't
-break the hash compare.
+partial (map-side combine) by construction. Money/value sums
+accumulate as exact DECIMALs (inputs have <=2 decimal digits, so the
+per-row products are exact at 4-6 decimals and decimal addition is
+order-independent — `round(sum_double, 2)` drifted across half-cent
+boundaries when partitioning changed); double aggregates that can't
+be made exact (percentiles, stddev) are rounded identically in both
+engines.
 """
 
 from __future__ import annotations
@@ -20,14 +24,18 @@ from ..registry import register
 
 @register("q1_pricing", oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                       AS sum_qty,
-       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4)                                       AS avg_qty,
-       round(avg(l_extendedprice), 4)                                  AS avg_price,
-       round(avg(l_discount), 6)                                       AS avg_disc,
-       count(*)                                                        AS count_order
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)))           AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4)))                           AS sum_disc_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6)))                           AS sum_charge,
+       round(avg(l_quantity), 4)                             AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / count(*), 4)                  AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2)))
+                  AS DOUBLE) / count(*), 6)                  AS avg_disc,
+       count(*)                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01'
 GROUP BY l_returnflag, l_linestatus
@@ -41,19 +49,23 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
-                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .alias("sum_base_price"),
+                 F.sum(disc.cast("decimal(18,4)")).alias("sum_disc_price"),
+                 F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(18,6)"))
+                  .alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                          .cast("double") / F.count("*"), 4).alias("avg_price"),
+                 F.round(F.sum(F.col("l_discount").cast("decimal(18,2)"))
+                          .cast("double") / F.count("*"), 6).alias("avg_disc"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
 @register("q3_topurgent", oracle="""
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
        CAST(o_orderdate AS DATE) AS order_date
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -78,8 +90,9 @@ def q3_topurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
               .groupBy("o_orderkey", "o_orderdate")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2).alias("revenue"))
+              .agg(F.sum((F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+                   .alias("revenue"))
               .select("o_orderkey", "revenue",
                       F.to_date("o_orderdate").alias("order_date"))
               .orderBy(F.desc("revenue"), "o_orderkey")
@@ -87,7 +100,8 @@ def q3_topurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q5_region_volume", oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -114,8 +128,9 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
               .groupBy("n_name")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2).alias("revenue"))
+              .agg(F.sum((F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+                   .alias("revenue"))
               .orderBy(F.desc("revenue"), "n_name"))
 
 
@@ -149,7 +164,7 @@ SELECT CAST(date_trunc('hour', ts) AS DATE) AS event_date,
        CAST(EXTRACT(hour FROM ts) AS INT)   AS hr,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2, 3
@@ -163,7 +178,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.hour("ts").alias("hr"),
                        "event_type")
               .agg(F.count("*").alias("n_events"),
-                   F.round(F.sum("value"), 2).alias("total_value"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .alias("total_value"),
                    F.countDistinct("user_id").alias("n_users"))
               .orderBy("event_date", "hr", "event_type"))
 
@@ -194,7 +210,7 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q6_forecast_revenue", oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -210,8 +226,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
                      & F.col("l_discount").between(0.03, 0.07)
                      & (F.col("l_quantity") < 24))
-              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
-                           2).alias("revenue"),
+              .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                          .cast("decimal(18,4)")).alias("revenue"),
                    F.count("*").alias("n_items")))
 
 
@@ -383,7 +399,7 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q10_returned_revenue", oracle="""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -413,17 +429,19 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(nation),
                       F.col("c_nationkey") == F.col("n_nationkey"))
                 .groupBy("c_custkey", "c_name", "n_name")
-                .agg(F.round(F.sum(rev), 2).alias("revenue"))
+                .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
                 .orderBy(F.desc("revenue"), "c_custkey")
                 .limit(20))
 
 
 @register("q14_promo_share", oracle="""
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_share,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -440,9 +458,11 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (li.join(F.broadcast(part),
                     F.col("l_partkey") == F.col("p_partkey"))
-              .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+              .agg(F.round(100.0 * F.sum(promo.cast("decimal(18,4)"))
+                                    .cast("double")
+                           / F.sum(rev.cast("decimal(18,4)")).cast("double"), 4)
                      .alias("promo_share"),
-                   F.round(F.sum(rev), 2).alias("total_revenue")))
+                   F.sum(rev.cast("decimal(18,4)")).alias("total_revenue")))
 
 
 @register("q18_large_orders", oracle="""
@@ -481,7 +501,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q19_bracket_filters", oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
@@ -509,7 +529,7 @@ def q19_bracket_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part),
                     F.col("l_partkey") == F.col("p_partkey"))
               .where(br)
-              .agg(F.round(F.sum(rev), 2).alias("revenue"),
+              .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"),
                    F.count("*").alias("n_lines")))
 
 
