@@ -206,3 +206,94 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     return (docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
                 .orderBy("doc_id"))
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 200, 150
+
+
+@register("chunk_sliding", oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(ceil((length(text) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                          AS BIGINT) + 1) AS k
+  FROM documents),
+e AS (SELECT doc_id, text, unnest(range(0, k)) AS ci FROM s)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       substr(text, CAST(ci * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE}) AS chunk,
+       CAST(length(substr(text, CAST(ci * {CHUNK_STRIDE} + 1 AS INT),
+                          {CHUNK_SIZE})) AS INT) AS chunk_len
+FROM e ORDER BY doc_id, chunk_idx
+""")
+def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 200, stride 150 chars) —
+    the ingest step every vector-DB pipeline runs before embedding
+    (reference: collections store chunk-level records, e.g. the
+    add/upsert batch APIs of all five backends).
+
+    Pure JVM: sequence+explode fans each doc into its chunk offsets,
+    substr materializes the window. Map-side only — no shuffle, no
+    UDF; at 100 TB this is a single pass whose output partitioning
+    inherits the scan's. The final ORDER BY exists for the oracle's
+    deterministic compare, not the pipeline (drop it when chaining)."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    n = F.length("text")
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))) + 1)
+    chunk = F.col("text").substr(
+        (F.col("ci") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_SIZE))
+    return (docs.select(
+                "doc_id", "text",
+                F.explode(F.sequence(F.lit(0).cast("long"), k - 1)).alias("ci"))
+            .select("doc_id",
+                    F.col("ci").cast("int").alias("chunk_idx"),
+                    chunk.alias("chunk"),
+                    F.length(chunk).alias("chunk_len"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def _bucket_sql() -> str:
+    return "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@register("hash_sample", oracle=f"""
+SELECT doc_id, source, CAST({_bucket_sql()} AS BIGINT) AS bucket
+FROM documents
+WHERE {_bucket_sql()} < 20
+ORDER BY doc_id
+""")
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample by md5 bucket of the stable id — the
+    reproducible alternative to rand()-based sampling for training
+    pipelines: same rows on every run, every engine, any partitioning,
+    and membership is decidable per-row (map-side, no state)."""
+    from ..functions.hashing import md5_int32
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = md5_int32(F.col("doc_id").cast("string")) % 100
+    return (docs.select("doc_id", "source", bucket.alias("bucket"))
+                .where(F.col("bucket") < 20)
+                .orderBy("doc_id"))
+
+
+@register("hash_split_counts", oracle=f"""
+SELECT CASE WHEN {_bucket_sql()} < 80 THEN 'train'
+            WHEN {_bucket_sql()} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source, count(*) AS n
+FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (80/10/10) from the same md5 bucket:
+    the split is a pure function of the id, so it is stable under
+    re-partitioning, re-ingest, and incremental appends — documents
+    never migrate between splits. One partial-agg groupBy."""
+    from ..functions.hashing import md5_int32
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = md5_int32(F.col("doc_id").cast("string")) % 100
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    return (docs.groupBy(split.alias("split"), "source")
+                .agg(F.count("*").alias("n"))
+                .orderBy("split", "source"))
