@@ -81,3 +81,39 @@ def test_q14_broadcast_and_pushdown(spark, sf_dir):
     df = analytics.q14_promo_share(spark, sf_dir)
     assert_filter_pushed(df, "GreaterThanOrEqual(l_shipdate")
     assert_broadcast_join(df)
+
+
+def test_q8_star_dims_broadcast(spark, sf_dir):
+    from unified_vector_database_spark.operators import tpch_extra
+    df = tpch_extra.q8_market_share(spark, sf_dir)
+    text = plan_text(df)
+    # part, customer-semi, supplier+nation all broadcast; only the
+    # lineitem x orders fact join and the yearly agg may shuffle
+    assert text.count("BroadcastHashJoin") >= 3, text
+    assert_filter_pushed(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q17_brand_pushed_and_broadcast(spark, sf_dir):
+    from unified_vector_database_spark.operators import tpch_extra
+    df = tpch_extra.q17_small_qty_revenue(spark, sf_dir)
+    assert_filter_pushed(df, "EqualTo(p_brand,Brand#3)")
+    assert_broadcast_join(df)
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    from unified_vector_database_spark.operators import tpch_extra
+    df = tpch_extra.q21_solo_returner(spark, sf_dir)
+    text = plan_text(df)
+    # both existence checks stay equi-joins on l_orderkey (the suppkey
+    # inequality rides along as a residual condition) — never a
+    # cartesian / nested-loop fallback
+    assert "LeftSemi" in text, text
+    assert "LeftAnti" in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_chunk_sliding_prunes_unused_columns(spark, sf_dir):
+    from unified_vector_database_spark.operators import textops
+    df = textops.chunk_sliding(spark, sf_dir)
+    assert_column_pruned(df, "n_chars")
+    assert_column_pruned(df, "source")
