@@ -125,3 +125,76 @@ def test_streaming_dedup(spark, tmp_path):
     out = _run_stream(spark, dedup_events(stream), "dedup_out")
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_stream_click_purchase_join(spark, sf_dir, event_stream_dir):
+    from unified_vector_database_spark.streaming.ingest import (
+        click_purchase_join,
+    )
+    batch = tables.load_events(spark, sf_dir)
+
+    def _side(evt):
+        return (spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 2).parquet(event_stream_dir)
+                .where(F.col("event_type") == evt))
+
+    joined = click_purchase_join(_side("click"), _side("purchase"),
+                                 horizon="1 hour", watermark="0 seconds")
+    out = _run_stream(spark, joined, "cp_join")
+
+    c = (batch.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("click_id")))
+    p = (batch.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_id")))
+    exp = (c.join(p, (F.col("c_user") == F.col("p_user"))
+                  & (F.col("p_ts") >= F.col("c_ts"))
+                  & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 hour")))
+           .select("click_id", "purchase_id"))
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+    want = {(r.click_id, r.purchase_id) for r in exp.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, event_stream_dir):
+    from unified_vector_database_spark.streaming.ingest import (
+        sessionized_counts,
+    )
+    batch = tables.load_events(spark, sf_dir)
+    # sentinel event far past the data so the 0s watermark closes
+    # every real session in append mode
+    sentinel = batch.agg(
+        F.max("ts").alias("m")).select(
+        F.lit(-1).cast(batch.schema["event_id"].dataType).alias("event_id"),
+        F.lit(-1).cast(batch.schema["user_id"].dataType).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("m") + F.expr("INTERVAL 30 days")).alias("ts"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+    src2 = event_stream_dir + "_tail"
+    sentinel.select(*batch.columns).coalesce(1).write.parquet(src2)
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(event_stream_dir))
+    # two-source union keeps the sentinel in the same stream
+    tail = (spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 2).parquet(src2))
+    agg = sessionized_counts(stream.unionByName(tail),
+                             gap="30 minutes", watermark="0 seconds")
+    out = _run_stream(spark, agg, "sess_win")
+
+    got = (out.where(F.col("user_id") >= 0)
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events")))
+    got_map = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    exp = (batch.withColumn("ns", new_s).groupBy("user_id")
+           .agg(F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events")))
+    exp_map = {r.user_id: (r.n_sessions, r.n_events) for r in exp.collect()}
+    assert got_map == exp_map
