@@ -40,3 +40,23 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType | str,
                                T.ArrayType(getattr(T, f"{element_type.capitalize()}Type")())))
                 .drop(f"{c}_json"))
     return df
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   num_buckets: int = 32) -> None:
+    """Persist as a bucketed table: rows are hash-distributed into
+    `num_buckets` files per partition by `key`, and the layout is
+    recorded in the catalog. Joins/aggregations on `key` between two
+    tables bucketed the same way then run WITHOUT a shuffle — at
+    100 TB this converts every recurring id-join (collection x
+    updates, corpus x scores) from an all-to-all exchange into a
+    partition-local merge. The write itself pays one shuffle; it
+    amortizes over every later query."""
+    (df.repartition(num_buckets, key)
+       .write.mode("overwrite")
+       .bucketBy(num_buckets, key).sortBy(key)
+       .saveAsTable(table))
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
