@@ -104,3 +104,19 @@ def test_vacuum_keeps_manifest_and_snapshot_versions(spark, tmp_path):
     assert not os.path.isdir(os.path.join(base, "c5", "data_v2"))
     col.restore("pin")
     assert col.count() == 5         # pinned version still readable
+
+
+def test_time_travel_reads(spark, tmp_path):
+    base = str(tmp_path)
+    col = Collection.create(spark, base, "c6")
+    col.upsert(spark.createDataFrame(_rows(0, 5, "a")))     # v1
+    col.snapshot("five")
+    col.upsert(spark.createDataFrame(_rows(5, 7, "b")))     # v2
+    assert col.read().count() == 12                          # current
+    assert col.read(version=1).count() == 5                  # explicit
+    assert col.read(tag="five").count() == 5                 # by tag
+    assert col.describe().version == 2                       # no mutation
+    with pytest.raises(ValueError, match="no snapshot"):
+        col.read(tag="nope")
+    with pytest.raises(ValueError, match="does not exist"):
+        col.read(version=9)

@@ -128,11 +128,25 @@ class Collection:
         return self._commit(out, m)
 
     # ----------------------------------------------------------- reads
-    def read(self) -> DataFrame | None:
-        m = self.describe()
-        if m.version == 0:
+    def read(self, *, version: int | None = None,
+             tag: str | None = None) -> DataFrame | None:
+        """Read the current version, or time-travel to an explicit
+        `version` / pinned snapshot `tag` WITHOUT moving the manifest
+        pointer (restore() moves it; this never mutates). Data dirs
+        are immutable, so a historical read is just a different scan
+        path — concurrent writers are unaffected."""
+        if tag is not None:
+            snaps = self._read_snapshots()
+            if tag not in snaps:
+                raise ValueError(f"no snapshot {tag!r}")
+            version = snaps[tag]
+        v = self.describe().version if version is None else version
+        if v == 0:
             return None
-        return self.spark.read.parquet(self._data_path(m.version))
+        path = self._data_path(v)
+        if not os.path.isdir(path):
+            raise ValueError(f"version {v} does not exist (vacuumed?)")
+        return self.spark.read.parquet(path)
 
     def count(self) -> int:
         df = self.read()
