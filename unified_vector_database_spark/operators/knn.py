@@ -411,3 +411,48 @@ def count_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_docs"),
                      F.sum("n_chars").alias("total_chars"))
                 .orderBy("lang"))
+
+
+@register("knn_multi_vector", oracle="""
+WITH c AS (SELECT vec_id, label,
+                  embedding::DOUBLE[]         AS tv,
+                  (embedding::DOUBLE[])[1:16] AS hv
+           FROM embeddings),
+q AS (SELECT tv AS qtv, hv AS qhv FROM c WHERE vec_id = 0)
+SELECT vec_id, label,
+       0.7 * (list_dot_product(tv, qtv)
+              / (sqrt(list_dot_product(tv, tv))
+                 * sqrt(list_dot_product(qtv, qtv))))
+     + 0.3 * (list_dot_product(hv, qhv)
+              / (sqrt(list_dot_product(hv, hv))
+                 * sqrt(list_dot_product(qhv, qhv)))) AS score
+FROM c, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def knn_multi_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named/multi-vector search (Qdrant named vectors, Milvus
+    multi-vector hybrid_search): each record carries several vector
+    spaces — here the full 64-dim vector and its 16-dim head standing
+    in for a second named space — and the query ranks by a weighted
+    sum of per-space cosines.
+
+    Scale shape is unchanged from single-vector knn: both query
+    vectors travel in ONE broadcast row, scoring is map-side (norms
+    precomputed per row, one dot per space), top-k is
+    TakeOrderedAndProject. Adding vector spaces adds columns, never
+    passes or shuffles."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    c = (emb.select("vec_id", "label", D.vec_double("embedding").alias("tv"))
+            .withColumn("hv", F.slice("tv", 1, 16))
+            .withColumn("ntv", D.norm("tv"))
+            .withColumn("nhv", D.norm("hv")))
+    q = (c.where(F.col("vec_id") == 0)
+          .select(F.col("tv").alias("qtv"), F.col("hv").alias("qhv"),
+                  F.col("ntv").alias("nqtv"), F.col("nhv").alias("nqhv")))
+    score = (0.7 * D.safe_div(D.dot("tv", "qtv"), F.col("ntv") * F.col("nqtv"))
+             + 0.3 * D.safe_div(D.dot("hv", "qhv"), F.col("nhv") * F.col("nqhv")))
+    return (c.crossJoin(F.broadcast(q))
+             .select("vec_id", "label", score.alias("score"))
+             .orderBy(F.desc("score"), "vec_id")
+             .limit(10))
