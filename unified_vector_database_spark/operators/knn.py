@@ -456,3 +456,36 @@ def knn_multi_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", "label", score.alias("score"))
              .orderBy(F.desc("score"), "vec_id")
              .limit(10))
+
+
+@register("knn_facets", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+hits AS (SELECT vec_id, label,
+                list_dot_product(embedding::DOUBLE[], qvec)
+                / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(qvec, qvec))) AS score
+         FROM embeddings, q
+         ORDER BY score DESC, vec_id
+         LIMIT 100)
+SELECT label, count(*) AS n, min(score) AS min_score, max(score) AS max_score
+FROM hits GROUP BY label ORDER BY label
+""")
+def knn_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet aggregation OVER search results (Weaviate's
+    aggregate-on-hybrid/near, ES aggs on a query): metadata
+    distribution of the top-100 hits — who answers "what labels
+    dominate this query's neighborhood?".
+
+    The top-100 is TakeOrderedAndProject (no global sort); the facet
+    agg then runs on 100 rows — its cost is independent of corpus
+    size. min/max are selections (not accumulations), so the output
+    is bit-deterministic with no rounding."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    hits = knn(corpus, q, k=100, metric="cosine", payload=("label",),
+               score=cosine_score())
+    return (hits.groupBy("label")
+                .agg(F.count("*").alias("n"),
+                     F.min("score").alias("min_score"),
+                     F.max("score").alias("max_score"))
+                .orderBy("label"))
