@@ -559,3 +559,50 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.min("x"), 6).alias("min_x"),
                     F.round(F.max("x"), 6).alias("max_x"))
                .orderBy("pos"))
+
+
+@register("asof_click_attribution", oracle="""
+WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+       c.click_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.purchase_id
+""")
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase attributed to the same user's most
+    recent click at-or-before it (ties on ts -> highest click id).
+    DuckDB runs its native ASOF JOIN as the oracle.
+
+    Spark has no asof operator, and the naive inequality join explodes
+    to O(purchases x clicks) per user before picking the max. The
+    scale-correct plan is union + single sort: tag both event kinds,
+    sort each user partition by (ts, kind, id), and carry the last
+    click forward with an ignorenulls last() window. ONE shuffle on
+    user_id, O(1) state per row, no join blow-up — the same shape at
+    any fan-in. Clicks at the same (user, ts) dedupe to the max id by
+    the sort order itself."""
+    ev = tables.load(spark, sf_dir, "events")
+    base = (ev.where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "ts",
+                      F.when(F.col("event_type") == "click", 0)
+                       .otherwise(1).alias("tg")))
+    w = (W.partitionBy("user_id").orderBy("ts", "tg", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    prior = F.last(
+        F.when(F.col("tg") == 0,
+               F.struct(F.col("ts").alias("c_ts"),
+                        F.col("event_id").alias("click_id"))),
+        ignorenulls=True).over(w)
+    return (base.withColumn("prior", prior)
+                .where(F.col("tg") == 1)
+                .select(F.col("event_id").alias("purchase_id"),
+                        "user_id",
+                        F.unix_micros("ts").alias("p_us"),
+                        F.col("prior.click_id").alias("click_id"),
+                        F.unix_micros("prior.c_ts").alias("c_us"))
+                .orderBy("purchase_id"))

@@ -44,6 +44,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
+        # integer DIV, not double /: nanos ~1.7e18 exceed double's 2^53
+        # exact-integer range, so a float division garbles the low
+        # microsecond digits (caught by the asof join's exact-µs oracle)
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
