@@ -606,3 +606,74 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("prior.click_id").alias("click_id"),
                         F.unix_micros("prior.c_ts").alias("c_us"))
                 .orderBy("purchase_id"))
+
+
+@register("events_multires_rollup", oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: raw -> minute -> hour ->
+    day, each level folding the PREVIOUS level's partials, never the
+    raw rows. count and decimal sum are mergeable, so the hierarchy is
+    exactly equal to a direct day rollup (the oracle) — but at 100 TB
+    the minute level is what you materialize incrementally, and the
+    coarser levels aggregate ~1e4x fewer rows than a raw re-scan.
+    Each fold groups a parent of the previous key, so AQE reuses the
+    same partitioning; the day output here matches the direct form
+    bit-for-bit because decimal addition is associative."""
+    ev = tables.load(spark, sf_dir, "events")
+    minute = (ev.groupBy(F.date_trunc("minute", "ts").alias("m"))
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)")).alias("v")))
+    hour = (minute.groupBy(F.date_trunc("hour", "m").alias("h"))
+                  .agg(F.sum("n").alias("n"), F.sum("v").alias("v")))
+    return (hour.groupBy(F.to_date("h").alias("d"))
+                .agg(F.sum("n").alias("n_events"),
+                     F.sum("v").cast("decimal(28,2)").alias("total_value"))
+                .orderBy("d"))
+
+
+@register("range_join_attribution", oracle="""
+SELECT p.event_id AS purchase_id, count(c.event_id) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY 1 ORDER BY 1
+""")
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (clicks within the hour before each purchase),
+    bucketed: a raw inequality join degenerates to per-key cartesian;
+    the scale form maps each purchase to its hour bucket AND the
+    previous one (a 1-hour lookback spans at most 2 buckets), equi-
+    joins on (user, bucket), and applies the range as a residual
+    filter. The shuffle key gains time locality — state per task is
+    one bucket's rows, not one user's history — and the plan is a
+    plain hash join at any scale. Purchases with no clicks survive
+    via the left join (count over 2 bucket replicas of a no-match
+    purchase is still 0)."""
+    ev = tables.load(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("purchase_id"),
+                   F.col("user_id").alias("p_user"),
+                   F.col("ts").alias("p_ts"),
+                   F.floor(F.unix_micros("ts") / hour_us).alias("pb")))
+    p = p.select("purchase_id", "p_user", "p_ts",
+                 F.explode(F.array(F.col("pb"), F.col("pb") - 1)).alias("jb"))
+    c = (ev.where(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("click_id"),
+                   F.col("user_id").alias("c_user"),
+                   F.col("ts").alias("c_ts"),
+                   F.floor(F.unix_micros("ts") / hour_us).alias("cb")))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("jb") == F.col("cb"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")))
+    return (p.join(c, cond, "left")
+             .groupBy("purchase_id")
+             .agg(F.count("click_id").alias("n_clicks"))
+             .orderBy("purchase_id"))
