@@ -33,7 +33,8 @@ HEADLINE = [
     "events_percentiles", "q6_forecast_revenue", "knn_cosine_arrow",
     "pipeline_clean_search", "recommend",
     "q8_market_share", "q9_profit_by_nation", "q13_order_distribution",
-    "q21_solo_returner", "chunk_sliding",
+    "q21_solo_returner", "chunk_sliding", "asof_click_attribution",
+    "range_join_attribution", "knn_multi_vector",
 ]
 
 
