@@ -63,3 +63,53 @@ def test_minhash_perm_bounds_and_model(spark, h):
         expect = (MINHASH_A[j] * h + MINHASH_B[j]) % MINHASH_P
         assert row[f"m{j}"] == expect
         assert 0 <= row[f"m{j}"] < MINHASH_P
+
+
+# ---------------------------------------------------------------- chunking
+from unified_vector_database_spark.operators.textops import (
+    CHUNK_SIZE, CHUNK_STRIDE,
+)
+
+DOC = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+              min_size=1, max_size=900)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=4))
+def test_chunking_covers_document_exactly(spark, docs):
+    """Invariants of sliding-window chunking, on arbitrary text:
+    (a) concatenating chunk prefixes of length `stride` (plus the
+        final chunk) reconstructs the document exactly — full
+        coverage, no gaps;
+    (b) every chunk except the last has length CHUNK_SIZE or the
+        document is shorter than CHUNK_SIZE;
+    (c) consecutive chunks overlap by exactly size - stride chars."""
+    from pyspark.sql import Row
+    from unified_vector_database_spark.operators import textops
+    import unified_vector_database_spark.tables as tables_mod
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(docs)])
+    orig_load = tables_mod.load_parallel
+    tables_mod.load_parallel = lambda sp, sf, name, key: df
+    try:
+        out = textops.chunk_sliding(spark, "unused").collect()
+    finally:
+        tables_mod.load_parallel = orig_load
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # (a) reconstruct
+        rebuilt = "".join(c.chunk[:CHUNK_STRIDE] for c in chunks[:-1])
+        rebuilt += chunks[-1].chunk
+        assert rebuilt == t, (len(rebuilt), len(t))
+        # (b) full-size interior chunks
+        for c in chunks[:-1]:
+            assert c.chunk_len == CHUNK_SIZE
+        # (c) overlap
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk[CHUNK_STRIDE:] == b.chunk[:CHUNK_SIZE - CHUNK_STRIDE]

@@ -297,3 +297,33 @@ def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.groupBy(split.alias("split"), "source")
                 .agg(F.count("*").alias("n"))
                 .orderBy("split", "source"))
+
+
+@register("stratified_sample", oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, source, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5 ORDER BY lang, rk
+""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a fixed quota per stratum
+    (5 docs per language), chosen by md5-of-id order — a reproducible
+    'random' draw that is stable across runs, engines, partitionings
+    and (unlike rand()-based sampleBy) re-selects the SAME documents
+    when the corpus is re-read. One window shuffle on the stratum key;
+    at scale prefer pre-aggregated per-stratum counts + hash-threshold
+    when quotas are proportional rather than fixed."""
+    from ..functions.hashing import md5_int32
+    docs = tables.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("lang")
+          .orderBy(md5_int32(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.select("doc_id", "lang", "source",
+                        F.row_number().over(w).alias("rk"))
+                .where(F.col("rk") <= 5)
+                .orderBy("lang", "rk"))
