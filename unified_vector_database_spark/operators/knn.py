@@ -489,3 +489,49 @@ def knn_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.min("score").alias("min_score"),
                      F.max("score").alias("max_score"))
                 .orderBy("label"))
+
+
+@register("batch_knn_filtered", oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+                  CAST(vec_id % 10 AS INT) AS want
+           FROM embeddings WHERE vec_id < 4),
+s AS (SELECT q.qid, e.vec_id, e.label,
+             list_dot_product(e.embedding::DOUBLE[], q.qvec)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qvec, q.qvec))) AS score
+      FROM embeddings e, q WHERE e.label = q.want),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, label, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+ORDER BY qid, rank
+""")
+def batch_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch knn where EACH query carries its own metadata filter
+    (Qdrant/Milvus batch search with per-request filter conditions):
+    query i wants only label i%10 neighbors.
+
+    The per-query predicate turns the scoring crossJoin into an
+    EQUI-join on the filter column — Catalyst picks a broadcast hash
+    join keyed on label, so each corpus row is scored only against the
+    queries whose filter it satisfies (vs. scoring all queries then
+    discarding). Filter selectivity directly divides compute; the
+    per-query top-k window shuffles O(queries x k) scalar rows."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    q = (emb.where(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("qid"),
+                    D.vec_double("embedding").alias("qvec"),
+                    (F.col("vec_id") % 10).cast("int").alias("want"))
+            .withColumn("nq", D.norm("qvec")))
+    score = D.safe_div(D.dot("vec", "qvec"), F.col("nvec") * F.col("nq"))
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (corpus.join(F.broadcast(q), corpus.label == q.want)
+                  .select("qid", "vec_id", "label", score.alias("score"))
+                  .withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= 5)
+                  .orderBy("qid", "rank"))
