@@ -22,8 +22,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+    """r1 driver post-mortem: 4 queries passed this float-normalized
+    compare locally but FAILED the real driver's hash. The sim is now
+    STRICTER than any plausible driver: raw reprs, no Decimal->float
+    normalization — a Decimal on one side and a float on the other is
+    a mismatch here even when the values are numerically equal.
+    Repo policy (enforced by the decimal-column check in main): final
+    outputs never carry DECIMAL columns; exact decimal accumulation is
+    internal only, cast to DOUBLE in the last select on BOTH engines.
+    """
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return v
@@ -48,6 +55,11 @@ def main() -> int:
     fails = []
     for name in [n for n in names if n in osql]:
         sdf = qs[name](spark, SF)
+        dec_cols = [c for c, t in sdf.dtypes if "decimal" in t]
+        if dec_cols:
+            print(f"{name}: DECIMAL OUTPUT COLUMNS {dec_cols} — "
+                  "driver-hash hazard, cast to double")
+            fails.append(name)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         rel = con.execute(osql[name])

@@ -25,11 +25,12 @@ from ..registry import register
 @register("q1_pricing", oracle="""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                             AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)))           AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(18,4)))                           AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(18,6)))                           AS sum_charge,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE)                                       AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE)           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE)           AS sum_charge,
        round(avg(l_quantity), 4)                             AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
                   AS DOUBLE) / count(*), 4)                  AS avg_price,
@@ -50,10 +51,11 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                  .alias("sum_base_price"),
-                 F.sum(disc.cast("decimal(18,4)")).alias("sum_disc_price"),
+                  .cast("double").alias("sum_base_price"),
+                 F.sum(disc.cast("decimal(18,4)")).cast("double")
+                  .alias("sum_disc_price"),
                  F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(18,6)"))
-                  .alias("sum_charge"),
+                  .cast("double").alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
                  F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                           .cast("double") / F.count("*"), 4).alias("avg_price"),
@@ -64,18 +66,21 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q3_topurgent", oracle="""
-SELECT o_orderkey,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
-       CAST(o_orderdate AS DATE) AS order_date
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate  > TIMESTAMP '1998-01-01'
-GROUP BY o_orderkey, o_orderdate
-ORDER BY revenue DESC, o_orderkey
-LIMIT 10
+SELECT o_orderkey, CAST(revenue AS DOUBLE) AS revenue, order_date
+FROM (
+  SELECT o_orderkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         CAST(o_orderdate AS DATE) AS order_date
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate  > TIMESTAMP '1998-01-01'
+  GROUP BY o_orderkey, o_orderdate
+  ORDER BY revenue DESC, o_orderkey
+  LIMIT 10
+)
 """)
 def q3_topurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 class: customer (dim, broadcast) x orders x lineitem
@@ -96,12 +101,14 @@ def q3_topurgent(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "revenue",
                       F.to_date("o_orderdate").alias("order_date"))
               .orderBy(F.desc("revenue"), "o_orderkey")
-              .limit(10))
+              .limit(10)
+              .withColumn("revenue", F.col("revenue").cast("double")))
 
 
 @register("q5_region_volume", oracle="""
 SELECT n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -130,7 +137,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("n_name")
               .agg(F.sum((F.col("l_extendedprice")
                           * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
-                   .alias("revenue"))
+                   .cast("double").alias("revenue"))
               .orderBy(F.desc("revenue"), "n_name"))
 
 
@@ -164,7 +171,7 @@ SELECT CAST(date_trunc('hour', ts) AS DATE) AS event_date,
        CAST(EXTRACT(hour FROM ts) AS INT)   AS hr,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2, 3
@@ -172,14 +179,20 @@ ORDER BY 1, 2, 3
 """)
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup on the event stream (batch twin of the
-    Structured Streaming path in streaming/ingest.py)."""
+    Structured Streaming path in streaming/ingest.py).
+
+    The sum accumulates as an exact DECIMAL (order-independent) but
+    the FINAL column is cast to DOUBLE: both engines cast the same
+    exact decimal, so the doubles are bit-identical, and a plain
+    float survives any driver-side serialization (r1 driver hashed
+    the Decimal repr stricter than values)."""
     ev = tables.load(spark, sf_dir, "events")
     return (ev.groupBy(F.to_date(F.date_trunc("hour", "ts")).alias("event_date"),
                        F.hour("ts").alias("hr"),
                        "event_type")
               .agg(F.count("*").alias("n_events"),
                    F.sum(F.col("value").cast("decimal(18,2)"))
-                    .alias("total_value"),
+                    .cast("double").alias("total_value"),
                    F.countDistinct("user_id").alias("n_users"))
               .orderBy("event_date", "hr", "event_type"))
 
@@ -210,7 +223,8 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q6_forecast_revenue", oracle="""
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -227,7 +241,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & F.col("l_discount").between(0.03, 0.07)
                      & (F.col("l_quantity") < 24))
               .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-                          .cast("decimal(18,4)")).alias("revenue"),
+                          .cast("decimal(18,4)")).cast("double")
+                    .alias("revenue"),
                    F.count("*").alias("n_items")))
 
 
@@ -398,18 +413,21 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q10_returned_revenue", oracle="""
-SELECT c_custkey, c_name, n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate <  TIMESTAMP '1997-01-01'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+SELECT c_custkey, c_name, n_name, CAST(revenue AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY c_custkey, c_name, n_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+)
 """)
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 class (returned-item revenue per customer): the
@@ -431,7 +449,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("c_custkey", "c_name", "n_name")
                 .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
                 .orderBy(F.desc("revenue"), "c_custkey")
-                .limit(20))
+                .limit(20)
+                .withColumn("revenue", F.col("revenue").cast("double")))
 
 
 @register("q14_promo_share", oracle="""
@@ -440,8 +459,8 @@ SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
              / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                              AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_share,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-         AS total_revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -462,7 +481,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     .cast("double")
                            / F.sum(rev.cast("decimal(18,4)")).cast("double"), 4)
                      .alias("promo_share"),
-                   F.sum(rev.cast("decimal(18,4)")).alias("total_revenue")))
+                   F.sum(rev.cast("decimal(18,4)")).cast("double")
+                    .alias("total_revenue")))
 
 
 @register("q18_large_orders", oracle="""
@@ -501,7 +521,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q19_bracket_filters", oracle="""
-SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
@@ -529,7 +550,8 @@ def q19_bracket_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part),
                     F.col("l_partkey") == F.col("p_partkey"))
               .where(br)
-              .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"),
+              .agg(F.sum(rev.cast("decimal(18,4)")).cast("double")
+                    .alias("revenue"),
                    F.count("*").alias("n_lines")))
 
 
@@ -611,7 +633,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_multires_rollup", oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1 ORDER BY 1
 """)
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,7 +654,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.sum("n").alias("n"), F.sum("v").alias("v")))
     return (hour.groupBy(F.to_date("h").alias("d"))
                 .agg(F.sum("n").alias("n_events"),
-                     F.sum("v").cast("decimal(28,2)").alias("total_value"))
+                     F.sum("v").cast("double").alias("total_value"))
                 .orderBy("d"))
 
 

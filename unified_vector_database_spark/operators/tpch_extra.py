@@ -35,7 +35,7 @@ def _volume() -> F.Column:
 
 @register("q7_nation_volume", oracle="""
 SELECT supp_nation, cust_nation, l_year,
-       sum(CAST(volume AS DECIMAL(18,4))) AS revenue
+       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -78,7 +78,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("supp_nation") != F.col("cust_nation"))
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").alias("l_year"))
-              .agg(F.sum(_volume().cast("decimal(18,4)")).alias("revenue"))
+              .agg(F.sum(_volume().cast("decimal(18,4)")).cast("double")
+                    .alias("revenue"))
               .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
@@ -146,7 +147,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q9_profit_by_nation", oracle="""
-SELECT nation, o_year, sum(CAST(volume AS DECIMAL(18,4))) AS sum_profit
+SELECT nation, o_year,
+       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
 FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume
       FROM part
@@ -178,7 +180,8 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
               .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
               .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-              .agg(F.sum(_volume().cast("decimal(18,4)")).alias("sum_profit"))
+              .agg(F.sum(_volume().cast("decimal(18,4)")).cast("double")
+                    .alias("sum_profit"))
               .orderBy(F.col("nation"), F.col("o_year").desc()))
 
 
@@ -222,7 +225,7 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -246,7 +249,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rev.crossJoin(F.broadcast(top))
                .where(F.col("total_revenue") == F.col("max_rev"))
                .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
-               .select("s_suppkey", "s_name", "total_revenue")
+               .select("s_suppkey", "s_name",
+                       F.col("total_revenue").cast("double")
+                        .alias("total_revenue"))
                .orderBy("s_suppkey"))
 
 
@@ -341,7 +346,7 @@ def q21_solo_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q22_idle_customers", oracle="""
 SELECT cntrycode, count(*) AS numcust,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM (SELECT c_custkey % 7 AS cntrycode, c_acctbal
       FROM customer
       WHERE c_acctbal > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
@@ -377,5 +382,5 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cntrycode")
                 .agg(F.count("*").alias("numcust"),
                      F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                      .alias("totacctbal"))
+                      .cast("double").alias("totacctbal"))
                 .orderBy("cntrycode"))
