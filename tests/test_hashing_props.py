@@ -20,6 +20,11 @@ from unified_vector_database_spark.functions.hashing import (
 TEXT = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     min_size=1, max_size=100)
+# min_size=0: the empty string is a valid document (fp must be 0, not
+# an INVALID_INDEX_OF_ZERO crash — ADVICE r1)
+TEXT0 = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=100)
 
 
 def _py_md5_int32(s: str) -> int:
@@ -44,7 +49,7 @@ def test_md5_int32_matches_python(spark, texts):
 
 
 @settings(max_examples=20, deadline=None)
-@given(st.lists(TEXT, min_size=1, max_size=8, unique=True))
+@given(st.lists(TEXT0, min_size=1, max_size=8, unique=True))
 def test_fingerprint_matches_python(spark, texts):
     df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(texts)])
     got = {r.i: r.fp for r in

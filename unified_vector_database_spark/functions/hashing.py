@@ -32,9 +32,15 @@ def rolling_fingerprint(text: Column | str, length: int = FP_LEN) -> Column:
     # ANSI mode; each long term stays < 128 * 1e9 << 2^63.
     pw = F.array(*[F.lit(p).cast("long") for p in FP_POW[:length]])
     n = F.least(F.length(c), F.lit(length))
-    return F.aggregate(
+    # empty-string guard: sequence(1, 0) defaults to step -1 and its
+    # i=0 iteration raises INVALID_INDEX_OF_ZERO, and sequence(1,0,1)
+    # throws outright — so gate the whole aggregate behind n > 0
+    # (CASE WHEN evaluates only the taken branch) and define fp('')=0,
+    # matching the oracle's COALESCE(list_sum(...), 0).
+    agg = F.aggregate(
         F.sequence(F.lit(1), n),
         F.lit(0).cast("long"),
         lambda acc, i: acc + F.ascii(F.substring(c, 1, length).substr(i, F.lit(1)))
         .cast("long") * F.element_at(pw, i),
     ) % F.lit(FP_MOD)
+    return F.when(n > 0, agg).otherwise(F.lit(0).cast("long"))

@@ -344,7 +344,8 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_sessionized", oracle="""
 WITH o AS (
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -361,8 +362,11 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     user is one row — the batch twin of a session_window stream."""
     ev = tables.load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact-microsecond gap on BOTH engines: unix_timestamp truncates
+    # to whole seconds while DuckDB's epoch() keeps fractions, so a
+    # gap in (1800s, 1801s) could classify differently (ADVICE r1).
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (ev.withColumn("new_session", new_s)
               .groupBy("user_id")
               .agg(F.count("*").alias("n_events"),

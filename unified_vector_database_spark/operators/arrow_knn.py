@@ -37,10 +37,13 @@ def knn_arrow(corpus: DataFrame, qvec: list[float], k: int,
             m = np.stack(pdf[vec_col].to_numpy())
             norms = np.sqrt((m * m).sum(axis=1))
             s = (m @ q) / (norms * qn)
-            # partial top-k inside the batch: only k rows leave Python
-            idx = np.argsort(-s)[:k]
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[idx],
-                                "score": s[idx]})
+            # partial top-k inside the batch: only k rows leave Python.
+            # lexsort on (id, -score) = (score desc, id asc) — a plain
+            # argsort(-s)[:k] could drop a row tied with the k-th score
+            # that the global order keeps (ADVICE r1).
+            ids = pdf[id_col].to_numpy()
+            idx = np.lexsort((ids, -s))[:k]
+            yield pd.DataFrame({id_col: ids[idx], "score": s[idx]})
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, schema=f"{id_col} long, score double")

@@ -111,7 +111,16 @@ ORDER BY hamming, id_a, id_b LIMIT 25
 """)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closest banded SimHash pairs (relaxed Hamming cap so the
-    synthetic corpus yields a non-vacuous result set)."""
+    synthetic corpus yields a non-vacuous result set).
+
+    Recall bound (ADVICE r1): with BANDS=4 the pigeonhole guarantee
+    only covers Hamming <= BANDS - 1 = 3; pairs at distance
+    4..8 that differ in ALL bands are missed. That is the standard
+    banded-LSH trade (full recall at 8 would need C(32,8)-class
+    multiprobe or 9 bands of 3-4 bits); the oracle mirrors the same
+    banding, so the result is well-defined and parity-exact — it is
+    'closest pairs among band-colliding candidates', not an exhaustive
+    Hamming-<=8 join."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     sig = simhash_signatures(docs)
     return (simhash_pairs(sig, max_hamming=8)

@@ -17,7 +17,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 hot_keys: list, factor: int = 8,
                 how: str = "inner") -> DataFrame:
     """Join `big` with `small` on `key`, spreading each hot key over
-    `factor` salted partitions."""
+    `factor` salted partitions.
+
+    Only inner/left are supported: the small side is replicated
+    `factor` times for hot keys, so right/full outer would emit each
+    UNMATCHED hot-key small-side row once per salt replica (ADVICE
+    r1). For those, pre-aggregate or dedupe the unmatched side
+    instead of salting."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "outer joins would duplicate unmatched hot-key rows "
+            "(small side is replicated per salt)")
     hot = F.col(key).isin(hot_keys)
     big_salted = big.withColumn(
         "_salt",

@@ -195,8 +195,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_fingerprint", oracle=f"""
 SELECT doc_id,
-       CAST(list_sum(list_transform(range(1, least(length(text), {FP_LEN}) + 1),
-                     i -> ascii(substr(text, i, 1))::BIGINT * ({FP_POW})[i]))
+       CAST(COALESCE(list_sum(list_transform(
+                range(1, least(length(text), {FP_LEN}) + 1),
+                i -> ascii(substr(text, i, 1))::BIGINT * ({FP_POW})[i])), 0)
             % {FP_MOD} AS BIGINT) AS fp
 FROM documents ORDER BY doc_id
 """)
