@@ -117,3 +117,22 @@ def test_chunk_sliding_prunes_unused_columns(spark, sf_dir):
     df = textops.chunk_sliding(spark, sf_dir)
     assert_column_pruned(df, "n_chars")
     assert_column_pruned(df, "source")
+
+
+def test_hybrid_rrf_rank_windows_bounded(spark, sf_dir):
+    # r1 regression: rank windows ran over the FULL corpus-sized score
+    # tables in one partition. Now each modality is cut to top-N by
+    # TakeOrdered BEFORE ranking, and the windows carry an explicit
+    # (constant) partition key, so no "No Partition Defined" path.
+    from unified_vector_database_spark.operators import hybrid
+    text = plan_text(hybrid.hybrid_rrf(spark, sf_dir))
+    assert text.count("TakeOrderedAndProject") >= 2, text
+
+
+def test_tfidf_single_plan_no_driver_count(spark, sf_dir):
+    # corpus size N must be a broadcast 1-row agg inside the plan, not
+    # a separate driver-side .count() action
+    from unified_vector_database_spark.operators import textops
+    df = textops.tfidf_topterms(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text

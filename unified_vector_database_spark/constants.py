@@ -39,3 +39,12 @@ BM25_B = 0.75
 
 # Reciprocal-rank-fusion constant (the standard k=60).
 RRF_K = 60
+
+# Hybrid fusion candidate bound: each modality is cut to its top-N by
+# TakeOrdered BEFORE ranking/fusing, so rank windows see <= N rows no
+# matter the corpus size (r1 ranked the full corpus in one partition).
+# N is the standard candidate-list depth real hybrid engines fuse
+# (ES rank_window_size-class); it only changes results for documents
+# whose per-modality rank is worse than N, which contribute < 1/(60+N)
+# to a fused score anyway.
+HYBRID_CANDIDATES = 1000

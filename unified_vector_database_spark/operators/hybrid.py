@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .. import tables
-from ..constants import BM25_B, BM25_K1, RRF_K
+from ..constants import BM25_B, BM25_K1, HYBRID_CANDIDATES, RRF_K
 from ..functions import distance as D
 from ..functions.text import tokens
 from ..registry import register
@@ -125,25 +125,47 @@ q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
 vec AS (SELECT vec_id AS doc_id, {_COS} AS vscore FROM embeddings, q)
 """
 
+# candidate-bounded modality lists (mirrors _candidates() below)
+_CAND_CTE = f"""
+kcand AS (SELECT doc_id, score FROM bm25
+          ORDER BY score DESC, doc_id LIMIT {HYBRID_CANDIDATES}),
+vcand AS (SELECT doc_id, vscore FROM vec
+          ORDER BY vscore DESC, doc_id LIMIT {HYBRID_CANDIDATES})
+"""
+
+
+def _candidates(df: DataFrame, score_col: str,
+                n: int = HYBRID_CANDIDATES) -> DataFrame:
+    """Cut a modality's score table to its top-n (TakeOrdered — no
+    full sort, k rows per partition merge on the driver-side heap).
+    Fusion ranks THIS set, so downstream rank windows are bounded by
+    n regardless of corpus size."""
+    return df.orderBy(F.desc(score_col), "doc_id").limit(n)
+
 
 @register("hybrid_weighted", oracle=f"""
 WITH {_BM25_CTE},
 {_VEC_CTE},
-kmax AS (SELECT max(score) AS m FROM bm25),
-vmax AS (SELECT max(vscore) AS m FROM vec),
+{_CAND_CTE},
+kmax AS (SELECT max(score) AS m FROM kcand),
+vmax AS (SELECT max(vscore) AS m FROM vcand),
 fused AS (
-  SELECT coalesce(bm25.doc_id, vec.doc_id) AS doc_id,
-         round(0.5 * coalesce(bm25.score / kmax.m, 0)
-               + 0.5 * coalesce(vec.vscore / vmax.m, 0), 6) AS hybrid_score
-  FROM bm25 FULL OUTER JOIN vec ON bm25.doc_id = vec.doc_id, kmax, vmax)
+  SELECT coalesce(kcand.doc_id, vcand.doc_id) AS doc_id,
+         round(0.5 * coalesce(kcand.score / kmax.m, 0)
+               + 0.5 * coalesce(vcand.vscore / vmax.m, 0), 6) AS hybrid_score
+  FROM kcand FULL OUTER JOIN vcand ON kcand.doc_id = vcand.doc_id, kmax, vmax)
 SELECT doc_id, hybrid_score FROM fused
 ORDER BY hybrid_score DESC, doc_id LIMIT 15
 """)
 def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-sum hybrid (Weaviate hybrid alpha=0.5 / Milvus
-    WeightedRanker): each modality max-normalized, then blended."""
-    kw = bm25_scores(spark, sf_dir)
-    vec = _vec_scores(spark, sf_dir)
+    WeightedRanker): each modality cut to its top-N candidates, then
+    max-normalized and blended. The max over candidates equals the
+    global max (the max is always in the top-N), so normalization is
+    unchanged; only sub-candidate tails drop out of the fusion —
+    corpus-wide fusion was wasted work when only top-15 survive."""
+    kw = _candidates(bm25_scores(spark, sf_dir), "score")
+    vec = _candidates(_vec_scores(spark, sf_dir), "vscore")
     kmax = kw.agg(F.max("score").alias("km"))
     vmax = vec.agg(F.max("vscore").alias("vm"))
     return (kw.join(vec, "doc_id", "full_outer")
@@ -240,10 +262,11 @@ def pipeline_clean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("hybrid_rrf", oracle=f"""
 WITH {_BM25_CTE},
 {_VEC_CTE},
+{_CAND_CTE},
 kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
-       FROM bm25),
+       FROM kcand),
 vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS r
-       FROM vec),
+       FROM vcand),
 fused AS (
   SELECT coalesce(kr.doc_id, vr.doc_id) AS doc_id,
          round(coalesce(1.0 / ({RRF_K} + kr.r), 0)
@@ -254,15 +277,20 @@ ORDER BY rrf_score DESC, doc_id LIMIT 15
 """)
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (ES / Weaviate relativeScoreFusion's
-    sibling): rank each modality, sum 1/(k+rank). Rank windows are
-    global but their inputs are score tables already bounded by the
-    candidate generation at scale."""
-    kw = bm25_scores(spark, sf_dir)
-    vec = _vec_scores(spark, sf_dir)
+    sibling): rank each modality, sum 1/(k+rank).
+
+    Each modality is first cut to HYBRID_CANDIDATES by TakeOrdered —
+    RRF only needs ranks of surviving candidates, so the rank window
+    runs over <= N rows. The window keys on a constant partition
+    (one partition BY CONSTRUCTION, input bounded — not a corpus-wide
+    single-partition sort, which is what r1 shipped)."""
+    one = W.partitionBy(F.lit(0))
+    kw = _candidates(bm25_scores(spark, sf_dir), "score")
+    vec = _candidates(_vec_scores(spark, sf_dir), "vscore")
     kr = kw.select("doc_id", F.row_number().over(
-        W.orderBy(F.desc("score"), F.col("doc_id"))).alias("kr"))
+        one.orderBy(F.desc("score"), F.col("doc_id"))).alias("kr"))
     vr = vec.select("doc_id", F.row_number().over(
-        W.orderBy(F.desc("vscore"), F.col("doc_id"))).alias("vr"))
+        one.orderBy(F.desc("vscore"), F.col("doc_id"))).alias("vr"))
     return (kr.join(vr, "doc_id", "full_outer")
               .select("doc_id",
                       F.round(F.coalesce(1.0 / (RRF_K + F.col("kr")), F.lit(0.0))

@@ -66,15 +66,20 @@ ORDER BY tfidf DESC, doc_id, term LIMIT 50
 def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring; the idf table is tiny (vocabulary-sized) and
     broadcast onto the tf table, so the only real shuffle is the tf
-    groupBy on (doc, term) — uniform keys."""
+    groupBy on (doc, term) — uniform keys.
+
+    Corpus size N stays IN the plan as a 1-row broadcast crossJoin
+    (same pattern as q15_top_supplier) — r1 ran a separate
+    driver-side docs.count() action, an extra corpus pass per call."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    n = docs.count()
+    n = docs.agg(F.count("*").alias("n"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(n))
               .select("doc_id", "term",
-                      F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")),
+                      F.round(F.col("tf") * F.log(F.col("n") / F.col("df")),
                               6).alias("tfidf"))
               .orderBy(F.desc("tfidf"), "doc_id", "term").limit(50))
 
