@@ -1,0 +1,210 @@
+"""Sparse vector search — the Milvus sparse-BM25 / Qdrant sparse-vector
+surface (reference README.md:95 client libs imply both; SPLADE-class
+learned-sparse retrieval is the modern use).
+
+A sparse embedding is `(indices: array<long> sorted asc, values:
+array<double>)` over a fixed hash dimension space (SPARSE_DIM). The
+corpus side here derives deterministic sparse vectors from the
+documents table (hashed-token dims, ln(1+tf) weights) so the operator
+is testable end-to-end without a learned encoder; a real pipeline
+would load precomputed (indices, values) columns and use the same
+scorer unchanged.
+
+Scale shape (the point of the design):
+- building sparse vectors is one explode + one (doc, dim) groupBy —
+  uniform keys, partial-agg friendly;
+- scoring broadcasts only the QUERY map (|q| entries, a few hundred
+  max) and evaluates the dot product map-side inside the corpus scan
+  via `F.aggregate` over the zipped (index, value) arrays — zero
+  corpus shuffle, top-k is TakeOrderedAndProject;
+- batch/many-query variants fall back to posexplode + equi-join on
+  dim, which shuffles |corpus nnz| once — the classic inverted-index
+  join, still linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..constants import HYBRID_CANDIDATES
+from ..functions import distance as D
+from ..functions.hashing import md5_int32
+from ..functions.text import tokens
+from ..registry import register
+
+SPARSE_DIM = 1 << 16  # 65536 hash buckets — SPLADE vocab scale
+
+_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+# DuckDB twin of the sparse derivation: token -> md5 dim bucket,
+# weight = ln(1 + per-dim token count). `('0x'||substr(md5,1,8))`
+# matches functions/hashing.md5_int32 exactly (see memory: every hash
+# bottoms out in md5).
+_SPARSE_CTE = f"""
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+sp AS (SELECT doc_id,
+              ('0x' || substr(md5(term), 1, 8))::BIGINT % {SPARSE_DIM} AS dim,
+              ln(1 + count(*)) AS w
+       FROM tok GROUP BY 1, 2),
+sq AS (SELECT dim, w FROM sp WHERE doc_id = 0)
+"""
+
+
+def sparse_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, dim, w) long-form sparse weights: dim = md5 bucket of
+    the token, w = ln(1 + token count in that bucket)."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (tok.groupBy("doc_id",
+                        F.pmod(md5_int32("term"), F.lit(SPARSE_DIM))
+                         .alias("dim"))
+               .agg(F.log(1 + F.count("*")).alias("w")))
+
+
+def sparse_vectors(docs: DataFrame) -> DataFrame:
+    """Collection-layout sparse embedding column: one row per doc with
+    aligned (indices sorted asc, values) arrays — the storage format a
+    user would persist next to the dense embedding column."""
+    entries = (sparse_from_documents(docs)
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(F.struct("dim", "w")))
+                     .alias("entries")))
+    return entries.select(
+        "doc_id",
+        F.transform("entries", lambda e: e["dim"]).alias("indices"),
+        F.transform("entries", lambda e: e["w"]).alias("values"))
+
+
+def sparse_dot(vecs: DataFrame, query_map: F.Column) -> F.Column:
+    """Map-side sparse dot product: for each stored index, look the
+    dim up in the broadcast query map (NULL -> 0) and accumulate in
+    index order (deterministic). JVM-only — no UDF, no shuffle."""
+    prods = F.zip_with(
+        "indices", "values",
+        lambda i, v: v * F.coalesce(F.try_element_at(query_map, i),
+                                    F.lit(0.0)))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sparse_corpus_and_query(spark: SparkSession, sf_dir: str):
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    vecs = sparse_vectors(docs)
+    q = (vecs.where(F.col("doc_id") == 0)
+             .select(F.map_from_arrays("indices", "values").alias("qmap")))
+    return vecs, q
+
+
+def sparse_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse score of every doc vs the doc-0 query (positive matches
+    only — docs sharing no dim with the query drop out, mirroring the
+    oracle's inner join on dim)."""
+    vecs, q = _sparse_corpus_and_query(spark, sf_dir)
+    return (vecs.crossJoin(F.broadcast(q))
+                .select("doc_id",
+                        F.round(sparse_dot(vecs, F.col("qmap")), 6)
+                         .alias("score"))
+                .where(F.col("score") > 0))
+
+
+@register("knn_sparse", oracle=f"""
+WITH {_SPARSE_CTE}
+SELECT sp.doc_id, round(sum(sp.w * sq.w), 6) AS score
+FROM sp JOIN sq USING (dim)
+GROUP BY sp.doc_id
+HAVING round(sum(sp.w * sq.w), 6) > 0
+ORDER BY score DESC, doc_id LIMIT 15
+""")
+def knn_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse top-k: dot product against the doc-0 sparse query under
+    the map-side scorer; ORDER BY rounded score + id tiebreak so both
+    engines cut identical top-15."""
+    return (sparse_scores(spark, sf_dir)
+            .orderBy(F.desc("score"), "doc_id").limit(15))
+
+
+_COS = ("list_dot_product(embedding::DOUBLE[], qvec)"
+        "/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "*sqrt(list_dot_product(qvec, qvec)))")
+
+
+@register("hybrid_sparse_dense", oracle=f"""
+WITH {_SPARSE_CTE},
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (SELECT vec_id AS doc_id, {_COS} AS vscore FROM embeddings, qv),
+ks AS (SELECT sp.doc_id, round(sum(sp.w * sq.w), 6) AS score
+       FROM sp JOIN sq USING (dim) GROUP BY sp.doc_id
+       HAVING round(sum(sp.w * sq.w), 6) > 0),
+kcand AS (SELECT doc_id, score FROM ks
+          ORDER BY score DESC, doc_id LIMIT {HYBRID_CANDIDATES}),
+vcand AS (SELECT doc_id, vscore FROM vec
+          ORDER BY vscore DESC, doc_id LIMIT {HYBRID_CANDIDATES}),
+kmax AS (SELECT max(score) AS m FROM kcand),
+vmax AS (SELECT max(vscore) AS m FROM vcand),
+fused AS (
+  SELECT coalesce(kcand.doc_id, vcand.doc_id) AS doc_id,
+         round(0.5 * coalesce(kcand.score / kmax.m, 0)
+               + 0.5 * coalesce(vcand.vscore / vmax.m, 0), 6) AS hybrid_score
+  FROM kcand FULL OUTER JOIN vcand ON kcand.doc_id = vcand.doc_id, kmax, vmax)
+SELECT doc_id, hybrid_score FROM fused
+ORDER BY hybrid_score DESC, doc_id LIMIT 15
+""")
+def hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-sparse + dense fusion (the Milvus hybrid_search /
+    Qdrant sparse+dense prefetch shape): sparse and cosine modalities
+    each cut to top-N candidates, max-normalized, weighted 0.5/0.5.
+    embeddings.vec_id is the documents.doc_id foreign key, so doc 0's
+    sparse vector and vec 0's dense embedding are the same query
+    object in both modalities."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    qv = (emb.where(F.col("vec_id") == 0)
+             .select(D.vec_double("embedding").alias("qvec"))
+             .withColumn("nq", D.norm("qvec")))
+    vec = (emb.select(F.col("vec_id").alias("doc_id"),
+                      D.vec_double("embedding").alias("vec"))
+              .withColumn("nvec", D.norm("vec"))
+              .crossJoin(F.broadcast(qv))
+              .select("doc_id", D.safe_div(D.dot("vec", "qvec"),
+                                           F.col("nvec") * F.col("nq"))
+                      .alias("vscore")))
+    kcand = (sparse_scores(spark, sf_dir)
+             .orderBy(F.desc("score"), "doc_id").limit(HYBRID_CANDIDATES))
+    vcand = vec.orderBy(F.desc("vscore"), "doc_id").limit(HYBRID_CANDIDATES)
+    kmax = kcand.agg(F.max("score").alias("km"))
+    vmax = vcand.agg(F.max("vscore").alias("vm"))
+    return (kcand.join(vcand, "doc_id", "full_outer")
+                 .crossJoin(F.broadcast(kmax)).crossJoin(F.broadcast(vmax))
+                 .select("doc_id",
+                         F.round(0.5 * F.coalesce(F.col("score") / F.col("km"),
+                                                  F.lit(0.0))
+                                 + 0.5 * F.coalesce(F.col("vscore") / F.col("vm"),
+                                                    F.lit(0.0)),
+                                 6).alias("hybrid_score"))
+                 .orderBy(F.desc("hybrid_score"), "doc_id").limit(15))
+
+
+@register("sparse_vectors_layout", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+sp AS (SELECT doc_id,
+              ('0x' || substr(md5(term), 1, 8))::BIGINT % {SPARSE_DIM} AS dim,
+              ln(1 + count(*)) AS w
+       FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS nnz,
+       min(dim) AS min_dim, max(dim) AS max_dim,
+       round(sum(w * w), 6) AS sq_norm
+FROM sp GROUP BY doc_id ORDER BY doc_id
+""")
+def sparse_vectors_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit of the sparse embedding column: nnz, dim
+    range, and squared norm per doc — exercises the full (indices,
+    values) build path and pins it to the oracle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    vecs = sparse_vectors(docs)
+    sq = F.aggregate(F.transform("values", lambda v: v * v),
+                     F.lit(0.0), lambda a, x: a + x)
+    return (vecs.select("doc_id",
+                        F.size("indices").alias("nnz"),
+                        F.element_at("indices", 1).alias("min_dim"),
+                        F.element_at("indices", -1).alias("max_dim"),
+                        F.round(sq, 6).alias("sq_norm"))
+                .orderBy("doc_id"))
