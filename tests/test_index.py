@@ -137,3 +137,39 @@ def test_sq8_roundtrip_rank_correlation(spark, sf_dir):
     exact = {r.vec_id for r in knn(corpus, q, k=10).collect()}
     quant = {r.vec_id for r in knn(approx, q, k=10).collect()}
     assert len(exact & quant) >= 6
+
+
+def test_pq_recall_vs_flat_l2(spark, sf_dir):
+    from unified_vector_database_spark.operators.index import (
+        pq_encode, pq_fit, pq_knn,
+    )
+    corpus, _ = _corpus_query(spark, sf_dir)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first().embedding]
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
+    flat = {r.vec_id for r in knn(corpus, qdf, k=10, metric="l2").collect()}
+    cbs = pq_fit(corpus)
+    codes = pq_encode(corpus, cbs)
+    got = pq_knn(corpus, codes, qvec, cbs, k=10).collect()
+    recall = len(flat & {r.vec_id for r in got}) / 10
+    # ADC shortlist (64) + exact rerank: the shortlist recall is the
+    # only approximation
+    assert recall >= 0.7, f"PQ recall@10 too low: {recall}"
+    # exact rerank => returned distances are true L2, ascending
+    scores = [r.score for r in got]
+    assert scores == sorted(scores)
+
+
+def test_pq_codes_shape_and_compression(spark, sf_dir):
+    from unified_vector_database_spark.operators.index import (
+        PQ_KSUB, PQ_M, pq_encode, pq_fit,
+    )
+    corpus, _ = _corpus_query(spark, sf_dir)
+    cbs = pq_fit(corpus)
+    assert len(cbs) == PQ_M and all(len(cb) == PQ_KSUB for cb in cbs)
+    rows = pq_encode(corpus, cbs).collect()
+    assert len(rows) == corpus.count()
+    for r in rows[:20]:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_KSUB for c in r.codes)

@@ -36,6 +36,20 @@ LSH_PLANES = 16
 KMEANS_SAMPLE = 4096
 
 
+def _lloyd(x, k: int, iters: int):
+    """Plain numpy Lloyd iteration on a bounded sample (deterministic:
+    first k rows seed the centroids)."""
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = x[a == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
 def kmeans_fit(corpus: DataFrame, k: int = KMEANS_K,
                iters: int = KMEANS_ITERS, id_col: str = "vec_id",
                vec_col: str = "vec", sample: int = KMEANS_SAMPLE) -> DataFrame:
@@ -51,14 +65,7 @@ def kmeans_fit(corpus: DataFrame, k: int = KMEANS_K,
     rows = (corpus.orderBy(id_col).limit(sample)
             .select(F.col(vec_col).alias("v")).collect())
     x = np.array([r.v for r in rows], dtype=np.float64)
-    cents = x[:k].copy()
-    for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
-        for c in range(k):
-            m = x[a == c]
-            if len(m):
-                cents[c] = m.mean(axis=0)
+    cents = _lloyd(x, k, iters)
     return spark.createDataFrame(
         [Row(cid=i, cvec=[float(v) for v in c]) for i, c in enumerate(cents)])
 
@@ -271,3 +278,122 @@ def sq8_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.aggregate("codes", F.lit(0).cast("long"),
                                  lambda a, x: a + x).alias("code_sum"))
              .orderBy("vec_id"))
+
+
+# ------------------------------------------------------- PQ (IVF-PQ)
+
+PQ_M = 8         # subvectors per vector
+PQ_KSUB = 16     # codes per subvector codebook (4 bits)
+PQ_SHORTLIST = 64
+
+
+def pq_fit(corpus: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+           iters: int = KMEANS_ITERS, id_col: str = "vec_id",
+           vec_col: str = "vec", sample: int = KMEANS_SAMPLE):
+    """Product-quantization codebooks (FAISS PQ, reference README.md:96
+    `faiss-cpu`): split the D dims into `m` subvectors and Lloyd-fit a
+    `ksub`-entry codebook per subvector on a bounded driver-side
+    sample — same amortization argument as kmeans_fit. Returns a
+    python list [m][ksub][D/m]; at m=8, ksub=16 a vector stores as 8
+    small ints (~16-32x smaller than float32/64 arrays, vs SQ8's 4x)
+    — at 100 TB that is the difference between in-memory and spilled
+    candidate scoring."""
+    import numpy as np
+
+    rows = (corpus.orderBy(id_col).limit(sample)
+            .select(F.col(vec_col).alias("v")).collect())
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    return [
+        [[float(v) for v in c]
+         for c in _lloyd(x[:, j * dsub:(j + 1) * dsub], ksub, iters)]
+        for j in range(m)
+    ]
+
+
+def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "vec") -> DataFrame:
+    """(id, codes array<int>): nearest codebook entry per subvector.
+    Arrow-batched numpy argmin (mapInPandas) — the encode is a
+    map-only offline build pass; one (batch x ksub) distance matrix
+    per subvector, no shuffle, codebooks ride the closure (k*dim
+    floats, broadcast-sized)."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    dsub = cbs[0].shape[1]
+
+    def enc(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xs = np.stack(pdf[vec_col].to_numpy())
+            codes = np.empty((len(xs), len(cbs)), dtype=np.int32)
+            for j, cb in enumerate(cbs):
+                sub = xs[:, j * dsub:(j + 1) * dsub]
+                dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "codes": list(codes.tolist())})
+
+    return (corpus.select(id_col, vec_col)
+            .mapInPandas(enc, schema=f"{id_col} long, codes array<int>"))
+
+
+def pq_adc_scores(codes_df: DataFrame, qvec: list[float],
+                  codebooks) -> DataFrame:
+    """Asymmetric distance computation: the query builds an m x ksub
+    table of exact subvector distances ONCE (driver-side, tiny), the
+    table embeds in the plan as literals, and each doc's approximate
+    L2^2 is m table lookups summed — JVM-side `transform` + 
+    `aggregate` over the codes array, no UDF, no shuffle."""
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+    dsub = len(codebooks[0][0])
+    tabs = []
+    for j, cb in enumerate(codebooks):
+        qj = q[j * dsub:(j + 1) * dsub]
+        tabs.append([float(((qj - np.asarray(c)) ** 2).sum()) for c in cb])
+    tab_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in tabs])
+    lut = F.transform(
+        "codes",
+        lambda c, j: F.element_at(F.element_at(tab_col, j + 1), c + 1))
+    adc = F.aggregate(lut, F.lit(0.0), lambda a, x: a + x)
+    return codes_df.withColumn("adc", adc)
+
+
+def pq_knn(corpus: DataFrame, codes_df: DataFrame, qvec: list[float],
+           codebooks, k: int, shortlist: int = PQ_SHORTLIST,
+           id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """PQ search with exact rerank: ADC shortlist (TakeOrdered over
+    the codes table — the only full pass touches 8-byte codes, not
+    vectors), then exact L2 on the shortlist only."""
+    spark = corpus.sparkSession
+    short = (pq_adc_scores(codes_df, qvec, codebooks)
+             .orderBy(F.col("adc").asc(), id_col)
+             .limit(shortlist)
+             .select(id_col, "adc"))
+    qdf = spark.createDataFrame([Row(qvec=[float(v) for v in qvec])])
+    cand = corpus.join(F.broadcast(short), id_col)
+    return (cand.crossJoin(F.broadcast(qdf))
+                .select(id_col, "adc", D.l2(vec_col, "qvec").alias("score"))
+                .orderBy(F.col("score").asc(), id_col)
+                .limit(k))
+
+
+@register("pq_adc_knn")  # rows-only: k-means codebooks not SQL-expressible
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ end-to-end for query vec_id=0: fit (m=8, ksub=16), encode,
+    ADC shortlist, exact L2 rerank to top-10. Recall vs FLAT pinned
+    in tests/test_index.py."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first().embedding]
+    cbs = pq_fit(corpus)
+    codes = pq_encode(corpus, cbs)
+    return pq_knn(corpus, codes, qvec, cbs, k=10)
