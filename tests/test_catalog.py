@@ -120,3 +120,38 @@ def test_time_travel_reads(spark, tmp_path):
         col.read(tag="nope")
     with pytest.raises(ValueError, match="does not exist"):
         col.read(version=9)
+
+
+def test_partitioned_collection_prunes_metadata_scans(spark, sf_dir, tmp_path):
+    # hot-metadata layout: every commit hive-partitions on `lang`, so
+    # a lang-filtered scan prunes unread partitions at file listing —
+    # the payload-index analog of the reference backends
+    import os
+
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.plans.asserts import (
+        assert_partition_pruned, plan_text,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    col = Collection.create(spark, str(tmp_path), "docs_by_lang",
+                            id_col="doc_id", partition_by=["lang"])
+    col.upsert(docs)
+
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    data_dir = col._data_path(col.describe().version)
+    assert sorted(e for e in os.listdir(data_dir)
+                  if e.startswith("lang=")) == sorted(
+        f"lang={v}" for v in langs)
+
+    scan = col.read().where(F.col("lang") == "en")
+    assert_partition_pruned(scan, "lang")
+    # correctness: the pruned scan returns exactly the en rows
+    want = docs.where(F.col("lang") == "en").count()
+    assert scan.count() == want
+
+    # filters on a NON-partition column still push to parquet
+    other = col.read().where(F.col("n_chars") > 300)
+    assert "PushedFilters" in plan_text(other)
+    col.drop()

@@ -46,6 +46,16 @@ def assert_take_ordered(df: DataFrame) -> None:
         f"expected TakeOrderedAndProject in plan:\n{text}")
 
 
+def assert_partition_pruned(df: DataFrame, fragment: str) -> None:
+    """Hive-partition pruning reached the file listing: the scan node
+    carries a PartitionFilters entry mentioning `fragment`."""
+    text = plan_text(df)
+    lines = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert lines, f"no PartitionFilters in plan:\n{text}"
+    assert any(fragment in ln for ln in lines), (
+        f"expected partition filter {fragment!r} in {lines}")
+
+
 def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
     text = plan_text(df)
     scan = [ln for ln in text.splitlines() if "ReadSchema" in ln]

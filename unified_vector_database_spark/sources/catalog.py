@@ -28,6 +28,11 @@ class Manifest:
     dim: int | None
     metric: str
     version: int
+    # hot metadata columns the data layout partitions on (hive-style
+    # dirs): filtered scans on these prune at the FILE LISTING — the
+    # metadata analog of the IVF cid layout (operators/index.py).
+    # None = unpartitioned. Absent in pre-r2 manifests -> default.
+    partition_by: list[str] | None = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -44,12 +49,20 @@ class Collection:
     @classmethod
     def create(cls, spark: SparkSession, base: str, name: str,
                id_col: str = "id", dim: int | None = None,
-               metric: str = "cosine") -> "Collection":
+               metric: str = "cosine",
+               partition_by: list[str] | None = None) -> "Collection":
+        """`partition_by`: low-cardinality hot metadata columns (the
+        reference backends' payload-index analog). Every commit writes
+        hive-partitioned on them, so metadata-filtered scans
+        (filtered_scan / knn_filtered class) prune unread partitions
+        at file listing instead of scanning the full collection —
+        plan-asserted in tests/test_catalog.py."""
         col = cls(spark, base, name)
         if os.path.exists(col.path):
             raise ValueError(f"collection {name!r} already exists")
         os.makedirs(col.path)
-        col._write_manifest(Manifest(name, id_col, dim, metric, version=0))
+        col._write_manifest(Manifest(name, id_col, dim, metric, version=0,
+                                     partition_by=partition_by))
         return col
 
     @classmethod
@@ -231,7 +244,10 @@ class Collection:
 
     def _commit(self, df: DataFrame, m: Manifest) -> int:
         new_version = m.version + 1
-        df.write.mode("overwrite").parquet(self._data_path(new_version))
+        writer = df.write.mode("overwrite")
+        if m.partition_by:
+            writer = writer.partitionBy(*m.partition_by)
+        writer.parquet(self._data_path(new_version))
         n = self.spark.read.parquet(self._data_path(new_version)).count()
         m.version = new_version
         self._write_manifest(m)
