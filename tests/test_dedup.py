@@ -47,3 +47,36 @@ def test_near_dup_detected(spark):
     pairs = {(r.id_a, r.id_b)
              for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()}
     assert (0, 1) in pairs  # 13/15 shared shingles -> banding fires
+
+
+def test_lsh_bucket_cap_bounds_adversarial_hot_bucket(spark):
+    # adversarial corpus: 200 docs with IDENTICAL minhash signatures
+    # (one hot bucket per band) + 30 distinct docs. Uncapped, the hot
+    # bucket alone yields 200*199/2 = 19900 pairs; capped at 20 it
+    # must contribute exactly C(20,2) = 190.
+    from pyspark.sql import Row
+
+    from unified_vector_database_spark.constants import LSH_ROWS
+    from unified_vector_database_spark.operators.dedup import (
+        _K, lsh_candidate_pairs,
+    )
+
+    hot = [Row(doc_id=i, **{f"m{j}": 7 for j in range(_K)})
+           for i in range(200)]
+    cold = [Row(doc_id=1000 + i, **{f"m{j}": 1000 + i * _K + j
+                                    for j in range(_K)})
+            for i in range(30)]
+    sig = spark.createDataFrame(hot + cold)
+
+    uncapped = lsh_candidate_pairs(sig).count()
+    assert uncapped == 200 * 199 // 2
+
+    cap = 20
+    capped = lsh_candidate_pairs(sig, bucket_cap=cap)
+    rows = capped.collect()
+    assert len(rows) == cap * (cap - 1) // 2
+    # deterministic survivors: the cap lowest ids
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert ids == set(range(cap))
+    n_bands = _K // LSH_ROWS
+    assert n_bands > 1  # the cap must hold across multi-band dupes

@@ -14,7 +14,7 @@ DuckDB oracle reproduces each stage bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .. import tables
 from ..constants import LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_P
@@ -67,9 +67,19 @@ def minhash_signatures(docs: DataFrame,
           for j in range(_K)])
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame,
+                        bucket_cap: int | None = None) -> DataFrame:
     """Band the signatures (bands of LSH_ROWS values) and emit doc
-    pairs sharing any band — the scale-safe candidate generator."""
+    pairs sharing any band — the scale-safe candidate generator.
+
+    `bucket_cap` bounds the worst case (SURVEY §6's skew promise): a
+    degenerate band bucket of B docs (boilerplate/empty shingles at
+    web scale) explodes into B^2/2 pairs; with a cap only the
+    `bucket_cap` lowest-id docs per (band, key) enter the pair join,
+    so any bucket contributes <= cap*(cap-1)/2 pairs. Deterministic
+    (id order), one extra window over the SAME (band, key) shuffle
+    key the join needs anyway. None = exact (the oracle-checked
+    queries on the synthetic corpus, which has no hot buckets)."""
     n_bands = _K // LSH_ROWS
     bands = sig.select(
         "doc_id",
@@ -79,6 +89,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
                                         for r in range(LSH_ROWS)]).alias("key"))
             for i in range(n_bands)])).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
+    if bucket_cap is not None:
+        w = W.partitionBy("band", "key").orderBy("doc_id")
+        bands = (bands.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= bucket_cap).drop("_rn"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))

@@ -15,7 +15,7 @@ operator against full brute force is pinned by tests/test_simjoin.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import distance as D
 from .index import lsh_planes, lsh_signature
@@ -27,9 +27,14 @@ SIM_ROWS = 4  # bits per band
 def similarity_join(corpus: DataFrame, threshold: float, dim: int,
                     id_col: str = "vec_id", vec_col: str = "vec",
                     bands: int = SIM_BANDS, rows: int = SIM_ROWS,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    bucket_cap: int | None = None) -> DataFrame:
     """Pairs (id_a < id_b, score >= threshold). One signature pass,
-    one banded self-join, exact verify on candidates."""
+    one banded self-join, exact verify on candidates.
+
+    `bucket_cap` bounds hot-bucket pair blow-up exactly like
+    dedup.lsh_candidate_pairs: only the cap lowest-id vectors per
+    (band, key) bucket enter the pair join."""
     planes = lsh_planes(dim, planes=bands * rows, seed=seed)
     sig = corpus.withColumn("sig", lsh_signature(vec_col, planes)) \
                 .withColumn("nrm", D.norm(vec_col))
@@ -41,6 +46,10 @@ def similarity_join(corpus: DataFrame, threshold: float, dim: int,
                       .bitwiseAND(F.lit((1 << rows) - 1)).alias("key"))
             for i in range(bands)])).alias("bk")
     ).select(id_col, vec_col, "nrm", "bk.band", "bk.key")
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("band", "key").orderBy(id_col)
+        banded = (banded.withColumn("_rn", F.row_number().over(wcap))
+                        .where(F.col("_rn") <= bucket_cap).drop("_rn"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
