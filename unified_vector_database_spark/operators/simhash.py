@@ -2,9 +2,10 @@
 bit voting over md5-derived token hashes, plus banded Hamming pairing.
 
 Fully oracle-checked: every stage is integer math over md5, identical
-in DuckDB. Scale shape: signature = one tf groupBy + one vote groupBy
-(both keyed by doc — uniform); pair generation bands the 32 bits into
-4 bytes, so any pair within Hamming distance 3 shares >= 1 intact band
+in DuckDB. Scale shape: signature = ONE doc-keyed groupBy whose 32
+counters partial-aggregate map-side (occurrence-level +-1 votes — no
+tf pre-shuffle); pair generation bands the 32 bits into 4 bytes, so
+any pair within Hamming distance 3 shares >= 1 intact band
 (pigeonhole) and the self-join never goes quadratic.
 """
 
@@ -24,14 +25,19 @@ _TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): tf-weighted bit vote."""
+    """(doc_id, simhash): tf-weighted bit vote.
+
+    Votes are per token OCCURRENCE (+1/-1), not per (doc, token) with
+    a tf weight — the sums are identical integers, but this skips the
+    (doc_id, token) tf groupBy entirely: the single doc_id groupBy
+    partial-aggregates map-side to one 32-counter row per doc per
+    partition, so token occurrences never shuffle (r1 paid a full
+    extra shuffle + a 1.9 s bench entry for the tf stage)."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    h = md5_int32("token")
-    votes = tf.select("doc_id", F.col("tf"), h.alias("h"))
+    votes = tok.select("doc_id", md5_int32("token").alias("h"))
     bit_sums = votes.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
         for i in range(BITS)])
     sig = None
     for i in range(BITS):
@@ -66,7 +72,7 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 _ORACLE_BITS = ", ".join(
-    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
     for i in range(BITS))
 _ORACLE_SIG = " + ".join(
     f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
@@ -75,10 +81,9 @@ _ORACLE_SIG = " + ".join(
 
 @register("dedup_simhash", oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
-tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-votes AS (SELECT doc_id, tf,
+votes AS (SELECT doc_id,
                  ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-          FROM tf),
+          FROM tok),
 bits AS (SELECT doc_id, {_ORACLE_BITS} FROM votes GROUP BY doc_id)
 SELECT doc_id, {_ORACLE_SIG} AS simhash
 FROM bits ORDER BY doc_id
@@ -90,10 +95,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_pairs", oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
-tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-votes AS (SELECT doc_id, tf,
+votes AS (SELECT doc_id,
                  ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-          FROM tf),
+          FROM tok),
 bits AS (SELECT doc_id, {_ORACLE_BITS} FROM votes GROUP BY doc_id),
 sig AS (SELECT doc_id, {_ORACLE_SIG} AS simhash FROM bits),
 bands AS (

@@ -96,13 +96,18 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, regex word tokens, and the
     chars/4 BPE estimate used for LLM token budgeting."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    return (docs.select(
+    return token_stats_t(docs).orderBy("doc_id")
+
+
+def token_stats_t(docs: DataFrame) -> DataFrame:
+    """Unordered operator form (compose without inheriting a sort —
+    the registered query adds ORDER BY only for the oracle compare)."""
+    return docs.select(
         "doc_id",
         F.size(tokens("text")).alias("ws_tokens"),
         F.regexp_count("text", F.lit("[a-z0-9]+")).alias("re_tokens"),
         F.length("text").alias("n_chars_actual"),
         F.ceil(F.length("text") / 4.0).alias("bpe_est"))
-        .orderBy("doc_id"))
 
 
 def _lang_oracle() -> str:
@@ -134,6 +139,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-lexicon vote (n-gram-free heuristic; the
     lexicon is a broadcast literal, the vote is a map-only pass)."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return lang_id_t(docs).orderBy("doc_id")
+
+
+def lang_id_t(docs: DataFrame) -> DataFrame:
+    """Unordered operator form of lang_id."""
     toks = tokens("text")
     c = docs.select(
         "doc_id", F.col("lang").alias("true_lang"),
@@ -151,9 +161,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = F.round(
         F.greatest(*[F.col(f"c_{lang}") for lang in _LANG_ORDER]) * 1.0
         / F.greatest(F.col("total"), F.lit(1)), 6)
-    return (t.select("doc_id", "true_lang", pred.alias("pred_lang"),
-                     conf.alias("confidence"))
-             .orderBy("doc_id"))
+    return t.select("doc_id", "true_lang", pred.alias("pred_lang"),
+                    conf.alias("confidence"))
 
 
 @register("quality_score", oracle=f"""
@@ -176,6 +185,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios combined into one [0,1] score — the standard pre-training
     filter signal, computed entirely JVM-side."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return quality_score_t(docs).orderBy("doc_id")
+
+
+def quality_score_t(docs: DataFrame) -> DataFrame:
+    """Unordered operator form of quality_score."""
     toks = tokens("text")
     s = docs.select(
         "doc_id",
@@ -188,14 +202,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No rounding: every term is per-row exact arithmetic (identical
     # in both engines); rounding at a decimal half-boundary is what
     # would break parity (Spark HALF_UP vs DuckDB binary round).
-    return (s.select(
+    return s.select(
         "doc_id", "n_tokens",
         avg_len.alias("avg_token_len"),
         stop.alias("stopword_ratio"),
         (0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
          + 0.3 * (1.0 - stop)
          + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))).alias("quality"))
-        .orderBy("doc_id"))
 
 
 @register("doc_fingerprint", oracle=f"""
@@ -210,8 +223,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint of the document head — the cheap
     content-identity key for incremental ingest (constants.py)."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    return (docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
-                .orderBy("doc_id"))
+    return doc_fingerprint_t(docs).orderBy("doc_id")
+
+
+def doc_fingerprint_t(docs: DataFrame) -> DataFrame:
+    """Unordered operator form of doc_fingerprint."""
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
 
 
 CHUNK_SIZE, CHUNK_STRIDE = 200, 150
@@ -240,8 +257,14 @@ def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr materializes the window. Map-side only — no shuffle, no
     UDF; at 100 TB this is a single pass whose output partitioning
     inherits the scan's. The final ORDER BY exists for the oracle's
-    deterministic compare, not the pipeline (drop it when chaining)."""
+    deterministic compare, not the pipeline (compose with
+    chunk_sliding_t to avoid it)."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return chunk_sliding_t(docs).orderBy("doc_id", "chunk_idx")
+
+
+def chunk_sliding_t(docs: DataFrame) -> DataFrame:
+    """Unordered operator form of chunk_sliding."""
     n = F.length("text")
     k = F.greatest(
         F.lit(1).cast("long"),
@@ -254,8 +277,7 @@ def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.col("ci").cast("int").alias("chunk_idx"),
                     chunk.alias("chunk"),
-                    F.length(chunk).alias("chunk_len"))
-            .orderBy("doc_id", "chunk_idx"))
+                    F.length(chunk).alias("chunk_len")))
 
 
 def _bucket_sql() -> str:
