@@ -35,16 +35,28 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     extra shuffle + a 1.9 s bench entry for the tf stage)."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     votes = tok.select("doc_id", md5_int32("token").alias("h"))
-    bit_sums = votes.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
-        for i in range(BITS)])
+    # codegen diet: vote_i > 0 <=> 2*ones_i > n, so instead of 32
+    # signed-vote aggregates we sum 16 longs that PACK two bit
+    # counters each (upper/lower 32 bits; ones < 2^32 so no carry)
+    # plus one count. Half the agg buffers, same integers. Safe to
+    # 2^31 tokens per doc per partition (long packing headroom).
+    pairs = [(2 * p, 2 * p + 1) for p in range(BITS // 2)]
+    aggs = [
+        F.sum(F.shiftleft(
+            F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("long"), 32)
+            + F.shiftright("h", j).bitwiseAND(F.lit(1)).cast("long"))
+         .alias(f"p{p}")
+        for p, (i, j) in enumerate(pairs)]
+    g = votes.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
     sig = None
-    for i in range(BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) \
-                .cast("long")
-        sig = term if sig is None else sig + term
-    return bit_sums.select("doc_id", sig.alias("simhash"))
+    for p, (i, j) in enumerate(pairs):
+        ones_i = F.shiftright(F.col(f"p{p}"), 32)
+        ones_j = F.col(f"p{p}").bitwiseAND(F.lit((1 << 32) - 1))
+        for ones, bit in ((ones_i, i), (ones_j, j)):
+            term = (F.when(2 * ones > F.col("n"), F.lit(1 << bit))
+                     .otherwise(F.lit(0)).cast("long"))
+            sig = term if sig is None else sig + term
+    return g.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
