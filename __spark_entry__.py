@@ -54,7 +54,8 @@ _PRIORITY = [
     "hybrid_rrf", "hybrid_weighted",
     # (d) new in r2
     "knn_sparse", "hybrid_sparse_dense", "sparse_vectors_layout",
-    "pq_adc_knn",
+    "pq_adc_knn", "ivfpq_knn", "clean_normalize", "repetition_score",
+    "pack_context_windows", "corpus_shuffle",
     # (e) stable flagships re-proven if budget allows
     "knn_cosine", "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "bm25_search", "asof_click_attribution",

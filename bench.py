@@ -35,7 +35,8 @@ HEADLINE = [
     "q8_market_share", "q9_profit_by_nation", "q13_order_distribution",
     "q21_solo_returner", "chunk_sliding", "asof_click_attribution",
     "range_join_attribution", "knn_multi_vector",
-    "knn_sparse", "hybrid_sparse_dense", "pq_adc_knn",
+    "knn_sparse", "hybrid_sparse_dense", "pq_adc_knn", "ivfpq_knn",
+    "repetition_score", "pack_context_windows",
 ]
 
 

@@ -173,3 +173,22 @@ def test_pq_codes_shape_and_compression(spark, sf_dir):
     for r in rows[:20]:
         assert len(r.codes) == PQ_M
         assert all(0 <= c < PQ_KSUB for c in r.codes)
+
+
+def test_ivfpq_recall_vs_flat_l2(spark, sf_dir):
+    from unified_vector_database_spark.operators.index import (
+        ivfpq_knn_build, ivfpq_knn_probe,
+    )
+    corpus, q = _corpus_query(spark, sf_dir)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first().embedding]
+    flat = {r.vec_id for r in knn(corpus, q, k=10, metric="l2").collect()}
+    cents, cbs, codes = ivfpq_knn_build(corpus)
+    got = ivfpq_knn_probe(corpus, cents, cbs, codes, q, qvec, k=10).collect()
+    # two stacked approximations (cell pruning + ADC shortlist): the
+    # composition must still find most true neighbors
+    recall = len(flat & {r.vec_id for r in got}) / 10
+    assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall}"
+    scores = [r.score for r in got]
+    assert scores == sorted(scores)

@@ -1,0 +1,187 @@
+"""Training-data cleanup & shaping operators — the post-dedup steps a
+large-scale LLM pipeline runs before tokenization: text normalization,
+repetition/boilerplate scoring, deterministic corpus shuffling, and
+context-window packing.
+
+All four are map-side array math or partitioned windows — no UDFs, no
+driver loops, no corpus-wide single-partition stages (packing windows
+are keyed per source shard; the shuffle query's global rank is bounded
+by its LIMIT exactly like hybrid fusion candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+from ..functions.text import tokens
+
+_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+STOPWORDS = ("the", "a")
+MIN_TOKEN_LEN = 2
+PACK_BUDGET = 512  # tokens per packed context window
+
+
+def clean_normalize_t(docs: DataFrame) -> DataFrame:
+    """Stopword + short-token removal, single-space rejoin: the
+    normalization pass before tokenizer training / fingerprinting.
+    Map-side array filter; checksum pins the exact output text."""
+    toks = tokens("text")
+    kept = F.filter(
+        toks,
+        lambda t: (~t.isin(*STOPWORDS)) & (F.length(t) >= MIN_TOKEN_LEN))
+    cleaned = F.concat_ws(" ", kept)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"))
+
+
+@register("clean_normalize", oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS tok,
+         list_filter({_TOK},
+                     t -> NOT t IN {STOPWORDS}
+                          AND length(t) >= {MIN_TOKEN_LEN}) AS kept
+  FROM documents)
+SELECT doc_id,
+       CAST(len(tok) AS INT) AS n_tokens,
+       CAST(len(tok) - len(kept) AS INT) AS n_removed,
+       CAST(length(array_to_string(kept, ' ')) AS INT) AS clean_len,
+       md5(array_to_string(kept, ' ')) AS clean_md5
+FROM t ORDER BY doc_id
+""")
+def clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return clean_normalize_t(docs).orderBy("doc_id")
+
+
+def repetition_score_t(docs: DataFrame) -> DataFrame:
+    """Repetition/boilerplate signals: duplicate-token ratio and
+    duplicate-bigram ratio (the Gopher/C4-class filters). Pure array
+    math in the scan stage — distinct counts over the token array and
+    its 2-gram expansion, no explode, no shuffle."""
+    toks = tokens("text")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    # n < 2 guard: sequence(1, 0) defaults to step -1 and its i=0 hits
+    # INVALID_INDEX_OF_ZERO (same class as rolling_fingerprint's
+    # empty-string fix) — CASE WHEN evaluates only the taken branch
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    nbd = F.size(F.array_distinct(bigrams))
+    dup_tok = F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0))
+    dup_bi = F.when(nb > 0, 1.0 - nbd / nb).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_tok.alias("dup_token_ratio"),
+        dup_bi.alias("dup_bigram_ratio"),
+        ((dup_tok > 0.8) | (dup_bi > 0.9)).alias("is_boilerplate"))
+
+
+@register("repetition_score", oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS tok FROM documents),
+b AS (
+  SELECT doc_id, tok,
+         list_transform(range(1, greatest(len(tok), 1)),
+                        i -> tok[i] || ' ' || tok[i + 1]) AS big
+  FROM t),
+r AS (
+  SELECT doc_id,
+         len(tok) AS n,
+         CASE WHEN len(tok) > 0
+              THEN 1.0 - len(list_distinct(tok)) / len(tok)
+              ELSE 0.0 END AS dup_token_ratio,
+         CASE WHEN len(big) > 0
+              THEN 1.0 - len(list_distinct(big)) / len(big)
+              ELSE 0.0 END AS dup_bigram_ratio
+  FROM b)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       dup_token_ratio, dup_bigram_ratio,
+       (dup_token_ratio > 0.8 OR dup_bigram_ratio > 0.9) AS is_boilerplate
+FROM r ORDER BY doc_id
+""")
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return repetition_score_t(docs).orderBy("doc_id")
+
+
+def pack_context_windows_t(docs: DataFrame,
+                           budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequential context-window packing: within each source shard,
+    docs fill windows of `budget` estimated tokens in doc_id order —
+    a doc starts a new window when the running total before it crosses
+    a budget boundary (the streaming packer every pretraining loader
+    uses). The cumulative window is keyed PER SOURCE, so parallelism
+    is the shard count, never a global sort."""
+    est = F.ceil(F.length("text") / 4.0)  # bpe_est from token_stats
+    w = (W.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(est).over(w), F.lit(0))
+    return (docs.select("doc_id", "source", est.alias("est_tokens"),
+                        cum_before.alias("cum_before"))
+                .withColumn("bin",
+                            F.floor(F.col("cum_before") / budget)
+                             .cast("int")))
+
+
+@register("pack_context_windows", oracle=f"""
+WITH e AS (
+  SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est,
+         COALESCE(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM documents),
+p AS (SELECT source, CAST(floor(cb / {PACK_BUDGET}) AS INT) AS bin,
+             doc_id, est
+      FROM e)
+SELECT source, bin,
+       count(*) AS n_docs,
+       CAST(sum(est) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY source, bin
+ORDER BY source, bin
+""")
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    packed = pack_context_windows_t(docs)
+    return (packed.groupBy("source", "bin")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("est_tokens").alias("total_tokens"),
+                       F.min("doc_id").alias("first_doc"),
+                       F.max("doc_id").alias("last_doc"))
+                  .orderBy("source", "bin"))
+
+
+@register("corpus_shuffle", oracle="""
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents),
+top AS (SELECT * FROM h ORDER BY hkey, doc_id LIMIT 50)
+SELECT doc_id, source, hkey,
+       CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS pos
+FROM top ORDER BY pos
+""")
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random corpus shuffle (training-epoch
+    order): sort by md5(doc_id) — reproducible across runs, stable
+    under repartition, and at scale a range-partitioned sort (Spark's
+    standard total order). The query materializes the first 50
+    positions; the rank window runs on the LIMITed set only."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    h = docs.select("doc_id", "source",
+                    F.md5(F.col("doc_id").cast("string")).alias("hkey"))
+    top = h.orderBy("hkey", "doc_id").limit(50)
+    wr = W.partitionBy(F.lit(0)).orderBy("hkey", "doc_id")
+    return (top.withColumn("pos", F.row_number().over(wr))
+               .orderBy("pos"))

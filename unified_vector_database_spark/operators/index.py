@@ -421,3 +421,67 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = _PQ_CACHE[sf_dir]
     codes = pq_encode(corpus, cbs)
     return pq_knn(corpus, codes, qvec, cbs, k=10)
+
+
+def ivfpq_knn_build(corpus: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "vec"):
+    """Offline IVF-PQ build: coarse centroids + residual-free PQ
+    codebooks + per-vector (cid, codes). FAISS IVF_PQ composes the
+    same two artifacts; we quantize raw vectors (not residuals) so
+    the ADC table stays query-only."""
+    cents = kmeans_fit(corpus)
+    assigned = assign_cells(corpus, cents)
+    cbs = pq_fit(corpus)
+    codes = pq_encode(corpus, cbs).join(assigned, id_col)
+    return cents, cbs, codes
+
+
+def ivfpq_knn_probe(corpus: DataFrame, cents: DataFrame, cbs, codes: DataFrame,
+                    query_df: DataFrame, qvec: list[float], k: int,
+                    nprobe: int = NPROBE, shortlist: int = PQ_SHORTLIST,
+                    id_col: str = "vec_id",
+                    vec_col: str = "vec") -> DataFrame:
+    """Online probe: nprobe cells by centroid distance -> ADC over the
+    codes INSIDE those cells only -> exact L2 rerank on the shortlist.
+    Composition of the two pruning levers: the cell filter cuts the
+    scan to nprobe/k of the corpus, the ADC pass touches codes not
+    vectors, and exact vectors are read for `shortlist` rows only."""
+    qcells = (cents.crossJoin(F.broadcast(query_df))
+              .select("cid", D.l2("cvec", "qvec").alias("d"))
+              .orderBy("d", "cid").limit(nprobe).select("cid"))
+    cell_codes = codes.join(F.broadcast(qcells), "cid")
+    short = (pq_adc_scores(cell_codes, qvec, cbs)
+             .orderBy(F.col("adc").asc(), id_col)
+             .limit(shortlist)
+             .select(id_col, "adc"))
+    cand = corpus.join(F.broadcast(short), id_col)
+    return (cand.crossJoin(F.broadcast(query_df))
+                .select(id_col, "adc", D.l2(vec_col, "qvec").alias("score"))
+                .orderBy(F.col("score").asc(), id_col)
+                .limit(k))
+
+
+_IVFPQ_CACHE: dict[str, tuple] = {}
+
+
+@register("ivfpq_knn")  # rows-only: k-means artifacts not SQL-expressible
+def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ for query vec_id=0 (build amortized per sf_dir):
+    nprobe=4 cells -> ADC shortlist -> exact rerank. Recall@10 vs
+    FLAT pinned in tests/test_index.py."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    first = emb.where(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in first.embedding]
+    q = spark.createDataFrame([Row(qvec=qvec)])
+    if sf_dir not in _IVFPQ_CACHE:
+        cents, cbs, codes = ivfpq_knn_build(corpus)
+        _IVFPQ_CACHE[sf_dir] = (
+            [(r.cid, list(r.cvec)) for r in cents.collect()],
+            cbs,
+            [(r.vec_id, list(r.codes), r.cid) for r in codes.collect()])
+    crows, cbs, krows = _IVFPQ_CACHE[sf_dir]
+    cents = spark.createDataFrame(crows, "cid int, cvec array<double>")
+    codes = spark.createDataFrame(
+        krows, "vec_id long, codes array<int>, cid int")
+    return ivfpq_knn_probe(corpus, cents, cbs, codes, q, qvec, k=10)

@@ -30,6 +30,6 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from .operators import (  # noqa: F401
-        analytics, arrow_knn, dedup, hybrid, index, knn, multimodal, rerank,
-        simhash, simjoin, sparse, textops, tpch_extra,
+        analytics, arrow_knn, cleanup, dedup, hybrid, index, knn, multimodal,
+        rerank, simhash, simjoin, sparse, textops, tpch_extra,
     )
