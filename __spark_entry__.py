@@ -55,7 +55,7 @@ _PRIORITY = [
     # (d) new in r2
     "knn_sparse", "hybrid_sparse_dense", "sparse_vectors_layout",
     "pq_adc_knn", "ivfpq_knn", "clean_normalize", "repetition_score",
-    "pack_context_windows", "corpus_shuffle",
+    "pack_context_windows", "corpus_shuffle", "events_funnel",
     # (e) stable flagships re-proven if budget allows
     "knn_cosine", "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "bm25_search", "asof_click_attribution",

@@ -64,23 +64,24 @@ def repetition_score_t(docs: DataFrame) -> DataFrame:
     """Repetition/boilerplate signals: duplicate-token ratio and
     duplicate-bigram ratio (the Gopher/C4-class filters). Pure array
     math in the scan stage — distinct counts over the token array and
-    its 2-gram expansion, no explode, no shuffle."""
-    toks = tokens("text")
+    its 2-gram expansion, no explode, no shuffle.
+
+    The token array materializes ONCE (a projection boundary, not a
+    re-split per reference) and bigrams are a slice+arrays_zip of it —
+    struct-distinct counts equal the joined-string distinct counts the
+    oracle uses, because tokens cannot contain the split character.
+    The zip needs no n<2 guard: slice(_, 2, 0) is just empty."""
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
-    # n < 2 guard: sequence(1, 0) defaults to step -1 and its i=0 hits
-    # INVALID_INDEX_OF_ZERO (same class as rolling_fingerprint's
-    # empty-string fix) — CASE WHEN evaluates only the taken branch
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1)))
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
     nb = F.size(bigrams)
     nbd = F.size(F.array_distinct(bigrams))
     dup_tok = F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0))
     dup_bi = F.when(nb > 0, 1.0 - nbd / nb).otherwise(F.lit(0.0))
-    return docs.select(
+    return base.select(
         "doc_id",
         n.alias("n_tokens"),
         dup_tok.alias("dup_token_ratio"),
@@ -185,3 +186,52 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy(F.lit(0)).orderBy("hkey", "doc_id")
     return (top.withColumn("pos", F.row_number().over(wr))
                .orderBy("pos"))
+
+
+@register("events_funnel", oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view')     AS t_view,
+         min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'click')
+                                                  AS t_click,
+         min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'purchase')
+                                                  AS t_purchase
+  FROM events GROUP BY user_id),
+flags AS (
+  SELECT user_id,
+         (t_view IS NOT NULL) AS s1,
+         (t_view IS NOT NULL AND t_click > CAST(t_view AS TIMESTAMP)) AS s2,
+         (t_view IS NOT NULL AND t_click > CAST(t_view AS TIMESTAMP)
+          AND t_purchase > t_click) AS s3
+  FROM stages)
+SELECT CAST(count(*) FILTER (s1) AS BIGINT) AS viewed,
+       CAST(count(*) FILTER (s2) AS BIGINT) AS clicked_after_view,
+       CAST(count(*) FILTER (s3) AS BIGINT) AS purchased_after_click,
+       round(CAST(count(*) FILTER (s3) AS DOUBLE)
+             / greatest(count(*) FILTER (s1), 1), 6) AS conversion
+FROM flags
+""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): first-touch
+    timestamps per stage per user in ONE groupBy (conditional min),
+    then ordering flags — no joins, no windows, one shuffle on
+    user_id with map-side partials. The classic product-analytics
+    rollup at any event volume."""
+    ev = tables.load(spark, sf_dir, "events")
+    stage = (ev.groupBy("user_id")
+               .agg(F.min(F.when(F.col("event_type") == "view",
+                                 F.col("ts"))).alias("t_view"),
+                    F.min(F.when(F.col("event_type") == "click",
+                                 F.col("ts"))).alias("t_click"),
+                    F.min(F.when(F.col("event_type") == "purchase",
+                                 F.col("ts"))).alias("t_purchase")))
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count_if(s1).alias("viewed"),
+        F.count_if(s2).alias("clicked_after_view"),
+        F.count_if(s3).alias("purchased_after_click"),
+        F.round(F.count_if(s3).cast("double")
+                / F.greatest(F.count_if(s1), F.lit(1)), 6)
+         .alias("conversion"))
