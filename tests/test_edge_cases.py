@@ -62,3 +62,16 @@ def test_tokens_degenerate_documents(spark):
     out = {r.i: list(r.toks) for r in
            df.select("i", tokens("t").alias("toks")).collect()}
     assert out == {0: [], 1: [], 2: ["one"]}
+
+
+def test_mmr_rerank_greedy_properties(spark, sf_dir):
+    # selection order: rank 1 is the relevance argmax (the query doc
+    # itself), every pick is unique, scores are the greedy argmax
+    # value at each step (non-strictly decreasing is NOT guaranteed by
+    # MMR, but uniqueness and the seed pick are)
+    from unified_vector_database_spark.operators.rerank import mmr_rerank_q
+    rows = mmr_rerank_q(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].rank == 1
+    assert len({r.vec_id for r in rows}) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
