@@ -52,10 +52,13 @@ _PRIORITY = [
     "q1_pricing", "q3_topurgent", "q5_region_volume",
     "q6_forecast_revenue", "q14_promo_share", "events_sessionized",
     "hybrid_rrf", "hybrid_weighted",
-    # (d) new in r2
+    # (d) new in r2 — oracle-backed entries first (hash-green rows are
+    # stronger evidence than rows-only smoke), rows-only ANN paths
+    # last (recall-tested in pytest either way)
     "knn_sparse", "hybrid_sparse_dense", "sparse_vectors_layout",
-    "pq_adc_knn", "ivfpq_knn", "clean_normalize", "repetition_score",
-    "pack_context_windows", "corpus_shuffle", "events_funnel",
+    "clean_normalize", "repetition_score", "pack_context_windows",
+    "corpus_shuffle", "events_funnel", "lsh_buckets", "sq8_quantize",
+    "pq_adc_knn", "ivfpq_knn",
     # (e) stable flagships re-proven if budget allows
     "knn_cosine", "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "bm25_search", "asof_click_attribution",

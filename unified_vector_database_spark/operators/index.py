@@ -241,11 +241,31 @@ def lsh_bucket_knn(corpus: DataFrame, query_df: DataFrame, k: int,
                id_col=id_col, vec_col=vec_col)
 
 
-@register("lsh_buckets", oracle=None)  # rows-only (float plane dots)
+def _lsh_oracle() -> str:
+    """Oracle for the 16-plane bucket histogram: the seeded plane
+    vectors embed as SQL list literals (repr round-trips doubles
+    exactly) and list_dot_product is the bit-exact twin of the
+    index-order JVM aggregate, so sign bits — and therefore buckets —
+    match exactly."""
+    planes = lsh_planes(64)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{','.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i, p in enumerate(planes))
+    return f"""
+SELECT bucket, count(*) AS n
+FROM (SELECT {terms} AS bucket FROM embeddings)
+GROUP BY bucket ORDER BY n DESC, bucket LIMIT 50
+"""
+
+
+@register("lsh_buckets", oracle=_lsh_oracle())
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket histogram of the 16-plane LSH signature — the data the
     operator's skew guarantees rest on (tests check recall + balance).
-    """
+    r2: fully oracle-checked (plane literals in SQL), no longer
+    rows-only."""
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     planes = lsh_planes(64)
@@ -281,10 +301,31 @@ def sq8_quantize(corpus: DataFrame, bounds: DataFrame,
                  .drop("lo", "hi")
 
 
-@register("sq8_quantize")  # rows-only (float rounding inside codes)
+@register("sq8_quantize", oracle="""
+WITH px AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+bounds AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM px GROUP BY pos),
+b AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+      FROM bounds),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(round(((embedding::DOUBLE[])[i] - b.lo[i])
+                 / (CASE WHEN b.hi[i] - b.lo[i] = 0 THEN 1.0
+                         ELSE b.hi[i] - b.lo[i] END) * 255) AS INT)) AS c
+  FROM embeddings, b)
+SELECT vec_id, c[1] AS c0, c[2] AS c1, c[3] AS c2, c[4] AS c3,
+       CAST(list_sum(c) AS BIGINT) AS code_sum
+FROM codes ORDER BY vec_id
+""")
 def sq8_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 codes summary per vector: id + first 4 codes + code sum —
-    deterministic given the corpus, recall tested in test_index.py."""
+    deterministic given the corpus, recall tested in test_index.py.
+    r2: oracle-checked (codes match bit-for-bit at sf0.001-0.1; the
+    only rounding is round(double) on values that never land on an
+    exact .5 boundary, verified empirically at all three sfs)."""
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     q = sq8_quantize(corpus, sq8_bounds(corpus))
