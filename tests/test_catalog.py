@@ -155,3 +155,25 @@ def test_partitioned_collection_prunes_metadata_scans(spark, sf_dir, tmp_path):
     other = col.read().where(F.col("n_chars") > 300)
     assert "PushedFilters" in plan_text(other)
     col.drop()
+
+
+def test_aliases_blue_green_swap(spark, tmp_path):
+    from pyspark.sql import Row as R
+    base = str(tmp_path)
+    blue = Collection.create(spark, base, "docs_v1", id_col="id")
+    blue.upsert(spark.createDataFrame([R(id=1, tag="blue")]))
+    Collection.set_alias(base, "docs", "docs_v1")
+    assert Collection.open_alias(spark, base, "docs").read().first().tag == "blue"
+
+    # rebuild behind the alias, then swap atomically
+    green = Collection.create(spark, base, "docs_v2", id_col="id")
+    green.upsert(spark.createDataFrame([R(id=1, tag="green")]))
+    Collection.set_alias(base, "docs", "docs_v2")
+    assert Collection.open_alias(spark, base, "docs").read().first().tag == "green"
+    assert Collection.list_aliases(base) == {"docs": "docs_v2"}
+
+    with pytest.raises(ValueError):
+        Collection.set_alias(base, "bad", "missing_collection")
+    Collection.drop_alias(base, "docs")
+    with pytest.raises(ValueError):
+        Collection.open_alias(spark, base, "docs")

@@ -535,3 +535,47 @@ def batch_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= 5)
                   .orderBy("qid", "rank"))
+
+
+_DISC_COS = ("list_dot_product(embedding::DOUBLE[], {q})"
+             "/(sqrt(list_dot_product(embedding::DOUBLE[],"
+             " embedding::DOUBLE[]))*sqrt(list_dot_product({q}, {q})))")
+
+
+@register("discover", oracle=f"""
+WITH tgt AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
+cp AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 17),
+cn AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 225)
+SELECT vec_id, label,
+       round({_DISC_COS.format(q="tgt.v")}, 6) AS score
+FROM embeddings, tgt, cp, cn
+WHERE {_DISC_COS.format(q="cp.v")} > {_DISC_COS.format(q="cn.v")}
+  AND vec_id NOT IN (0, 17, 225)
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery search (Qdrant `discover`): rank by similarity to a
+    target, restricted to points that satisfy the context pair — i.e.
+    closer to the positive example than to the negative one. The
+    context acts as a learned half-space filter; all three example
+    vectors ride ONE broadcast row, the filter and score are map-side
+    expressions in the same scan, and top-k is TakeOrdered."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def vec_of(vid, name):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias(name)))
+
+    ctx = (vec_of(0, "tv").crossJoin(vec_of(17, "pv"))
+           .crossJoin(vec_of(225, "nv")))
+    corpus = (emb.where(~F.col("vec_id").isin(0, 17, 225))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec")))
+    cos = D.METRICS["cosine"]
+    return (corpus.crossJoin(F.broadcast(ctx))
+                  .where(cos("vec", "pv") > cos("vec", "nv"))
+                  .select("vec_id", "label",
+                          F.round(cos("vec", "tv"), 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))

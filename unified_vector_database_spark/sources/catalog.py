@@ -79,6 +79,57 @@ class Collection:
         return sorted(n for n in os.listdir(base)
                       if os.path.exists(os.path.join(base, n, "manifest.json")))
 
+    # ---------------------------------------------------------- aliases
+    # The blue-green reindex primitive every reference backend exposes
+    # (Qdrant update_aliases, Milvus alter_alias, ES index aliases):
+    # readers resolve a stable alias while a new collection builds
+    # behind it; the swap is one atomic pointer write.
+    @staticmethod
+    def _aliases_path(base: str) -> str:
+        return os.path.join(base, "_aliases.json")
+
+    @staticmethod
+    def _read_aliases(base: str) -> dict:
+        p = Collection._aliases_path(base)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def set_alias(base: str, alias: str, name: str) -> None:
+        """Point `alias` at collection `name` (create or atomic swap)."""
+        if not os.path.exists(os.path.join(base, name, "manifest.json")):
+            raise ValueError(f"collection {name!r} does not exist")
+        aliases = Collection._read_aliases(base)
+        aliases[alias] = name
+        tmp = Collection._aliases_path(base) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(aliases, f)
+        os.replace(tmp, Collection._aliases_path(base))
+
+    @staticmethod
+    def drop_alias(base: str, alias: str) -> None:
+        aliases = Collection._read_aliases(base)
+        aliases.pop(alias, None)
+        tmp = Collection._aliases_path(base) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(aliases, f)
+        os.replace(tmp, Collection._aliases_path(base))
+
+    @staticmethod
+    def list_aliases(base: str) -> dict:
+        return dict(Collection._read_aliases(base))
+
+    @classmethod
+    def open_alias(cls, spark: SparkSession, base: str,
+                   alias: str) -> "Collection":
+        """Resolve an alias to its current target collection."""
+        aliases = cls._read_aliases(base)
+        if alias not in aliases:
+            raise ValueError(f"no alias {alias!r}")
+        return cls.open(spark, base, aliases[alias])
+
     def drop(self) -> None:
         shutil.rmtree(self.path)
 
