@@ -57,8 +57,8 @@ _PRIORITY = [
     # last (recall-tested in pytest either way)
     "knn_sparse", "hybrid_sparse_dense", "sparse_vectors_layout",
     "clean_normalize", "repetition_score", "pack_context_windows",
-    "corpus_shuffle", "events_funnel", "discover", "lsh_buckets",
-    "sq8_quantize", "pq_adc_knn", "ivfpq_knn",
+    "corpus_shuffle", "events_funnel", "discover", "ppm_image_features",
+    "lsh_buckets", "sq8_quantize", "pq_adc_knn", "ivfpq_knn",
     # (e) stable flagships re-proven if budget allows
     "knn_cosine", "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "bm25_search", "asof_click_attribution",

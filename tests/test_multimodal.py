@@ -37,3 +37,36 @@ def test_null_payload_handled(spark):
     feats = {r.media_id: r for r in extract_features(media).collect()}
     assert feats[2].feat_head == [0.0, 0.0, 0.0, 0.0]
     assert feats[1].n_bytes == 3
+
+
+def test_ppm_decode_real_bytes():
+    # hand-built 4x4 P6: known channel pattern -> exact means + pooled
+    # grayscale thumbnail (the resize step)
+    from unified_vector_database_spark.operators.multimodal import decode_ppm
+    raster = bytes([r for p in range(16) for r in (p, 2 * p, 255 - p)])
+    payload = b"P6\n4 4\n255\n" + raster
+    out = decode_ppm(payload)
+    assert (out["width"], out["height"], out["maxval"]) == (4, 4, 255)
+    assert out["mean_r"] == round(sum(range(16)) / 16, 6)
+    assert out["mean_g"] == round(sum(2 * p for p in range(16)) / 16, 6)
+    assert out["mean_b"] == round(sum(255 - p for p in range(16)) / 16, 6)
+    assert len(out["thumb"]) == 4  # 2x2 mean-pool of the 4x4 gray plane
+    gray = [(p + 2 * p + (255 - p)) / 3.0 for p in range(16)]
+    top_left = round((gray[0] + gray[1] + gray[4] + gray[5]) / 4.0, 6)
+    assert out["thumb"][0] == top_left
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + raster[:10])
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_ppm_pipeline_end_to_end(spark, sf_dir):
+    from unified_vector_database_spark.operators.multimodal import (
+        ppm_image_features,
+    )
+    rows = ppm_image_features(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.width == 4 and r.height == 4 for r in rows)
+    assert all(0.0 <= r.mean_r <= 255.0 for r in rows)

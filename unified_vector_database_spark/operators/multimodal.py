@@ -2,9 +2,12 @@
 `binary` columns with typed metadata structs, plus Arrow-batched
 decode/feature plumbing via mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container — see decode_binary_batches); the Spark-side contract —
-schema, batch iteration, partitioning — is real and tested.
+Decode status: PPM (P6) images get a REAL byte-level decoder + 2x2
+mean-pool resize (decode_ppm — no external libs needed, oracle-checked
+end-to-end in ppm_image_features). Formats that require codecs
+(JPEG/PNG/audio/video) remain STUBBED behind the same Arrow contract
+(decode_binary_batches) because the container ships no media
+libraries; swap _fake_decode for the library call in production.
 """
 
 from __future__ import annotations
@@ -97,3 +100,116 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("meta.n_bytes").alias("n_bytes"),
                          F.col("meta.checksum").alias("checksum"))
                  .orderBy("doc_id"))
+
+
+# ----------------------------------------------------- real PPM decode
+
+PPM_W = PPM_H = 4  # 4x4 RGB -> 48 pixel bytes = 3 md5 digests
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode, no external libs: parse the PPM (P6) binary
+    format — magic, whitespace-separated width/height/maxval header,
+    raw RGB24 raster — and compute per-channel means plus a 2x2
+    mean-pooled grayscale thumbnail (the 'resize' step). This is the
+    actual byte-level work PIL would do for this format; formats that
+    need codecs (JPEG/audio/video) remain behind the documented stub.
+    """
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts, i = [], 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    raster = payload[i:i + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated raster")
+    px = [[(raster[3 * (y * w + x)], raster[3 * (y * w + x) + 1],
+            raster[3 * (y * w + x) + 2]) for x in range(w)]
+          for y in range(h)]
+    n = w * h
+    means = [round(sum(p[c] for row in px for p in row) / n, 6)
+             for c in range(3)]
+    # 2x2 mean-pool resize on the grayscale plane
+    gray = [[(r + g + b) / 3.0 for (r, g, b) in row] for row in px]
+    bw, bh = w // 2, h // 2
+    pooled = [round(sum(gray[y][x] for y in range(by * 2, by * 2 + 2)
+                        for x in range(bx * 2, bx * 2 + 2)) / 4.0, 6)
+              for by in range(bh) for bx in range(bw)]
+    return {"width": w, "height": h, "maxval": maxval,
+            "mean_r": means[0], "mean_g": means[1], "mean_b": means[2],
+            "thumb": pooled}
+
+
+def ppm_features_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = [decode_ppm(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "width": [r["width"] for r in rows],
+            "height": [r["height"] for r in rows],
+            "mean_r": [r["mean_r"] for r in rows],
+            "mean_g": [r["mean_g"] for r in rows],
+            "mean_b": [r["mean_b"] for r in rows],
+            "thumb": [r["thumb"] for r in rows],
+        })
+
+
+def synth_ppm(docs: DataFrame) -> DataFrame:
+    """Deterministic 4x4 PPM payloads built JVM-side: header string +
+    48 raster bytes from three md5 digests of the doc text — real
+    binary image files, derived from the corpus with zero Python."""
+    hexpix = F.concat(F.md5("text"), F.md5(F.concat("text", F.lit("x"))),
+                      F.md5(F.concat("text", F.lit("y"))))
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), "UTF-8"),
+        F.unhex(hexpix))
+    return docs.select(F.col("doc_id").alias("media_id"),
+                       payload.alias("payload"))
+
+
+@register("ppm_image_features", oracle=f"""
+WITH hx AS (
+  SELECT doc_id,
+         md5(text) || md5(text || 'x') || md5(text || 'y') AS hex
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(0, {3 * PPM_W * PPM_H}),
+           j -> ('0x' || substr(hex, j * 2 + 1, 2))::INT) AS bytes
+  FROM hx)
+SELECT doc_id AS media_id,
+       {PPM_W} AS width, {PPM_H} AS height,
+       round(list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+             p -> bytes[p * 3 + 1])) / {PPM_W * PPM_H}.0, 6) AS mean_r,
+       round(list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+             p -> bytes[p * 3 + 2])) / {PPM_W * PPM_H}.0, 6) AS mean_g,
+       round(list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+             p -> bytes[p * 3 + 3])) / {PPM_W * PPM_H}.0, 6) AS mean_b
+FROM b ORDER BY media_id
+""")
+def ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image pipeline: synthesize PPM binaries from
+    the corpus (JVM), decode them byte-for-byte in an Arrow-batched
+    kernel (header parse + raster + channel means + 2x2 mean-pool
+    resize), and hash-check the channel means against an oracle that
+    recomputes them from the same md5 hex — proving the binary
+    round-trip AND the decoder. (The thumbnail is exercised in
+    tests/test_multimodal.py; it is excluded here only to keep the
+    oracle readable.)"""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    media = synth_ppm(docs)
+    feats = media.mapInPandas(
+        ppm_features_batches,
+        schema=("media_id long, width int, height int, mean_r double, "
+                "mean_g double, mean_b double, thumb array<double>"))
+    return (feats.select("media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b")
+                 .orderBy("media_id"))

@@ -9,8 +9,40 @@ any scale.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Module-level functions referenced by mapInPandas kernels pickle BY
+    REFERENCE (cloudpickle only inlines closures), so workers must be
+    able to `import unified_vector_database_spark` — true under pytest
+    (cwd on the path) but NOT when an external driver runs from an
+    arbitrary cwd. addPyFile ships a zip of the package to every
+    executor; on a real cluster this is exactly how the package would
+    deploy (--py-files)."""
+    if getattr(spark, "_uvdb_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"uvdb_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    arc = os.path.join(pkg_name,
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, arc)
+    spark.sparkContext.addPyFile(zpath)
+    spark._uvdb_pkg_shipped = True
 
 
 def get_spark(app: str = "unified_vector_database_spark",
@@ -38,6 +70,7 @@ def get_spark(app: str = "unified_vector_database_spark",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 
@@ -47,4 +80,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
     return spark
