@@ -31,5 +31,5 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, hybrid, index, knn, multimodal,
-        rerank, simhash, simjoin, sparse, textops, tpch_extra,
+        rerank, simhash, simjoin, sparse, textops, tpch_extra, tpch_more,
     )
