@@ -1,0 +1,113 @@
+"""Geo payload filtering — the reference backends' geo query surface
+(Qdrant geo_radius / geo_bounding_box payload filters, Elasticsearch
+geo_distance, Weaviate geoCoordinates filter).
+
+The test tables carry no coordinate columns, so coordinates are
+DERIVED deterministically from the customer key (an integer-exact
+pseudo-placement both engines compute identically); the operator
+itself — distance math + radius predicate + ordered page — is the
+real surface.
+
+Determinism: great-circle trig (sin/cos/asin) is NOT bit-reproducible
+across engines (JVM Math vs libm differ in the last ulp), so distance
+uses the standard equirectangular planar approximation with the
+latitude-scale factor precomputed once in Python and inlined as the
+SAME literal on both sides. The remaining ops are +,*,sqrt — all
+IEEE-exact — so the radius comparison can be an exact predicate with
+no rounding tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..registry import register
+
+# Query center (lat0, lon0) and the planar scale factors, km per
+# degree: meridional 110.574, zonal 111.320*cos(lat0) — inlined as
+# exact literals shared by the Spark plan and the DuckDB oracle.
+GEO_LAT0 = 40.0
+GEO_LON0 = -74.0
+KM_PER_DEG_LAT = 110.574
+KM_PER_DEG_LON = 111.320 * math.cos(math.radians(GEO_LAT0))
+GEO_RADIUS_KM = 2000.0
+
+
+def with_coords(cust: DataFrame) -> DataFrame:
+    """Deterministic pseudo-coordinates from the integer key — exact
+    integer modulus then one double division on both engines."""
+    return cust.withColumn(
+        "lat", ((F.col("c_custkey") * 9973) % 18000) / 100.0 - 90.0
+    ).withColumn(
+        "lon", ((F.col("c_custkey") * 7919) % 36000) / 100.0 - 180.0)
+
+
+def planar_km(lat: F.Column, lon: F.Column) -> F.Column:
+    dy = (lat - F.lit(GEO_LAT0)) * F.lit(KM_PER_DEG_LAT)
+    dx = (lon - F.lit(GEO_LON0)) * F.lit(KM_PER_DEG_LON)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+@register("geo_radius_search", oracle=f"""
+WITH geo AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+d AS (
+  SELECT c_custkey, c_name, c_mktsegment, lat, lon,
+         sqrt(((lon - ({GEO_LON0!r})) * {KM_PER_DEG_LON!r})
+              * ((lon - ({GEO_LON0!r})) * {KM_PER_DEG_LON!r})
+              + ((lat - {GEO_LAT0!r}) * {KM_PER_DEG_LAT!r})
+                * ((lat - {GEO_LAT0!r}) * {KM_PER_DEG_LAT!r})) AS dist_km
+  FROM geo)
+SELECT c_custkey, c_name, c_mktsegment, lat, lon, dist_km
+FROM d WHERE dist_km <= {GEO_RADIUS_KM!r}
+ORDER BY dist_km, c_custkey
+LIMIT 100
+""")
+def geo_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-radius payload filter (Qdrant geo_radius / ES geo_distance):
+    all records within R km of a center, nearest first.
+
+    Scale shape: coordinate derivation, distance, and the radius
+    predicate are all map-side expressions in the scan (with real
+    stored coordinates the predicate would sit on top of a lat/lon
+    min-max-pruned layout — the bounding-box prefilter below); the
+    ordered page is TakeOrdered. Zero shuffles."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    d = cust.withColumn("dist_km", planar_km(F.col("lat"), F.col("lon")))
+    return (d.where(F.col("dist_km") <= GEO_RADIUS_KM)
+             .select("c_custkey", "c_name", "c_mktsegment", "lat", "lon",
+                     "dist_km")
+             .orderBy("dist_km", "c_custkey").limit(100))
+
+
+@register("geo_bounding_box", oracle="""
+WITH geo AS (
+  SELECT c_custkey, c_mktsegment,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer)
+SELECT c_mktsegment, count(*) AS n,
+       CAST(min(c_custkey) AS BIGINT) AS first_key
+FROM geo
+WHERE lat BETWEEN 20.0 AND 60.0 AND lon BETWEEN -120.0 AND -30.0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo bounding-box filter + facet rollup (Qdrant geo_bounding_box,
+    ES geo_bounding_box aggs): a pure range predicate — the form that
+    prunes at file level when the layout is partitioned or z-ordered
+    on a geohash/coordinate prefix."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    return (cust.where(F.col("lat").between(20.0, 60.0)
+                       & F.col("lon").between(-120.0, -30.0))
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n"),
+                     F.min("c_custkey").cast("bigint").alias("first_key"))
+                .orderBy("c_mktsegment"))

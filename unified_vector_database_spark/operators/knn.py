@@ -579,3 +579,68 @@ def discover(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(cos("vec", "tv"), 6).alias("score"))
                   .orderBy(F.desc("score"), "vec_id")
                   .limit(10))
+
+
+@register("matryoshka_knn", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec, qvec,
+         list_dot_product((embedding::DOUBLE[])[1:16], qvec[1:16])
+           / (sqrt(list_dot_product((embedding::DOUBLE[])[1:16],
+                                    (embedding::DOUBLE[])[1:16]))
+              * sqrt(list_dot_product(qvec[1:16], qvec[1:16]))) AS cscore
+  FROM embeddings, q),
+short AS (SELECT * FROM coarse ORDER BY cscore DESC, vec_id LIMIT 100)
+SELECT vec_id, label,
+       list_dot_product(vec, qvec)
+         / (sqrt(list_dot_product(vec, vec))
+            * sqrt(list_dot_product(qvec, qvec))) AS score
+FROM short ORDER BY score DESC, vec_id LIMIT 10
+""")
+def matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (Matryoshka/MRL) knn: coarse cosine over
+    the first 16 of 64 dims cuts the corpus to a 100-row shortlist,
+    exact full-dim cosine reranks it — the adaptive-retrieval pattern
+    modern vector DBs expose for MRL-trained embeddings.
+
+    Scale shape: the coarse pass reads a 4x narrower slice per row
+    (with a dimension-sliced column layout it would prune 3/4 of the
+    vector bytes at the scan); both cuts are TakeOrdered. Exactness:
+    slicing is positional, both cosines use the verified explicit
+    form — bit-deterministic end to end."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", "label",
+                        D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    head = F.slice("vec", 1, 16)
+    qhead = F.slice("qvec", 1, 16)
+    short = (corpus.crossJoin(F.broadcast(q))
+                   .select("vec_id", "label", "vec", "qvec",
+                           D.safe_div(D.dot(head, qhead),
+                                      D.norm(head) * D.norm(qhead))
+                           .alias("cscore"))
+                   .orderBy(F.desc("cscore"), "vec_id").limit(100))
+    return (short.select("vec_id", "label",
+                         D.cosine("vec", "qvec").alias("score"))
+                 .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+@register("scroll_order_by", oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE n_chars > 120 OR (n_chars = 120 AND doc_id > 300)
+ORDER BY n_chars, doc_id
+LIMIT 20
+""")
+def scroll_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination ordered by a payload field (Qdrant scroll
+    order_by): the cursor is the (value, id) pair of the previous
+    page's last row, so the resume predicate is a lexicographic
+    range — still fully pushable to the scan (no OFFSET, no state),
+    and the LIMIT compiles to TakeOrdered."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.where((F.col("n_chars") > 120)
+                       | ((F.col("n_chars") == 120) & (F.col("doc_id") > 300)))
+                .select("doc_id", "source", "n_chars")
+                .orderBy("n_chars", "doc_id").limit(20))
