@@ -52,13 +52,20 @@ _PRIORITY = [
     "q1_pricing", "q3_topurgent", "q5_region_volume",
     "q6_forecast_revenue", "q14_promo_share", "events_sessionized",
     "hybrid_rrf", "hybrid_weighted",
-    # (d) new in r2 — oracle-backed entries first (hash-green rows are
-    # stronger evidence than rows-only smoke), rows-only ANN paths
-    # last (recall-tested in pytest either way)
-    "knn_sparse", "hybrid_sparse_dense", "sparse_vectors_layout",
-    "clean_normalize", "repetition_score", "pack_context_windows",
-    "corpus_shuffle", "events_funnel", "discover", "ppm_image_features",
-    "lsh_buckets", "sq8_quantize", "pq_adc_knn", "ivfpq_knn",
+    # (d) new in r2, ordered by importance — the driver's budget ran
+    # out near entry 50 in r1, so the ops past that line are expected
+    # to rotate into coverage next round; oracle-backed entries first
+    # (hash-green rows are stronger evidence than rows-only smoke)
+    "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
+    "matryoshka_knn", "decontaminate", "pii_redact", "events_funnel",
+    "clean_normalize", "geo_radius_search", "scroll_order_by",
+    # ---- approximate r1 driver budget line (50) ----
+    "repetition_score", "pack_context_windows", "corpus_shuffle",
+    "geo_bounding_box", "discover", "sparse_vectors_layout",
+    "ppm_image_features", "q2_min_cost_supplier", "q11_important_parts",
+    "q12_priority_by_returnflag", "q16_supplier_counts",
+    "q20_part_promotion", "lsh_buckets", "sq8_quantize",
+    "pq_adc_knn", "ivfpq_knn",
     # (e) stable flagships re-proven if budget allows
     "knn_cosine", "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "bm25_search", "asof_click_attribution",

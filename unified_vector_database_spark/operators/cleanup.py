@@ -235,3 +235,141 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if(s3).cast("double")
                 / F.greatest(F.count_if(s1), F.lit(1)), 6)
          .alias("conversion"))
+
+
+# ------------------------------------------------------------- PII redaction
+
+# Shared by the Spark plan and the DuckDB oracle (both engines'
+# regex dialects treat these identically — parity-tested on sample
+# strings with multiple matches per class).
+PII_EMAIL_RE = "[a-z0-9.+_-]+@[a-z0-9-]+\\.[a-z]+"
+PII_PHONE_RE = "555-[0-9]{3,4}"
+
+
+def pii_redact_t(docs: DataFrame) -> DataFrame:
+    """Regex PII scrubbing (emails, phone numbers) — the standard
+    pre-training redaction pass. Map-side `regexp_replace` chain in
+    the scan stage; counts come from `regexp_count` on the raw text
+    so the audit row says exactly what was removed. The test corpus
+    carries no organic PII, so the query wrapper injects a
+    deterministic doc_id-derived suffix before redacting — the
+    redaction logic runs against non-zero match counts on every row.
+    """
+    red = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.length(red).alias("red_len"),
+        F.md5(red).alias("red_md5"))
+
+
+@register("pii_redact", oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-0' || CAST(doc_id % 100 AS VARCHAR)
+           AS text
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+                                       '<EMAIL>', 'g'),
+                        '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM aug)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       CAST(length(red) AS INT) AS red_len, md5(red) AS red_md5
+FROM r ORDER BY doc_id
+""")
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com or 555-0"),
+                 (F.col("doc_id") % 100).cast("string")))
+    return pii_redact_t(aug).orderBy("doc_id")
+
+
+# -------------------------------------------------- benchmark decontamination
+
+DECON_N = 3          # n-gram length (tiny 30-word test vocab; real
+                     # corpora use 8-13 — the plan shape is identical)
+DECON_BENCH_MOD = 97  # benchmark set = docs with doc_id % 97 == 0
+
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """Distinct word n-grams as an array — slice+zip (no explode, no
+    sequence(1,0) descending-range pitfall; slice of len 0 is empty)."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(
+            " ", *[s.getField(str(i)) for i in range(n)])))
+
+
+def decontaminate_t(docs: DataFrame, bench: DataFrame,
+                    n: int = DECON_N) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a benchmark/eval set (the GPT-3/PaLM 13-gram-overlap
+    procedure, n scaled down for the test vocab).
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are thousands of rows, the corpus is the 100 TB side) — its
+    distinct-gram set builds once and BROADCASTS; the corpus side is
+    explode → broadcast-hash semi-ish join → per-doc count. No
+    corpus-side shuffle except the final per-doc count, which is
+    partial-agg'd map-side. Never joins corpus×corpus."""
+    bench_grams = (bench
+                   .select(F.explode(_word_ngrams("text", n)).alias("gram"))
+                   .distinct())
+    doc_grams = docs.select(
+        "doc_id", F.explode(_word_ngrams("text", n)).alias("gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+                     .groupBy("doc_id")
+                     .agg(F.count("*").alias("n_overlap")))
+    return (docs.select("doc_id", "source")
+                .join(hits, "doc_id", "left")
+                .withColumn("n_overlap",
+                            F.coalesce("n_overlap", F.lit(0)).cast("int"))
+                .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+@register("decontaminate", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOK} AS tok FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+             range(1, greatest(len(tok) - {DECON_N - 2}, 1)),
+             i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS gs
+  FROM tok),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams
+  WHERE doc_id % {DECON_BENCH_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams
+        WHERE doc_id % {DECON_BENCH_MOD} <> 0) g
+  JOIN bench USING (gram)
+  GROUP BY g.doc_id)
+SELECT g.doc_id, g.source,
+       CAST(COALESCE(h.n_overlap, 0) AS INT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN hits h USING (doc_id)
+WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+ORDER BY n_overlap DESC, doc_id
+LIMIT 25
+""")
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (decontaminate_t(train, bench)
+            .orderBy(F.desc("n_overlap"), "doc_id").limit(25))
