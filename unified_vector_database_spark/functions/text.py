@@ -33,3 +33,15 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     sh = tok.select(id_col, F.concat_ws(" ", *parts).alias("shingle"),
                     parts[-1].alias("_last"))
     return sh.where(F.col("_last").isNotNull()).drop("_last")
+
+
+def ngram_array(text_col: Column | str, n: int) -> Column:
+    """Distinct word n-grams as an array, built map-side with
+    slice+zip — no explode, and no sequence(1, 0) descending-range
+    pitfall (a slice of length 0 is just empty)."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(
+            " ", *[s.getField(str(i)) for i in range(n)])))

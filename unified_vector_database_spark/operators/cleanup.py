@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .. import tables
 from ..registry import register
-from ..functions.text import tokens
+from ..functions.text import ngram_array, tokens
 
 _TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
 
@@ -303,17 +303,6 @@ DECON_N = 3          # n-gram length (tiny 30-word test vocab; real
 DECON_BENCH_MOD = 97  # benchmark set = docs with doc_id % 97 == 0
 
 
-def _word_ngrams(text_col: str, n: int) -> F.Column:
-    """Distinct word n-grams as an array — slice+zip (no explode, no
-    sequence(1,0) descending-range pitfall; slice of len 0 is empty)."""
-    toks = tokens(text_col)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
-    return F.array_distinct(
-        F.transform(zipped, lambda s: F.concat_ws(
-            " ", *[s.getField(str(i)) for i in range(n)])))
-
-
 def decontaminate_t(docs: DataFrame, bench: DataFrame,
                     n: int = DECON_N) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
@@ -327,10 +316,10 @@ def decontaminate_t(docs: DataFrame, bench: DataFrame,
     corpus-side shuffle except the final per-doc count, which is
     partial-agg'd map-side. Never joins corpus×corpus."""
     bench_grams = (bench
-                   .select(F.explode(_word_ngrams("text", n)).alias("gram"))
+                   .select(F.explode(ngram_array("text", n)).alias("gram"))
                    .distinct())
     doc_grams = docs.select(
-        "doc_id", F.explode(_word_ngrams("text", n)).alias("gram"))
+        "doc_id", F.explode(ngram_array("text", n)).alias("gram"))
     hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
                      .groupBy("doc_id")
                      .agg(F.count("*").alias("n_overlap")))

@@ -297,3 +297,113 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)),
                               9).alias("rrf_score"))
               .orderBy(F.desc("rrf_score"), "doc_id").limit(15))
+
+
+# ----------------------------------------------------------- more-like-this
+
+MLT_SEED_DOC = 42
+MLT_NGRAM = 3
+
+
+@register("more_like_this", oracle=f"""
+WITH grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+             range(1, greatest(len({_TOK}) - {MLT_NGRAM - 2}, 1)),
+             i -> {_TOK}[i] || ' ' || {_TOK}[i + 1] || ' '
+                  || {_TOK}[i + 2])) AS gs
+  FROM documents),
+seed AS (SELECT gs AS seed_gs FROM grams WHERE doc_id = {MLT_SEED_DOC}),
+scored AS (
+  SELECT g.doc_id, g.source,
+         len(list_filter(g.gs, x -> list_contains(seed_gs, x)))
+           AS n_shared,
+         len(g.gs) AS n_grams
+  FROM grams g, seed
+  WHERE g.doc_id <> {MLT_SEED_DOC})
+SELECT doc_id, source, CAST(n_shared AS INT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / greatest(n_grams, 1), 6)
+         AS containment
+FROM scored
+WHERE n_shared > 0
+ORDER BY n_shared DESC, doc_id
+LIMIT 15
+""")
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval (ES `more_like_this`, Weaviate
+    nearText-by-object): rank the corpus by distinct word-n-gram
+    overlap with a seed document.
+
+    Scale shape: the seed's gram set is ONE broadcast row; per-doc
+    overlap is `array_intersect` map-side in the scan stage (no
+    explode, no corpus shuffle), and the page cut is TakeOrdered.
+    Exactness: gram sets are distinct on both engines, the
+    containment ratio is one double division, rounded identically."""
+    from ..functions.text import ngram_array
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    grams = docs.select("doc_id", "source",
+                        ngram_array("text", MLT_NGRAM).alias("gs"))
+    seed = (grams.where(F.col("doc_id") == MLT_SEED_DOC)
+                 .select(F.col("gs").alias("seed_gs")))
+    n_shared = F.size(F.array_intersect("gs", "seed_gs"))
+    return (grams.where(F.col("doc_id") != MLT_SEED_DOC)
+                 .crossJoin(F.broadcast(seed))
+                 .select("doc_id", "source",
+                         n_shared.alias("n_shared"),
+                         F.round(n_shared.cast("double")
+                                 / F.greatest(F.size("gs"), F.lit(1)), 6)
+                          .alias("containment"))
+                 .where(F.col("n_shared") > 0)
+                 .orderBy(F.desc("n_shared"), "doc_id")
+                 .limit(15))
+
+
+# ------------------------------------------------------------- fuzzy search
+
+FUZZY_TERM = "fast"
+FUZZY_MAX_DIST = 2
+
+
+@register("fuzzy_search", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+m AS (
+  SELECT doc_id, term, levenshtein(term, '{FUZZY_TERM}') AS dist
+  FROM tok),
+hits AS (
+  SELECT doc_id,
+         count(*) AS n_matched,
+         min(dist) AS best_dist,
+         round(sum(1.0 / (1 + dist)), 6) AS score
+  FROM m WHERE dist <= {FUZZY_MAX_DIST}
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_matched AS INT) AS n_matched,
+       CAST(best_dist AS INT) AS best_dist, score
+FROM hits
+ORDER BY score DESC, doc_id
+LIMIT 20
+""")
+def fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term search (ES `fuzziness`, Qdrant/Milvus text match
+    with typo tolerance): score docs by occurrences of terms within
+    edit distance <= 2 of the query term, weighted 1/(1+dist).
+
+    Scale shape: the expansion is evaluated per token with a
+    codegen'd `levenshtein` against a literal (a real engine first
+    expands the term against the distinct-term dictionary — same
+    plan, tiny left side); the per-doc rollup is one partial-agg'd
+    groupBy on doc_id, and the page cut is TakeOrdered. Exactness:
+    integer distances, rational weights rounded identically."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term"))
+    m = tok.withColumn(
+        "dist", F.levenshtein("term", F.lit(FUZZY_TERM)))
+    return (m.where(F.col("dist") <= FUZZY_MAX_DIST)
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("int").alias("n_matched"),
+                  F.min("dist").cast("int").alias("best_dist"),
+                  F.round(F.sum(1.0 / (1 + F.col("dist"))), 6)
+                   .alias("score"))
+             .orderBy(F.desc("score"), "doc_id")
+             .limit(20))

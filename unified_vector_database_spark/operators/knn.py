@@ -644,3 +644,81 @@ def scroll_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                        | ((F.col("n_chars") == 120) & (F.col("doc_id") > 300)))
                 .select("doc_id", "source", "n_chars")
                 .orderBy("n_chars", "doc_id").limit(20))
+
+
+# --------------------------------------------- late interaction (maxsim)
+
+MAXSIM_SUBVECS = 4   # 64-dim embedding sliced into 4 x 16-dim "tokens"
+MAXSIM_SUBDIM = 16
+
+
+def _maxsim_oracle() -> str:
+    """ColBERT maxsim as explicit SQL: sum over query subvectors of
+    the max cosine against the doc's subvectors — the 4x4 grid is
+    unrolled so both engines evaluate the identical expression tree
+    (exact-twin dot/sqrt ops, fixed summation order)."""
+    def cos(i: int, j: int) -> str:
+        d = (f"list_dot_product(vec[{j * MAXSIM_SUBDIM + 1}:"
+             f"{(j + 1) * MAXSIM_SUBDIM}], "
+             f"qvec[{i * MAXSIM_SUBDIM + 1}:{(i + 1) * MAXSIM_SUBDIM}])")
+        nv = (f"sqrt(list_dot_product(vec[{j * MAXSIM_SUBDIM + 1}:"
+              f"{(j + 1) * MAXSIM_SUBDIM}], vec[{j * MAXSIM_SUBDIM + 1}:"
+              f"{(j + 1) * MAXSIM_SUBDIM}]))")
+        nq = (f"sqrt(list_dot_product(qvec[{i * MAXSIM_SUBDIM + 1}:"
+              f"{(i + 1) * MAXSIM_SUBDIM}], qvec[{i * MAXSIM_SUBDIM + 1}:"
+              f"{(i + 1) * MAXSIM_SUBDIM}]))")
+        return f"{d} / ({nv} * {nq})"
+
+    per_q = [
+        "greatest(" + ", ".join(cos(i, j) for j in range(MAXSIM_SUBVECS)) + ")"
+        for i in range(MAXSIM_SUBVECS)]
+    maxsim = " + ".join(per_q)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+d AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+      FROM embeddings)
+SELECT vec_id, label, round({maxsim}, 6) AS score
+FROM d, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("maxsim_knn", oracle=_maxsim_oracle())
+def maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT maxsim — the multi-vector
+    scoring mode Milvus/Vespa expose): treat the embedding as 4
+    16-dim token vectors; score = sum over query tokens of the max
+    cosine against any doc token.
+
+    Scale shape: the query's token vectors are ONE broadcast row; the
+    4x4 cosine grid is a fixed-size JVM expression tree evaluated
+    map-side in the scan (cheap relative to I/O at any corpus size),
+    and the cut is TakeOrdered. In a real deployment doc tokens would
+    be a `array<array<float>>` column — the plan shape (broadcast
+    query row, map-side maxsim, top-k) is identical."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", "label",
+                        D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+
+    def sub(col: str, i: int) -> F.Column:
+        return F.slice(col, i * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM)
+
+    per_q = [
+        F.greatest(*[
+            D.safe_div(
+                D.dot(sub("vec", j), sub("qvec", i)),
+                D.norm(sub("vec", j)) * D.norm(sub("qvec", i)))
+            for j in range(MAXSIM_SUBVECS)])
+        for i in range(MAXSIM_SUBVECS)]
+    score = per_q[0]
+    for c in per_q[1:]:
+        score = score + c
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", "label",
+                          F.round(score, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))
