@@ -37,6 +37,8 @@ HEADLINE = [
     "range_join_attribution", "knn_multi_vector",
     "knn_sparse", "hybrid_sparse_dense", "pq_adc_knn", "ivfpq_knn",
     "repetition_score", "pack_context_windows",
+    "bq_hamming_knn", "matryoshka_knn", "maxsim_knn", "more_like_this",
+    "fuzzy_search", "decontaminate", "pii_redact", "geo_radius_search",
 ]
 
 

@@ -122,11 +122,13 @@ def test_chunk_sliding_prunes_unused_columns(spark, sf_dir):
 def test_hybrid_rrf_rank_windows_bounded(spark, sf_dir):
     # r1 regression: rank windows ran over the FULL corpus-sized score
     # tables in one partition. Now each modality is cut to top-N by
-    # TakeOrdered BEFORE ranking, and the windows carry an explicit
-    # (constant) partition key, so no "No Partition Defined" path.
+    # TakeOrdered BEFORE ranking, and ranks come from
+    # bounded_ranks (collect/array_sort/posexplode) — no WindowExec
+    # in the plan at all.
     from unified_vector_database_spark.operators import hybrid
     text = plan_text(hybrid.hybrid_rrf(spark, sf_dir))
     assert text.count("TakeOrderedAndProject") >= 2, text
+    assert "Window" not in text, text
 
 
 def test_tfidf_single_plan_no_driver_count(spark, sf_dir):
@@ -136,3 +138,26 @@ def test_tfidf_single_plan_no_driver_count(spark, sf_dir):
     df = textops.tfidf_topterms(spark, sf_dir)
     text = plan_text(df)
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text
+
+
+def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
+    # WindowExec with no partition spec moves ALL input rows to one
+    # partition — a corpus-sized single-partition sort at scale (the
+    # r1 hybrid_rrf bug). Catalyst also constant-folds literal
+    # partition keys (W.partitionBy(F.lit(0)) still compiles to an
+    # UNPARTITIONED window), so bounded sets must rank via
+    # collect/array_sort/posexplode instead (hybrid.bounded_ranks).
+    # Guard every registered query's optimized plan.
+    import re
+    from unified_vector_database_spark import registry
+    registry.load_all()
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                                     .optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                offenders.append(name)
+                break
+    assert not offenders, offenders

@@ -183,8 +183,17 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.select("doc_id", "source",
                     F.md5(F.col("doc_id").cast("string")).alias("hkey"))
     top = h.orderBy("hkey", "doc_id").limit(50)
-    wr = W.partitionBy(F.lit(0)).orderBy("hkey", "doc_id")
-    return (top.withColumn("pos", F.row_number().over(wr))
+    # positions via collect/array_sort/posexplode over the LIMITed 50
+    # rows — no WindowExec (a lit-partitioned window gets its constant
+    # key folded away and logs the single-partition warning)
+    arr = top.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("hkey").alias("hkey"), F.col("doc_id").alias("doc_id"),
+        F.col("source").alias("source")))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+               .select(F.col("_s.doc_id").alias("doc_id"),
+                       F.col("_s.source").alias("source"),
+                       F.col("_s.hkey").alias("hkey"),
+                       (F.col("_pos") + 1).cast("bigint").alias("pos"))
                .orderBy("pos"))
 
 

@@ -259,6 +259,25 @@ def pipeline_clean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "vec_id").limit(10))
 
 
+def bounded_ranks(cand: DataFrame, score_col: str, id_col: str,
+                  rank_col: str) -> DataFrame:
+    """(id, rank) for a BOUNDED candidate set, with rank 1 = highest
+    score (ties by id asc) — and NO window operator: collect_list the
+    <= N candidate structs into one array (a partial-agg'd global agg,
+    the intended single reducer over a bounded set), array_sort by
+    (-score, id), posexplode back. A `row_number() OVER (ORDER BY
+    ...)` would compute the same thing, but Catalyst constant-folds
+    any literal partition key away and WindowExec then logs the
+    "No Partition Defined ... single partition" warning as if the
+    input were corpus-sized; this shape says what it means."""
+    arr = cand.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col(score_col)).alias("_ns"),
+        F.col(id_col).alias(id_col)))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+               .select(F.col(f"_s.{id_col}").alias(id_col),
+                       (F.col("_pos") + 1).cast("int").alias(rank_col)))
+
+
 @register("hybrid_rrf", oracle=f"""
 WITH {_BM25_CTE},
 {_VEC_CTE},
@@ -280,17 +299,14 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling): rank each modality, sum 1/(k+rank).
 
     Each modality is first cut to HYBRID_CANDIDATES by TakeOrdered —
-    RRF only needs ranks of surviving candidates, so the rank window
-    runs over <= N rows. The window keys on a constant partition
-    (one partition BY CONSTRUCTION, input bounded — not a corpus-wide
-    single-partition sort, which is what r1 shipped)."""
-    one = W.partitionBy(F.lit(0))
+    RRF only needs ranks of surviving candidates, so ranking runs
+    over <= N rows via `bounded_ranks` (no corpus-wide
+    single-partition sort, which is what r1 shipped — and no
+    WindowExec at all)."""
     kw = _candidates(bm25_scores(spark, sf_dir), "score")
     vec = _candidates(_vec_scores(spark, sf_dir), "vscore")
-    kr = kw.select("doc_id", F.row_number().over(
-        one.orderBy(F.desc("score"), F.col("doc_id"))).alias("kr"))
-    vr = vec.select("doc_id", F.row_number().over(
-        one.orderBy(F.desc("vscore"), F.col("doc_id"))).alias("vr"))
+    kr = bounded_ranks(kw, "score", "doc_id", "kr")
+    vr = bounded_ranks(vec, "vscore", "doc_id", "vr")
     return (kr.join(vr, "doc_id", "full_outer")
               .select("doc_id",
                       F.round(F.coalesce(1.0 / (RRF_K + F.col("kr")), F.lit(0.0))

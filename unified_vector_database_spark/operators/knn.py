@@ -220,16 +220,23 @@ SELECT vec_id, score, CAST(rank AS INT) AS rank
 FROM r WHERE rank > 10 AND rank <= 20
 """)
 def knn_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset pagination (page 2 of size 10). Rank over a global window
-    is acceptable here because the window input is already cut to a
-    bounded candidate set by TakeOrdered in the scale path; the
-    reference backends page the same way (offset+limit)."""
+    """Offset pagination (page 2 of size 10). The candidate set is cut
+    to offset+limit by TakeOrdered first; ranks then come from a
+    collect/array_sort/posexplode over those <= 20 rows (see
+    hybrid.bounded_ranks) — bounded by construction, and no
+    unpartitioned WindowExec. The reference backends page the same
+    way (offset+limit)."""
     corpus, q = corpus_with_query(spark, sf_dir)
     top = (corpus.crossJoin(F.broadcast(q))
            .select("vec_id", cosine_score().alias("score"))
            .orderBy(F.desc("score"), "vec_id").limit(20))
-    w = W.orderBy(F.desc("score"), F.col("vec_id"))
-    return (top.withColumn("rank", F.row_number().over(w))
+    arr = top.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("score")).alias("_ns"), F.col("vec_id").alias("vec_id"),
+        F.col("score").alias("score")))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+               .select(F.col("_s.vec_id").alias("vec_id"),
+                       F.col("_s.score").alias("score"),
+                       (F.col("_pos") + 1).cast("int").alias("rank"))
                .where(F.col("rank") > 10))
 
 
