@@ -60,7 +60,8 @@ _PRIORITY = [
     "matryoshka_knn", "decontaminate", "pii_redact", "events_funnel",
     "clean_normalize", "geo_radius_search", "scroll_order_by",
     # ---- approximate r1 driver budget line (50) ----
-    "maxsim_knn", "more_like_this", "fuzzy_search",
+    "maxsim_knn", "more_like_this", "fuzzy_search", "percolate",
+    "significant_terms", "geo_grid_agg",
     "repetition_score", "pack_context_windows", "corpus_shuffle",
     "geo_bounding_box", "discover", "sparse_vectors_layout",
     "ppm_image_features", "q2_min_cost_supplier", "q11_important_parts",

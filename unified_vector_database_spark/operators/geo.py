@@ -111,3 +111,46 @@ def geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n"),
                      F.min("c_custkey").cast("bigint").alias("first_key"))
                 .orderBy("c_mktsegment"))
+
+
+GRID_DEG = 15.0  # grid-cell edge in degrees (geohash_grid analog)
+
+
+@register("geo_grid_agg", oracle=f"""
+WITH geo AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+cells AS (
+  SELECT CAST(floor(lat / {GRID_DEG!r}) AS INT) AS cell_lat,
+         CAST(floor(lon / {GRID_DEG!r}) AS INT) AS cell_lon,
+         bal
+  FROM geo)
+SELECT cell_lat, cell_lon,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bal) AS DOUBLE) AS total_bal
+FROM cells GROUP BY cell_lat, cell_lon
+ORDER BY n DESC, cell_lat, cell_lon
+LIMIT 20
+""")
+def geo_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo grid aggregation (ES geohash_grid / Qdrant facet-by-area):
+    bucket records into fixed-degree cells and roll up per cell — the
+    map-tile heat layer. Cell assignment is exact integer-ish floor
+    math in the scan; one partial-agg'd groupBy on the (bounded:
+    12x24) cell grid; top cells via TakeOrdered. With a layout
+    partitioned on the cell prefix this prunes to the viewport's
+    files. Money values cast to exact
+    DECIMAL(18,2) cents BEFORE summing (order-independent exact
+    accumulation on both engines) and surface as double at the edge."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    return (cust.select(
+                F.floor(F.col("lat") / GRID_DEG).cast("int").alias("cell_lat"),
+                F.floor(F.col("lon") / GRID_DEG).cast("int").alias("cell_lon"),
+                F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
+                .groupBy("cell_lat", "cell_lon")
+                .agg(F.count("*").alias("n"),
+                     F.sum("bal").cast("double").alias("total_bal"))
+                .orderBy(F.desc("n"), "cell_lat", "cell_lon")
+                .limit(20))

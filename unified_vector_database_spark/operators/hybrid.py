@@ -423,3 +423,64 @@ def fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("score"))
              .orderBy(F.desc("score"), "doc_id")
              .limit(20))
+
+
+# -------------------------------------------------------- significant terms
+
+SIGTERMS_FG_SOURCE = "src0"
+
+
+@register("significant_terms", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(list_distinct({_TOK})) AS term
+  FROM documents),
+totals AS (
+  SELECT count(DISTINCT doc_id) AS bg_total,
+         count(DISTINCT doc_id) FILTER (source = '{SIGTERMS_FG_SOURCE}')
+           AS fg_total
+  FROM tok),
+per AS (
+  SELECT term,
+         count(*) AS bg_df,
+         count(*) FILTER (source = '{SIGTERMS_FG_SOURCE}') AS fg_df
+  FROM tok GROUP BY term),
+scored AS (
+  SELECT term, fg_df, bg_df,
+         round((CAST(fg_df AS DOUBLE) / fg_total)
+               / (CAST(bg_df AS DOUBLE) / bg_total), 6) AS lift
+  FROM per, totals WHERE fg_df > 0)
+SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
+       CAST(bg_df AS BIGINT) AS bg_df, lift
+FROM scored ORDER BY lift DESC, term LIMIT 10
+""")
+def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (ES significant_terms): terms
+    over-represented in a foreground subset relative to the whole
+    corpus, scored by document-frequency lift.
+
+    Scale shape: ONE token pass computes foreground and background
+    document frequencies together (conditional counts over the same
+    exploded stream — no second corpus scan, no fg/bg join); the
+    scalar totals broadcast via a 1-row crossJoin, and the result cut
+    is TakeOrdered. The per-term groupBy is the only shuffle and it
+    partial-aggs map-side."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    fg = F.col("source") == SIGTERMS_FG_SOURCE
+    tok = docs.select("doc_id", fg.alias("is_fg"),
+                      F.explode(F.array_distinct(tokens("text")))
+                       .alias("term"))
+    totals = (docs.agg(
+        F.count("*").alias("bg_total"),
+        F.count_if(fg).alias("fg_total")))
+    per = (tok.groupBy("term")
+              .agg(F.count("*").alias("bg_df"),
+                   F.count_if("is_fg").alias("fg_df")))
+    return (per.where(F.col("fg_df") > 0)
+               .crossJoin(F.broadcast(totals))
+               .select("term", "fg_df", "bg_df",
+                       F.round((F.col("fg_df").cast("double")
+                                / F.col("fg_total"))
+                               / (F.col("bg_df").cast("double")
+                                  / F.col("bg_total")), 6).alias("lift"))
+               .orderBy(F.desc("lift"), "term")
+               .limit(10))

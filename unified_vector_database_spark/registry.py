@@ -31,6 +31,6 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, geo, hybrid, index, knn,
-        multimodal, rerank, simhash, simjoin, sparse, textops, tpch_extra,
-        tpch_more,
+        multimodal, percolate, rerank, simhash, simjoin, sparse, textops,
+        tpch_extra, tpch_more,
     )
