@@ -225,3 +225,171 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("nvec") * F.col("nq")).alias("score"))
              .where(F.col("score") >= 0.28)
              .orderBy("id_a", "id_b"))
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering: pairs -> dedup groups -> survivors.
+# Reference analog: production near-dup pipelines (MinHashLSH dedup as
+# described in the GPT-3 / Gopher / RefinedWeb data papers) keep ONE
+# document per duplicate *cluster*, not per pair — pair lists alone
+# over-delete (a~b, b~c deletes b twice) or under-delete (keeps c).
+# ---------------------------------------------------------------------------
+
+_JACCARD_TAU = 0.30
+
+# verified edge set shared by the two cluster queries (extends the
+# dedup_jaccard pipeline with a jaccard >= tau cut)
+_EDGE_CTE = f"""
+bands AS (
+  SELECT doc_id, band, key FROM (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', m{i * LSH_ROWS}, m{i * LSH_ROWS + 1}) AS key FROM sig"
+        for i in range(_K // LSH_ROWS))})),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+nsh AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.id_a
+  JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b),
+edges AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN nsh na ON na.doc_id = i.id_a
+  JOIN nsh nb ON nb.doc_id = i.id_b
+  WHERE i.shared * 1.0 / (na.n + nb.n - i.shared) >= {_JACCARD_TAU}),
+und AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach (id, root) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.dst, r.root FROM reach r JOIN und u ON u.src = r.id),
+comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+def verified_edges(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
+    """(id_a, id_b) candidate pairs that survive exact n-gram Jaccard
+    >= tau — the dedup_jaccard pipeline minus the top-k cut. One
+    cached shingle explode feeds signatures, set sizes and the verify
+    join; candidates only ever come from band buckets."""
+    shd = shingle_sets(docs).cache()
+    hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
+          for j in range(_K)],
+        F.count("*").alias("n"))
+    cand = lsh_candidate_pairs(per_doc.drop("n"))
+    nsh = per_doc.select("doc_id", "n")
+    sa, sb = shd.alias("sa"), shd.alias("sb")
+    inter = (cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+                 .join(sb, (F.col("sb.doc_id") == F.col("id_b"))
+                       & (F.col("sb.shingle") == F.col("sa.shingle")))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("shared")))
+    na, nb = nsh.alias("na"), nsh.alias("nb")
+    return (inter.join(na, F.col("na.doc_id") == F.col("id_a"))
+                 .join(nb, F.col("nb.doc_id") == F.col("id_b"))
+                 .where(F.col("shared")
+                        / (F.col("na.n") + F.col("nb.n") - F.col("shared"))
+                        >= tau)
+                 .select("id_a", "id_b"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id) for every node in `edges`, cluster_id = min
+    node id reachable — iterative min-label propagation.
+
+    Scale shape: the edge set is O(near-dup pairs), orders of
+    magnitude smaller than the corpus, and each round is one
+    co-keyed join + partial-agg min whose shuffle key (src) is
+    reusable round to round. Rounds needed = O(log diameter) of the
+    dup graph (near-dup components are shallow in practice — the
+    GPT-3/RefinedWeb pipelines report small cluster diameters).
+    localCheckpoint truncates lineage between rounds (on a real
+    cluster: `checkpoint` to stable storage every few rounds). The
+    driver reads only a 1-long "did anything change" count per round,
+    never data.
+    """
+    und = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+               .union(edges.select(F.col("id_b").alias("src"),
+                                   F.col("id_a").alias("dst"))) \
+               .localCheckpoint()
+    labels = (und.select(F.col("src").alias("id")).distinct()
+                 .withColumn("label", F.col("id"))
+                 .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (und.join(labels, und.src == labels.id)
+                   .select(F.col("dst").alias("id"), "label"))
+        new = (labels.union(prop)
+                     .groupBy("id").agg(F.min("label").alias("label"))
+                     .localCheckpoint())
+        changed = (new.alias("n")
+                      .join(labels.alias("o"), "id")
+                      .where(F.col("n.label") != F.col("o.label"))
+                      .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_clusters", oracle=f"""
+WITH RECURSIVE {_SIG_CTE},
+{_EDGE_CTE}
+SELECT cluster_id, count(*) AS n_members,
+       string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+FROM comp GROUP BY cluster_id ORDER BY cluster_id
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidates -> Jaccard >= tau verified
+    edges -> connected components. Emits one row per duplicate group
+    with its sorted member list."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    labels = connected_components(verified_edges(docs))
+    return (labels.groupBy(F.col("label").alias("cluster_id"))
+                  .agg(F.count("*").alias("n_members"),
+                       F.array_join(
+                           F.transform(F.sort_array(F.collect_list("id")),
+                                       lambda x: x.cast("string")),
+                           ",").alias("members"))
+                  .orderBy("cluster_id"))
+
+
+@register("dedup_survivors", oracle=f"""
+WITH RECURSIVE {_SIG_CTE},
+{_EDGE_CTE},
+ranked AS (
+  SELECT c.cluster_id, c.id, length(d.text) AS text_len,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN documents d ON d.doc_id = c.id)
+SELECT cluster_id, id AS keep_id, text_len AS keep_len, n_members,
+       n_members - 1 AS n_dropped
+FROM ranked WHERE rk = 1 ORDER BY cluster_id
+""")
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster retention policy: the longest member
+    survives (ties -> lowest id), everything else is dropped. This is
+    the decision a training-data pipeline actually executes; the
+    anti-join of the corpus against the dropped set is a trivial
+    composition on top."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    labels = connected_components(verified_edges(docs))
+    sized = (labels.join(docs.select("doc_id", F.length("text").alias("text_len")),
+                         labels.id == F.col("doc_id"))
+                   .select(F.col("label").alias("cluster_id"), "id", "text_len"))
+    w = W.partitionBy("cluster_id")
+    ranked = (sized
+              .withColumn("rk", F.row_number().over(
+                  w.orderBy(F.desc("text_len"), "id")))
+              .withColumn("n_members", F.count("*").over(w)))
+    return (ranked.where(F.col("rk") == 1)
+                  .select("cluster_id", F.col("id").alias("keep_id"),
+                          F.col("text_len").alias("keep_len"), "n_members",
+                          (F.col("n_members") - 1).alias("n_dropped"))
+                  .orderBy("cluster_id"))
