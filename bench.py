@@ -39,7 +39,7 @@ HEADLINE = [
     "repetition_score", "pack_context_windows",
     "bq_hamming_knn", "matryoshka_knn", "maxsim_knn", "more_like_this",
     "fuzzy_search", "decontaminate", "pii_redact", "geo_radius_search",
-    "dedup_clusters",
+    "dedup_clusters", "lm_bigram_quality", "events_retention",
 ]
 
 

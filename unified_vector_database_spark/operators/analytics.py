@@ -703,3 +703,74 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("purchase_id")
              .agg(F.count("click_id").alias("n_clicks"))
              .orderBy("purchase_id"))
+
+
+@register("extended_stats", oracle="""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+         sum(CAST(value AS DECIMAL(18,2))) AS s1,
+         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+  FROM events GROUP BY event_type)
+SELECT event_type, n, min_v, max_v,
+       CAST(s1 AS DOUBLE) AS sum_v,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS avg_v,
+       round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             / (n - 1), 6) AS var_v
+FROM s ORDER BY event_type
+""")
+def extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation: count/min/max/sum/avg/variance
+    per bucket in ONE partial-agg'd pass. Sums accumulate as exact
+    cents-decimals (order-independent) and the variance is derived
+    from the two exact moments with identical double arithmetic on
+    both engines — bit-stable under any partitioning, which a naive
+    var_samp over doubles is not."""
+    ev = tables.load(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    s = (ev.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.min("value"), 6).alias("min_v"),
+                F.round(F.max("value"), 6).alias("max_v"),
+                F.sum(vd).alias("s1"),
+                F.sum(vd * vd).alias("s2")))
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return (s.select("event_type", "n", "min_v", "max_v",
+                     s1d.alias("sum_v"),
+                     F.round(s1d / F.col("n"), 6).alias("avg_v"),
+                     F.round((s2d - s1d * s1d / F.col("n"))
+                             / (F.col("n") - 1), 6).alias("var_v"))
+             .orderBy("event_type"))
+
+
+@register("events_retention", oracle="""
+WITH cohort AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+       date_diff('day', c.cohort_week, a.active_week) // 7 AS week_offset,
+       count(*) AS n_users
+FROM cohort c JOIN activity a USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted in every later week they return. Two partial-agg'd passes
+    over events plus one join that is co-keyed on user_id — the
+    classic product-analytics rollup (Mixpanel/Amplitude class) at
+    warehouse scale. Both week columns are week-truncated, so the
+    day-difference is an exact multiple of 7 and the integer divide
+    is lossless on both engines."""
+    ev = tables.load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    cohort = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (cohort.join(activity, "user_id")
+                  .groupBy(F.to_date("cohort_week").alias("cohort_week"),
+                           F.floor(F.datediff("active_week", "cohort_week") / 7)
+                            .alias("week_offset"))
+                  .agg(F.count("*").alias("n_users"))
+                  .orderBy("cohort_week", "week_offset"))

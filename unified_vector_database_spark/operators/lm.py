@@ -1,0 +1,72 @@
+"""Bigram language-model quality scoring (SURVEY §2.6 extension).
+
+Reference analog: CCNet / GPT-3-class pipelines score every document
+with a small LM and drop the high-perplexity tail. The engine-native
+version is a self-trained corpus bigram model: P(w2|w1) estimated by
+corpus counts, each document scored by its mean bigram log-probability
+(low = gibberish / boilerplate, high = fluent corpus-typical text).
+
+Scale shape: one token explode (map-side), bigram + unigram counts as
+partial-agg'd groupBys (vocabulary-sized outputs, tiny vs the corpus),
+then the scoring join back to the bigram stream is co-keyed on
+(w1, w2) / (w1) — plain equi-joins whose key cardinality is the
+vocabulary, with AQE handling the stopword-pair skew. No windows over
+the corpus, no driver state: the "model" never leaves the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..functions.text import exploded_tokens
+from ..registry import register
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS token,
+         generate_subscripts(list_filter(string_split(trim(text), ' '), t -> t <> ''), 1) AS pos
+  FROM documents),
+big AS (
+  SELECT doc_id, token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok),
+b AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL)
+"""
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) one row per bigram OCCURRENCE (not distinct —
+    LM counts need multiplicity, unlike the dedup shingle sets)."""
+    tok = exploded_tokens(docs, "doc_id", "text")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (tok.select("doc_id",
+                       F.col("token").alias("w1"),
+                       F.lead("token").over(w).alias("w2"))
+               .where(F.col("w2").isNotNull()))
+
+
+@register("lm_bigram_quality", oracle=f"""
+WITH {_TOK_CTE},
+bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+uc AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(c12 * 1.0 / c1)), 6) AS avg_logprob
+FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY b.doc_id ORDER BY b.doc_id
+""")
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus
+    bigram model. Docs with fewer than 2 tokens carry no bigrams and
+    drop out (both engines agree)."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    b = doc_bigrams(docs).cache()  # feeds counts AND the scoring pass
+    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = b.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (b.join(bc, ["w1", "w2"]).join(uc, ["w1"])
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_bigrams"),
+                  F.round(F.avg(F.log(F.col("c12") / F.col("c1"))), 6)
+                   .alias("avg_logprob"))
+             .orderBy("doc_id"))
