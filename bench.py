@@ -40,6 +40,7 @@ HEADLINE = [
     "bq_hamming_knn", "matryoshka_knn", "maxsim_knn", "more_like_this",
     "fuzzy_search", "decontaminate", "pii_redact", "geo_radius_search",
     "dedup_clusters", "lm_bigram_quality", "events_retention",
+    "bm25_pruned_search",
 ]
 
 
