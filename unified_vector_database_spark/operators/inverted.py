@@ -139,9 +139,23 @@ def bm25_pruned_search(spark: SparkSession, sf_dir: str,
     impact = (F.col("tf") * (BM25_K1 + 1.0)
               / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
                  + BM25_B * F.col("dl") / F.col("avgdl"))))
+    # Two-phase salted top-N: a term can match an unbounded share of
+    # the corpus (stopwords), so a window partitioned on `term` alone
+    # would funnel it into one task. Phase 1 ranks within (term, salt)
+    # — bounded, uniform partitions — phase 2 re-ranks the surviving
+    # terms × SALT × N rows. Identical result to the direct window
+    # (every global top-N posting is its salt partition's top-N), with
+    # no partition ever exceeding max(corpus/SALT, SALT*N) rows. In
+    # the materialized layout the postings are stored impact-sorted,
+    # so the query-time cut is a prefix read and no window runs at all.
+    salt = F.pmod(F.hash("doc_id"), F.lit(16))
+    local_rk = F.row_number().over(
+        W.partitionBy("term", "salt").orderBy(impact.desc(), "doc_id"))
     rk = F.row_number().over(W.partitionBy("term")
                               .orderBy(impact.desc(), "doc_id"))
     cand = (tf.crossJoin(F.broadcast(stats))
+              .withColumn("salt", salt)
+              .withColumn("lrk", local_rk).where(F.col("lrk") <= impact_n)
               .withColumn("rk", rk).where(F.col("rk") <= impact_n)
               .select("doc_id").distinct())
     scored = _bm25_on(tf.join(F.broadcast(cand), "doc_id"), stats, df)
