@@ -1,0 +1,178 @@
+"""Unified search facade — the "one request API over every backend"
+that IS the reference's product (reference README.md:88-91: the app
+selects a backend via `VECTOR_DB=chroma|elastic|milvus|qdrant|
+weaviate|faiss` behind a single client surface). Here the one backend
+is Spark, and a request spec compiles to ONE declarative DataFrame
+plan that Catalyst optimizes end to end.
+
+Spec shape (the common denominator of the Qdrant/Milvus/Weaviate
+query DSLs — every key optional except `limit` defaults):
+
+    {
+      "vector": [..float..],          # dense query vector
+      "metric": "cosine"|"dot"|"l2",  # default cosine
+      "limit": 10, "offset": 0,
+      "score_threshold": 0.25,        # radius / min_score knob
+      "filter": {
+        "must":     [{"key": "label", "match": 3},
+                     {"key": "vec_id", "range": {"gte": 0, "lt": 400}},
+                     {"key": "label", "any": [1, 2, 3]}],
+        "must_not": [ ...same condition forms... ],
+      },
+      "group_by": {"key": "label", "group_size": 2},
+      "with_payload": ["label"],      # extra columns to return
+    }
+
+Compilation rules (scale posture):
+- filter conditions become `where` clauses BELOW the scorer, so
+  Catalyst pushes them into the parquet scan (plan-asserted in
+  tests/test_api.py);
+- the query vector is one broadcast row; scoring is map-side JVM
+  arithmetic (functions/distance.py) — never a UDF;
+- plain top-k compiles to TakeOrderedAndProject; `group_by` ranks
+  inside a window PARTITIONED by the group key (bounded partitions);
+  `offset` pages through a rank window over the top slice only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .functions import distance as D
+from .registry import register
+
+_ASC_METRICS = {m for m, asc in D.ASCENDING.items() if asc}
+
+
+def _condition(c: dict) -> Column:
+    col = F.col(c["key"])
+    if "match" in c:
+        return col == F.lit(c["match"])
+    if "any" in c:
+        return col.isin(*c["any"])
+    if "range" in c:
+        r, parts = c["range"], []
+        ops = {"gte": col.__ge__, "gt": col.__gt__,
+               "lte": col.__le__, "lt": col.__lt__}
+        for name, op in ops.items():
+            if name in r:
+                parts.append(op(F.lit(r[name])))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
+    raise ValueError(f"unknown condition {c!r}")
+
+
+def compile_filter(spec: dict | None) -> Column | None:
+    if not spec:
+        return None
+    out = None
+    for c in spec.get("must", ()):
+        cond = _condition(c)
+        out = cond if out is None else out & cond
+    for c in spec.get("must_not", ()):
+        cond = ~_condition(c)
+        out = cond if out is None else out & cond
+    return out
+
+
+def search(corpus: DataFrame, spec: dict,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Compile a unified request spec against a corpus DataFrame (a
+    `Collection.read()` result or any frame with an id + vector
+    column) into a single declarative plan."""
+    metric = spec.get("metric", "cosine")
+    limit = int(spec.get("limit", 10))
+    offset = int(spec.get("offset", 0))
+    payload = tuple(spec.get("with_payload", ()))
+
+    df = corpus
+    pred = compile_filter(spec.get("filter"))
+    if pred is not None:
+        df = df.where(pred)
+
+    group = spec.get("group_by")
+    if group and group["key"] not in payload:
+        payload = (*payload, group["key"])
+    cols = [F.col(id_col), *[F.col(p) for p in payload]]
+    if "vector" in spec:
+        if metric not in D.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        qvec = F.array(*[F.lit(float(x)) for x in spec["vector"]])
+        score = D.METRICS[metric](D.vec_double(vec_col), qvec)
+        df = df.select(*cols, score.alias("score"))
+        if "score_threshold" in spec:
+            thr = float(spec["score_threshold"])
+            df = df.where(F.col("score") <= thr if metric in _ASC_METRICS
+                          else F.col("score") >= thr)
+        order = (F.col("score").asc() if metric in _ASC_METRICS
+                 else F.col("score").desc())
+        if group:
+            w = (W.partitionBy(group["key"])
+                  .orderBy(order, F.col(id_col)))
+            return (df.withColumn("rank", F.row_number().over(w))
+                      .where(F.col("rank") <= int(group.get("group_size", 1))))
+        if offset:
+            # page via the bounded-ranks shape (hybrid.bounded_ranks):
+            # TakeOrdered cuts to offset+limit rows first, then an
+            # array-sort ranks them with NO window operator — a global
+            # rank window would run single-partition even over the
+            # bounded slice (Catalyst folds literal partition keys)
+            top = df.orderBy(order, F.col(id_col)).limit(offset + limit)
+            sign = 1.0 if metric in _ASC_METRICS else -1.0
+            arr = top.agg(F.array_sort(F.collect_list(F.struct(
+                (F.col("score") * sign).alias("_ns"),
+                F.col(id_col).alias("_id"),
+                F.struct("score", *payload).alias("_row")))).alias("a"))
+            return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+                       .where(F.col("_pos") >= offset)
+                       .select(F.col("_s._id").alias(id_col),
+                               *[F.col(f"_s._row.{p}").alias(p)
+                                 for p in payload],
+                               F.col("_s._row.score").alias("score")))
+        return df.orderBy(order, F.col(id_col)).limit(limit)
+
+    # no vector: a filtered scan (scroll page, deterministic order)
+    return df.select(*cols).orderBy(id_col).limit(limit)
+
+
+# ---- driver-checked facade query: the full spec surface in one run ----
+
+_COS = ("list_dot_product(embedding::DOUBLE[], qvec)"
+        "/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "*sqrt(list_dot_product(qvec, qvec)))")
+
+
+@register("unified_search", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, {_COS} AS score
+FROM embeddings, q
+WHERE label IN (1, 2, 3) AND label <> 2
+  AND vec_id >= 10 AND vec_id < 400
+  AND {_COS} >= 0.1
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def unified_search(spark, sf_dir: str):
+    """The facade exercised end to end: must/must_not/range filter +
+    cosine knn + score threshold + payload, compiled from one request
+    spec. The query vector is fetched as the API's caller would pass
+    it (a 64-float literal — its values are the float32 bits both
+    engines widen identically)."""
+    from . import tables
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    [qrow] = emb.where(F.col("vec_id") == 0).collect()
+    spec = {
+        "vector": [float(x) for x in qrow.embedding],
+        "metric": "cosine",
+        "limit": 10,
+        "score_threshold": 0.1,
+        "with_payload": ["label"],
+        "filter": {
+            "must": [{"key": "label", "any": [1, 2, 3]},
+                     {"key": "vec_id", "range": {"gte": 10, "lt": 400}}],
+            "must_not": [{"key": "label", "match": 2}],
+        },
+    }
+    return search(emb, spec)

@@ -29,6 +29,7 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every operator module for its registration side effects."""
+    from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, geo, hybrid, index, inverted,
         knn, lm, multimodal, percolate, rerank, simhash, simjoin, sparse,
