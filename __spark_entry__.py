@@ -36,41 +36,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable flagships. Unmodified r1-green queries sit at the tail; their
 # r1 rows remain the evidence of record.
 _PRIORITY = [
-    # (a) no driver row in r1
-    "facet_counts", "scroll_by_cursor", "count_by_filter",
-    "knn_multi_vector", "knn_facets", "batch_knn_filtered", "binary_meta",
-    "mmr_rerank", "dedup_simhash", "simhash_pairs", "term_tf",
-    "tfidf_topterms", "token_stats", "lang_id", "quality_score",
-    "doc_fingerprint", "chunk_sliding", "hash_sample", "hash_split_counts",
-    "stratified_sample", "q7_nation_volume", "q8_market_share",
-    "q9_profit_by_nation", "q13_order_distribution", "q15_top_supplier",
-    "q17_small_qty_revenue", "q21_solo_returner", "q22_idle_customers",
-    # (b) r1 hash-fails, fixed to double outputs
-    "events_hourly", "q10_returned_revenue", "q19_bracket_filters",
-    "events_multires_rollup",
-    # (c) changed this round (decimal policy / micros gap / candidates)
-    "q1_pricing", "q3_topurgent", "q5_region_volume",
-    "q6_forecast_revenue", "q14_promo_share", "events_sessionized",
-    "hybrid_rrf", "hybrid_weighted",
-    # (d) new in r2, ordered by importance — the driver's budget ran
-    # out near entry 50 in r1, so the ops past that line are expected
-    # to rotate into coverage next round; oracle-backed entries first
-    # (hash-green rows are stronger evidence than rows-only smoke)
-    "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
-    "matryoshka_knn", "decontaminate", "pii_redact", "events_funnel",
-    "clean_normalize", "geo_radius_search", "scroll_order_by",
-    # ---- approximate r1 driver budget line (50) ----
+    # (a) registered in r2 but past the driver's ~50-entry budget line
+    # — no CORRECTNESS row yet; these verify first (r3 rotation)
     "maxsim_knn", "more_like_this", "fuzzy_search", "percolate",
-    "significant_terms", "geo_grid_agg",
+    "significant_terms", "geo_grid_agg", "geo_bounding_box", "discover",
     "repetition_score", "pack_context_windows", "corpus_shuffle",
-    "geo_bounding_box", "discover", "sparse_vectors_layout",
-    "ppm_image_features", "q2_min_cost_supplier", "q11_important_parts",
+    "sparse_vectors_layout", "ppm_image_features", "suggest_prefix",
+    "search_highlight", "extended_stats", "events_retention",
+    "recommend_best_score", "unified_search", "dedup_clusters",
+    "dedup_survivors", "lm_bigram_quality", "bm25_pruned_search",
+    "q2_min_cost_supplier", "q11_important_parts",
     "q12_priority_by_returnflag", "q16_supplier_counts",
-    "q20_part_promotion", "lsh_buckets", "sq8_quantize",
+    "q20_part_promotion",
+    # (b) rows-only in r1, upgraded to full oracles in r2 — still no
+    # hash-green row
+    "lsh_buckets", "sq8_quantize",
+    # (c) new in r3
+    "duplicate_spans", "distance_matrix", "events_gap_fill",
+    "events_moving_avg", "wav_audio_features",
+    # (d) rows-only recall-pinned (driver records a weaker rows check)
     "pq_adc_knn", "ivfpq_knn",
-    # (e) stable flagships re-proven if budget allows
-    "knn_cosine", "dedup_exact", "dedup_minhash", "dedup_jaccard",
-    "bm25_search", "asof_click_attribution",
+    # (e) code changed this round (events loader rewritten for the
+    # Spark 4.1 TIMESTAMP_NTZ parquet read) — re-prove the green rows
+    "asof_click_attribution", "events_hourly", "events_multires_rollup",
+    "events_sessionized", "events_percentiles", "events_pivot",
+    "events_props_json", "range_join_attribution", "events_funnel",
+    # (f) stable flagships re-proven if budget allows
+    "knn_cosine", "bm25_search", "dedup_minhash", "q1_pricing",
+    # ---- driver budget line (~50) ----
+    "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
+    "matryoshka_knn", "decontaminate", "pii_redact",
+    "clean_normalize", "geo_radius_search", "scroll_order_by",
+    "hybrid_rrf", "hybrid_weighted", "dedup_exact", "dedup_jaccard",
+    "q3_topurgent", "q5_region_volume", "q6_forecast_revenue",
+    "q14_promo_share", "q10_returned_revenue", "q19_bracket_filters",
 ]
 
 

@@ -81,7 +81,30 @@ def test_group_by_matches_grouped_topk(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
                for v in per_group.values())
     n_labels = corpus.select("label").distinct().count()
-    assert len(per_group) == n_labels
+    assert len(per_group) == min(n_labels, 10)
+
+
+def test_group_by_limit_counts_groups(spark, sf_dir):
+    corpus, v = _corpus(spark, sf_dir), _qvec(spark, sf_dir)
+    rows = search(corpus, {"vector": v, "limit": 3,
+                           "group_by": {"key": "label",
+                                        "group_size": 2}}).collect()
+    labels = [r.label for r in rows]
+    assert len(set(labels)) == 3
+    # deterministic order: groups by best (rank-1) score desc, then
+    # rank inside each group; the best group leads
+    full = search(corpus, {"vector": v, "limit": 100,
+                           "group_by": {"key": "label",
+                                        "group_size": 1}}).collect()
+    best_three = [r.label for r in full[:3]]
+    assert list(dict.fromkeys(labels)) == best_three
+    assert [r.rank for r in rows if r.label == labels[0]] == [1, 2]
+    try:
+        search(corpus, {"vector": v, "limit": 3, "offset": 2,
+                        "group_by": {"key": "label", "group_size": 2}})
+        raise AssertionError("offset+group_by should be rejected")
+    except ValueError:
+        pass
 
 
 def test_no_vector_scroll_page(spark, sf_dir):
@@ -92,6 +115,17 @@ def test_no_vector_scroll_page(spark, sf_dir):
     assert len(rows) == 7
     assert all(r.label == 4 for r in rows)
     assert [r.vec_id for r in rows] == sorted(r.vec_id for r in rows)
+    # offset pages the scroll without overlap, in the same id order
+    page2 = search(corpus, {"limit": 7, "offset": 7,
+                            "with_payload": ["label"],
+                            "filter": {"must": [{"key": "label",
+                                                 "match": 4}]}}).collect()
+    both = search(corpus, {"limit": 14, "with_payload": ["label"],
+                           "filter": {"must": [{"key": "label",
+                                                "match": 4}]}}).collect()
+    assert [r.vec_id for r in rows] + [r.vec_id for r in page2] == \
+        [r.vec_id for r in both]
+    assert all(r.label == 4 for r in page2)
 
 
 def test_compiled_windows_are_partitioned(spark, sf_dir):

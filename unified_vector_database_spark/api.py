@@ -30,8 +30,11 @@ Compilation rules (scale posture):
 - the query vector is one broadcast row; scoring is map-side JVM
   arithmetic (functions/distance.py) — never a UDF;
 - plain top-k compiles to TakeOrderedAndProject; `group_by` ranks
-  inside a window PARTITIONED by the group key (bounded partitions);
-  `offset` pages through a rank window over the top slice only.
+  inside a window PARTITIONED by the group key (bounded partitions),
+  `limit` then counts GROUPS ranked by best hit (Qdrant/Milvus group
+  search) and the ≤limit winner set broadcasts back into the plan;
+  `offset` pages through the bounded top slice only (and is rejected
+  under `group_by`, matching the backends' group-search APIs).
 """
 
 from __future__ import annotations
@@ -109,10 +112,32 @@ def search(corpus: DataFrame, spec: dict,
         order = (F.col("score").asc() if metric in _ASC_METRICS
                  else F.col("score").desc())
         if group:
-            w = (W.partitionBy(group["key"])
-                  .orderBy(order, F.col(id_col)))
-            return (df.withColumn("rank", F.row_number().over(w))
-                      .where(F.col("rank") <= int(group.get("group_size", 1))))
+            if offset:
+                raise ValueError("offset is not supported with group_by "
+                                 "(matches Qdrant/Milvus group search)")
+            # Qdrant/Milvus group-search semantics: `limit` counts
+            # GROUPS, not points. Rank hits inside each group (bounded
+            # partitions — group-key cardinality), then rank groups by
+            # their best hit and keep the top `limit`; the winner set
+            # is ≤limit rows so it broadcasts back into the plan, and
+            # the output gets a deterministic (group rank, rank) order.
+            gkey = group["key"]
+            w = W.partitionBy(gkey).orderBy(order, F.col(id_col))
+            ranked = (df.withColumn("rank", F.row_number().over(w))
+                        .where(F.col("rank")
+                               <= int(group.get("group_size", 1))))
+            gorder = (F.col("_gbest").asc() if metric in _ASC_METRICS
+                      else F.col("_gbest").desc())
+            top_groups = (ranked.where(F.col("rank") == 1)
+                                .select(F.col(gkey).alias("_gk"),
+                                        F.col("score").alias("_gbest"),
+                                        F.col(id_col).alias("_gid"))
+                                .orderBy(gorder, "_gid")
+                                .limit(limit))
+            return (ranked.join(F.broadcast(top_groups),
+                                F.col(gkey) == F.col("_gk"))
+                          .orderBy(gorder, "_gid", "rank")
+                          .drop("_gk", "_gbest", "_gid"))
         if offset:
             # page via the bounded-ranks shape (hybrid.bounded_ranks):
             # TakeOrdered cuts to offset+limit rows first, then an
@@ -133,8 +158,20 @@ def search(corpus: DataFrame, spec: dict,
                                F.col("_s._row.score").alias("score")))
         return df.orderBy(order, F.col(id_col)).limit(limit)
 
-    # no vector: a filtered scan (scroll page, deterministic order)
-    return df.select(*cols).orderBy(id_col).limit(limit)
+    # no vector: a filtered scroll page in id order; offset pages via
+    # the bounded-ranks shape (TakeOrdered to offset+limit rows, then
+    # array-sort ranks the slice — no unpartitioned window)
+    page = df.select(*cols).orderBy(id_col).limit(offset + limit)
+    if not offset:
+        return page
+    arr = page.agg(F.array_sort(F.collect_list(F.struct(
+        F.col(id_col).alias("_id"),
+        F.struct(*payload).alias("_row") if payload
+        else F.lit(0).alias("_row")))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+               .where(F.col("_pos") >= offset)
+               .select(F.col("_s._id").alias(id_col),
+                       *[F.col(f"_s._row.{p}").alias(p) for p in payload]))
 
 
 # ---- driver-checked facade query: the full spec surface in one run ----

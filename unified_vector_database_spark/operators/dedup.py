@@ -301,18 +301,23 @@ def verified_edges(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, cluster_id) for every node in `edges`, cluster_id = min
-    node id reachable — iterative min-label propagation.
+    node id reachable — min-label propagation WITH pointer doubling.
+
+    Each round folds in (a) neighbour labels (one hop along an edge)
+    and (b) the label of the node's current label (a pointer jump), so
+    a label that has travelled d hops travels ~2d next round — true
+    O(log diameter) convergence, not the O(diameter) of plain
+    propagation (a 1000-doc chain converges in ~10 rounds, not 1000).
 
     Scale shape: the edge set is O(near-dup pairs), orders of
-    magnitude smaller than the corpus, and each round is one
-    co-keyed join + partial-agg min whose shuffle key (src) is
-    reusable round to round. Rounds needed = O(log diameter) of the
-    dup graph (near-dup components are shallow in practice — the
-    GPT-3/RefinedWeb pipelines report small cluster diameters).
-    localCheckpoint truncates lineage between rounds (on a real
+    magnitude smaller than the corpus, and each round is two co-keyed
+    joins + one partial-agg min whose shuffle key is reusable round to
+    round. localCheckpoint truncates lineage between rounds (on a real
     cluster: `checkpoint` to stable storage every few rounds). The
     driver reads only a 1-long "did anything change" count per round,
-    never data.
+    never data. Raises if max_iter rounds pass without a fixpoint —
+    a silently split cluster would diverge from the transitive-closure
+    oracle, so non-convergence must be loud.
     """
     und = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
                .union(edges.select(F.col("id_b").alias("src"),
@@ -324,7 +329,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     for _ in range(max_iter):
         prop = (und.join(labels, und.src == labels.id)
                    .select(F.col("dst").alias("id"), "label"))
-        new = (labels.union(prop)
+        hop = (labels.alias("a")
+                     .join(labels.alias("b"),
+                           F.col("a.label") == F.col("b.id"))
+                     .select(F.col("a.id").alias("id"),
+                             F.col("b.label").alias("label")))
+        new = (labels.union(prop).union(hop)
                      .groupBy("id").agg(F.min("label").alias("label"))
                      .localCheckpoint())
         changed = (new.alias("n")
@@ -333,8 +343,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                       .count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the duplicate graph is deeper than expected — raise max_iter")
 
 
 @register("dedup_clusters", oracle=f"""

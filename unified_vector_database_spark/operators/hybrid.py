@@ -469,7 +469,11 @@ def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", fg.alias("is_fg"),
                       F.explode(F.array_distinct(tokens("text")))
                        .alias("term"))
-    totals = (docs.agg(
+    # totals over documents WITH at least one token — the oracle counts
+    # DISTINCT doc_id from the exploded token stream, which silently
+    # drops empty/whitespace-only docs; mirror that here so the lift
+    # denominators agree on any corpus, not just token-full ones
+    totals = (docs.where(F.size(tokens("text")) > 0).agg(
         F.count("*").alias("bg_total"),
         F.count_if(fg).alias("fg_total")))
     per = (tok.groupBy("term")

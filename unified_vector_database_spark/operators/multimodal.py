@@ -175,6 +175,123 @@ def synth_ppm(docs: DataFrame) -> DataFrame:
                        payload.alias("payload"))
 
 
+# ----------------------------------------------------- real WAV decode
+
+WAV_N_SAMPLES = 32  # 4 md5 digests = 64 bytes = 32 int16 LE samples
+WAV_RATE = 8000
+
+# canonical 44-byte PCM WAV header for mono/16-bit/8kHz/64-byte data:
+# RIFF <36+64 LE32> WAVE fmt <16 LE32> <fmt=1 ch=1 LE16s>
+# <rate LE32> <byterate LE32> <align=2 LE16> <bits=16 LE16> data <64 LE32>
+WAV_HEADER_HEX = ("52494646" "64000000" "57415645" "666d7420"
+                  "10000000" "0100" "0100" "401f0000" "803e0000"
+                  "0200" "1000" "64617461" "40000000")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode, no external libs: parse the RIFF/WAVE
+    container (chunk walk), read the fmt chunk (PCM format, channels,
+    sample rate, bit depth) via struct, and pull the int16 LE PCM
+    samples from the data chunk — the byte-level work `wave` +
+    `audioop` would do. Features: RMS energy, peak amplitude,
+    zero-crossing count (the standard cheap audio-quality triple)."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byterate, _align, bits = fmt
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError("only mono 16-bit PCM supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[:2 * n])
+    sq = sum(s * s for s in samples)
+    rms = round((sq / n) ** 0.5, 6)
+    peak = max(abs(s) for s in samples)
+    zc = sum(1 for i in range(1, n)
+             if (samples[i - 1] < 0) != (samples[i] < 0))
+    return {"sample_rate": rate, "n_samples": n, "rms": rms,
+            "peak": peak, "zero_cross": zc}
+
+
+def wav_features_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = [decode_wav(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "sample_rate": [r["sample_rate"] for r in rows],
+            "n_samples": [r["n_samples"] for r in rows],
+            "rms": [r["rms"] for r in rows],
+            "peak": [r["peak"] for r in rows],
+            "zero_cross": [r["zero_cross"] for r in rows],
+        })
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic mono/16-bit/8kHz WAV payloads built JVM-side:
+    literal RIFF header + 64 PCM bytes from four md5 digests of the
+    doc text — real playable audio files, zero Python in the synth."""
+    hexpcm = F.concat(F.md5("text"),
+                      F.md5(F.concat("text", F.lit("a"))),
+                      F.md5(F.concat("text", F.lit("b"))),
+                      F.md5(F.concat("text", F.lit("c"))))
+    payload = F.concat(F.unhex(F.lit(WAV_HEADER_HEX)), F.unhex(hexpcm))
+    return docs.select(F.col("doc_id").alias("media_id"),
+                       payload.alias("payload"))
+
+
+# signed int16 LE from two hex-pair bytes: ((lo + 256*hi + 32768) %
+# 65536) - 32768 folds the unsigned word into two's-complement
+_WAV_S = ("list_transform(range(0, 32), j -> "
+          "((('0x' || substr(hex, j*4+1, 2))::INT "
+          "+ 256 * ('0x' || substr(hex, j*4+3, 2))::INT "
+          "+ 32768) % 65536) - 32768)")
+
+
+@register("wav_audio_features", oracle=f"""
+WITH hx AS (
+  SELECT doc_id,
+         md5(text) || md5(text || 'a') || md5(text || 'b')
+                   || md5(text || 'c') AS hex
+  FROM documents),
+s AS (SELECT doc_id, {_WAV_S} AS smp FROM hx)
+SELECT doc_id AS media_id,
+       {WAV_RATE} AS sample_rate, {WAV_N_SAMPLES} AS n_samples,
+       round(sqrt(list_sum(list_transform(smp, x -> x * x * 1.0))
+                  / {WAV_N_SAMPLES}), 6) AS rms,
+       list_max(list_transform(smp, x -> abs(x))) AS peak,
+       list_sum(list_transform(range(1, {WAV_N_SAMPLES}),
+         i -> CASE WHEN (smp[i] < 0) <> (smp[i+1] < 0)
+                   THEN 1 ELSE 0 END))::BIGINT AS zero_cross
+FROM s ORDER BY media_id
+""")
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio pipeline: synthesize RIFF/WAVE PCM
+    binaries from the corpus (JVM), decode them in an Arrow-batched
+    kernel (chunk walk + fmt parse + int16 samples), emit RMS / peak /
+    zero-crossing features, and hash-check against an oracle that
+    recomputes the PCM from the same md5 hex — proving the container
+    round-trip AND the decoder."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    media = synth_wav(docs)
+    feats = media.mapInPandas(
+        wav_features_batches,
+        schema=("media_id long, sample_rate int, n_samples int, "
+                "rms double, peak int, zero_cross bigint"))
+    return feats.orderBy("media_id")
+
+
 @register("ppm_image_features", oracle=f"""
 WITH hx AS (
   SELECT doc_id,

@@ -32,6 +32,6 @@ def load_all() -> None:
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, geo, hybrid, index, inverted,
-        knn, lm, multimodal, percolate, rerank, simhash, simjoin, sparse,
-        suggest, textops, tpch_extra, tpch_more,
+        knn, lm, matrix, multimodal, percolate, rerank, simhash, simjoin,
+        spans, sparse, suggest, textops, timeseries, tpch_extra, tpch_more,
     )

@@ -38,15 +38,33 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str,
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS, not-UTC-adjusted): Spark has
-    # no nanos timestamp type, so read nanos-as-long and floor-convert
-    # to microseconds (exact: generator emits µs-precision instants).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.ts is parquet TIMESTAMP(not-UTC-adjusted) at NANOS or
+    # MICROS precision depending on the generator. Spark-version
+    # spread: pre-4.1 needs nanosAsLong for the NANOS files (read
+    # bigint, floor-convert); 4.1+ ignores that conf and reads BOTH
+    # layouts as TIMESTAMP_NTZ. Normalize every path to one canonical
+    # TIMESTAMP (instant = wall clock @ UTC) so downstream unix_micros
+    # / window math is identical regardless of Spark version AND of
+    # the driver session's time zone.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # removed in newer Sparks
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         # integer DIV, not double /: nanos ~1.7e18 exceed double's 2^53
         # exact-integer range, so a float division garbles the low
         # microsecond digits (caught by the asof join's exact-µs oracle)
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # NTZ wall clock -> absolute instant at UTC via pure wall-clock
+        # arithmetic (timestampdiff on NTZ pairs) — a plain CAST would
+        # route through the session time zone and shift the instant on
+        # non-UTC drivers
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
     return df
