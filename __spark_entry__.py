@@ -53,7 +53,7 @@ _PRIORITY = [
     "lsh_buckets", "sq8_quantize",
     # (c) new in r3
     "duplicate_spans", "distance_matrix", "events_gap_fill",
-    "events_moving_avg", "wav_audio_features",
+    "events_moving_avg", "wav_audio_features", "stateful_topk_stream",
     # (d) rows-only recall-pinned (driver records a weaker rows check)
     "pq_adc_knn", "ivfpq_knn",
     # (e) code changed this round (events loader rewritten for the
@@ -62,7 +62,7 @@ _PRIORITY = [
     "events_sessionized", "events_percentiles", "events_pivot",
     "events_props_json", "range_join_attribution", "events_funnel",
     # (f) stable flagships re-proven if budget allows
-    "knn_cosine", "bm25_search", "dedup_minhash", "q1_pricing",
+    "knn_cosine", "bm25_search", "dedup_minhash",
     # ---- driver budget line (~50) ----
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
     "matryoshka_knn", "decontaminate", "pii_redact",

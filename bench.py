@@ -41,6 +41,8 @@ HEADLINE = [
     "fuzzy_search", "decontaminate", "pii_redact", "geo_radius_search",
     "dedup_clusters", "lm_bigram_quality", "events_retention",
     "bm25_pruned_search",
+    "duplicate_spans", "distance_matrix", "events_gap_fill",
+    "events_moving_avg", "wav_audio_features",
 ]
 
 

@@ -319,31 +319,43 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     a silently split cluster would diverge from the transitive-closure
     oracle, so non-convergence must be loud.
     """
-    und = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
-               .union(edges.select(F.col("id_b").alias("src"),
-                                   F.col("id_a").alias("dst"))) \
-               .localCheckpoint()
+    # materialize the edge pipeline ONCE (the union below would
+    # otherwise evaluate it twice), then mirror on the checkpointed
+    # frame; the loop frames are edge-set-sized (orders of magnitude
+    # below the corpus), so the per-round cost is job latency, not
+    # data — keep partition counts at the edge frame's own width
+    e = edges.localCheckpoint()
+    und = (e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .union(e.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+            .localCheckpoint())
     labels = (und.select(F.col("src").alias("id")).distinct()
                  .withColumn("label", F.col("id"))
                  .localCheckpoint())
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         prop = (und.join(labels, und.src == labels.id)
                    .select(F.col("dst").alias("id"), "label"))
-        hop = (labels.alias("a")
-                     .join(labels.alias("b"),
-                           F.col("a.label") == F.col("b.id"))
-                     .select(F.col("a.id").alias("id"),
-                             F.col("b.label").alias("label")))
-        new = (labels.union(prop).union(hop)
-                     .groupBy("id").agg(F.min("label").alias("label"))
-                     .localCheckpoint())
-        changed = (new.alias("n")
-                      .join(labels.alias("o"), "id")
-                      .where(F.col("n.label") != F.col("o.label"))
-                      .count())
+        grow = labels.union(prop)
+        if rnd > 0:
+            # pointer jump — a no-op in round 0 (labels are identity)
+            hop = (labels.alias("a")
+                         .join(labels.alias("b"),
+                               F.col("a.label") == F.col("b.id"))
+                         .select(F.col("a.id").alias("id"),
+                                 F.col("b.label").alias("label")))
+            grow = grow.union(hop)
+        new = (grow.groupBy("id").agg(F.min("label").alias("label"))
+                   .localCheckpoint())
+        if rnd > 0:
+            # round 0 always changes something on a non-empty edge set;
+            # start fixpoint checks once labels can have stabilized
+            changed = (new.alias("n")
+                          .join(labels.alias("o"), "id")
+                          .where(F.col("n.label") != F.col("o.label"))
+                          .count())
+            if changed == 0:
+                return new
         labels = new
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the duplicate graph is deeper than expected — raise max_iter")

@@ -35,3 +35,4 @@ def load_all() -> None:
         knn, lm, matrix, multimodal, percolate, rerank, simhash, simjoin,
         spans, sparse, suggest, textops, timeseries, tpch_extra, tpch_more,
     )
+    from .streaming import stateful  # noqa: F401

@@ -78,7 +78,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tunings to an externally provided session
     (the correctness driver passes its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # removed in newer Sparks (4.1 reads nanos as NTZ natively)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # AQE coalesces batch shuffles at runtime, but STREAMING state
+    # partitioning is pinned at the first micro-batch from this conf —
+    # the vanilla default (200) would give the stateful operators 200
+    # near-empty state tasks per batch on local[32]
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(spark.sparkContext.defaultParallelism))
     _ship_package(spark)
     return spark

@@ -8,15 +8,21 @@ O(keys * k) forever.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
 from pyspark.sql.types import (
     ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
+
+from .. import tables
+from ..registry import register
 
 OUTPUT_SCHEMA = StructType([
     StructField("key", StringType()),
@@ -58,3 +64,38 @@ def running_topk(stream: DataFrame, key_col: str = "event_type",
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+@register("stateful_topk_stream", oracle="""
+SELECT event_type AS key,
+       list(value ORDER BY value DESC)[1:3] AS topk,
+       count(*) AS n_seen
+FROM events GROUP BY event_type ORDER BY key
+""")
+def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 driven end-to-end for the correctness gate: replay events as
+    a multi-batch file stream (maxFilesPerTrigger=1 -> 4 incremental
+    state updates), run the REAL applyInPandasWithState running-top-k,
+    and reduce the update-mode emissions to each key's final state
+    (max_by on the monotone n_seen). The oracle is the batch fixpoint
+    — per-key top-3 values + total count — so the streaming state
+    machine is hash-checked, not just smoke-run."""
+    import tempfile
+    import uuid
+
+    ev = tables.load_events(spark, sf_dir).select("event_type", "value")
+    src = os.path.join(tempfile.gettempdir(),
+                       f"uvdb_topk_src_{abs(hash(sf_dir)) % 10 ** 8}")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("event_type string, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = "uvdb_topk_" + uuid.uuid4().hex[:8]
+    q = (running_topk(stream).writeStream.format("memory")
+         .queryName(name).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .groupBy("key")
+            .agg(F.max_by("topk", "n_seen").alias("topk"),
+                 F.max("n_seen").alias("n_seen"))
+            .orderBy("key"))
