@@ -54,6 +54,7 @@ _PRIORITY = [
     # (c) new in r3
     "duplicate_spans", "distance_matrix", "events_gap_fill",
     "events_moving_avg", "wav_audio_features", "stateful_topk_stream",
+    "hybrid_tri_fusion", "near_text_move", "vocab_coverage",
     # (d) rows-only recall-pinned (driver records a weaker rows check)
     "pq_adc_knn", "ivfpq_knn",
     # (e) code changed this round (events loader rewritten for the
@@ -61,9 +62,8 @@ _PRIORITY = [
     "asof_click_attribution", "events_hourly", "events_multires_rollup",
     "events_sessionized", "events_percentiles", "events_pivot",
     "events_props_json", "range_join_attribution", "events_funnel",
-    # (f) stable flagships re-proven if budget allows
-    "knn_cosine", "bm25_search", "dedup_minhash",
     # ---- driver budget line (~50) ----
+    "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
     "matryoshka_knn", "decontaminate", "pii_redact",
     "clean_normalize", "geo_radius_search", "scroll_order_by",

@@ -42,7 +42,8 @@ HEADLINE = [
     "dedup_clusters", "lm_bigram_quality", "events_retention",
     "bm25_pruned_search",
     "duplicate_spans", "distance_matrix", "events_gap_fill",
-    "events_moving_avg", "wav_audio_features",
+    "events_moving_avg", "wav_audio_features", "hybrid_tri_fusion",
+    "near_text_move", "vocab_coverage",
 ]
 
 

@@ -788,3 +788,58 @@ def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("vec_id", "label", score.alias("score"))
                   .orderBy(F.desc("score"), "vec_id")
                   .limit(10))
+
+
+# ---------------------------------------------------- near-object + move
+
+MOVE_TO = 0.35    # Weaviate moveTo.force
+MOVE_AWAY = 0.25  # Weaviate moveAwayFrom.force
+
+
+@register("near_text_move", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
+t0 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 9),
+t1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 23),
+aw AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 77),
+t AS (SELECT list_transform(range(1, 65),
+             i -> q.v[i] + {MOVE_TO} * (t0.v[i] + t1.v[i]) / 2.0
+                  - {MOVE_AWAY} * aw.v[i]) AS qvec
+      FROM q, t0, t1, aw)
+SELECT vec_id, label,
+       list_dot_product(embedding::DOUBLE[], qvec)
+       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(list_dot_product(qvec, qvec))) AS score
+FROM embeddings, t
+WHERE vec_id NOT IN (0, 9, 23, 77)
+ORDER BY score DESC, vec_id
+LIMIT 10
+""")
+def near_text_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate nearText/nearObject with moveTo / moveAwayFrom: the
+    query vector is nudged toward the centroid of the move-to objects
+    (force {MOVE_TO}) and away from the move-away object (force
+    {MOVE_AWAY}) BEFORE the search. Distinct from `recommend` (which
+    replaces the query with example arithmetic): here the original
+    query remains the anchor and the forces are dampened refinements.
+    All vector arithmetic happens in one 4-row broadcast; the corpus
+    pass stays a map + TakeOrdered."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def vec_of(vid, name):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias(name)))
+
+    parts = (vec_of(0, "q").crossJoin(vec_of(9, "t0"))
+             .crossJoin(vec_of(23, "t1")).crossJoin(vec_of(77, "aw")))
+    moved = F.zip_with(
+        F.zip_with("q", F.zip_with("t0", "t1", lambda a, b: (a + b) / 2.0),
+                   lambda qq, tt: qq + MOVE_TO * tt),
+        "aw", lambda m, av: m - MOVE_AWAY * av)
+    target = (parts.select(moved.alias("qvec"))
+                   .withColumn("nq", D.norm("qvec")))
+    corpus = (emb.where(~F.col("vec_id").isin(0, 9, 23, 77))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    return knn(corpus, target, k=10, metric="cosine",
+               payload=("label",), score=cosine_score())

@@ -43,7 +43,8 @@ g AS (
            range(1, greatest(len(t) - {SPAN_N - 2}, 1)),
            i -> array_to_string(t[i:i+{SPAN_N - 1}], ' '))) AS grams
   FROM toks),
-ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+ex AS (SELECT doc_id, unnest(list_transform(grams, x -> md5(x))) AS gram
+       FROM g),
 dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 2),
 per AS (
   SELECT ex.doc_id, count(*) AS n_dup
@@ -63,7 +64,11 @@ def span_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     oracle-determinism sort)."""
     g = docs.select("doc_id", ngram_array(F.col("text"), n)
                     .alias("grams"))
-    ex = g.select("doc_id", F.explode("grams").alias("gram"))
+    # fingerprint each window to a fixed 16-byte md5 BEFORE the
+    # shuffle: the groupBy/join keys stay uniform and small no matter
+    # how long the window text is (the oracle hashes identically)
+    ex = g.select("doc_id", F.explode(
+        F.transform("grams", lambda x: F.md5(x))).alias("gram"))
     dup = (ex.groupBy("gram").agg(F.count("*").alias("nd"))
              .where(F.col("nd") >= 2).select("gram"))
     per = (ex.join(dup, "gram")

@@ -208,3 +208,68 @@ def sparse_vectors_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.element_at("indices", -1).alias("max_dim"),
                         F.round(sq, 6).alias("sq_norm"))
                 .orderBy("doc_id"))
+
+
+# --------------------------------------------------- tri-modal RRF fusion
+
+from . import hybrid as _hybrid  # noqa: E402  (no import cycle: hybrid
+from ..constants import RRF_K    # noqa: E402   does not import sparse)
+
+_TRI_ORACLE = f"""
+WITH {_hybrid._BM25_CTE},
+{_hybrid._VEC_CTE},
+{_SPARSE_CTE.strip().rstrip(',').replace('tok AS', 'stok AS').replace('unnest', 'unnest').replace('FROM tok', 'FROM stok')},
+ks AS (SELECT sp.doc_id, round(sum(sp.w * sq.w), 6) AS score
+       FROM sp JOIN sq USING (dim) GROUP BY sp.doc_id
+       HAVING round(sum(sp.w * sq.w), 6) > 0),
+kcand AS (SELECT doc_id, score FROM bm25
+          ORDER BY score DESC, doc_id LIMIT {HYBRID_CANDIDATES}),
+vcand AS (SELECT doc_id, vscore FROM vec
+          ORDER BY vscore DESC, doc_id LIMIT {HYBRID_CANDIDATES}),
+scand AS (SELECT doc_id, score AS sscore FROM ks
+          ORDER BY sscore DESC, doc_id LIMIT {HYBRID_CANDIDATES}),
+kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM kcand),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS r
+       FROM vcand),
+sr AS (SELECT doc_id, row_number() OVER (ORDER BY sscore DESC, doc_id) AS r
+       FROM scand),
+fused AS (
+  SELECT coalesce(kr.doc_id, vr.doc_id, sr.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + kr.r), 0)
+               + coalesce(1.0 / ({RRF_K} + vr.r), 0)
+               + coalesce(1.0 / ({RRF_K} + sr.r), 0), 9) AS rrf_score
+  FROM kr
+  FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id
+  FULL OUTER JOIN sr ON coalesce(kr.doc_id, vr.doc_id) = sr.doc_id)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 15
+"""
+
+
+@register("hybrid_tri_fusion", oracle=_TRI_ORACLE)
+def hybrid_tri_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-modality reciprocal-rank fusion — dense cosine + learned
+    sparse + BM25 keyword in ONE query (Milvus hybrid_search with N
+    AnnSearchRequests + RRFRanker; Qdrant multi-prefetch rrf fusion).
+
+    Scale shape: each modality independently cuts to HYBRID_CANDIDATES
+    via TakeOrdered (corpus-size-independent rank input), ranks via the
+    window-free bounded_ranks array shape, and the fusion is two
+    full-outer joins over <= 3N rows."""
+    kw = _hybrid._candidates(_hybrid.bm25_scores(spark, sf_dir), "score")
+    vec = _hybrid._candidates(_hybrid._vec_scores(spark, sf_dir), "vscore")
+    sp = (sparse_scores(spark, sf_dir)
+          .orderBy(F.desc("score"), "doc_id").limit(HYBRID_CANDIDATES)
+          .withColumnRenamed("score", "sscore"))
+    kr = _hybrid.bounded_ranks(kw, "score", "doc_id", "kr")
+    vr = _hybrid.bounded_ranks(vec, "vscore", "doc_id", "vr")
+    sr = _hybrid.bounded_ranks(sp, "sscore", "doc_id", "sr")
+    contrib = (
+        F.coalesce(1.0 / (RRF_K + F.col("kr")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("sr")), F.lit(0.0)))
+    return (kr.join(vr, "doc_id", "full_outer")
+              .join(sr, "doc_id", "full_outer")
+              .select("doc_id", F.round(contrib, 9).alias("rrf_score"))
+              .orderBy(F.desc("rrf_score"), "doc_id").limit(15))

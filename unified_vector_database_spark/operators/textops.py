@@ -355,3 +355,54 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).alias("rk"))
                 .where(F.col("rk") <= 5)
                 .orderBy("lang", "rk"))
+
+
+# ------------------------------------------------------ vocab coverage
+
+VOCAB_TOP = 50
+
+
+@register("vocab_coverage", oracle=f"""
+WITH tok AS (SELECT unnest({_tok_sql()}) AS term FROM documents),
+cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+tot AS (SELECT sum(n) AS total FROM cnt),
+top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {VOCAB_TOP}),
+r AS (SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term) AS rank,
+             sum(n) OVER (ORDER BY n DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM top)
+SELECT CAST(rank AS INT) AS rank, term, n AS n_tokens,
+       round(cum * 1.0 / total, 6) AS cum_share
+FROM r, tot ORDER BY rank
+""")
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the top-N corpus terms
+    with the cumulative share of all tokens they cover — the standard
+    diagnostic for sizing a vocab / stopword list (what fraction of
+    the stream the first N entries absorb).
+
+    Scale shape: ONE token pass + one partial-agg'd groupBy(term);
+    the curve itself is computed on the TakeOrdered top-N ONLY, and
+    the running sum uses the window-free bounded-array shape (a
+    slice-aggregate over <= N elements), so nothing rank-shaped ever
+    sees corpus-sized input. The scalar total joins in as a 1-row
+    broadcast."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    cnt = (docs.select(F.explode(tokens("text")).alias("term"))
+               .groupBy("term").agg(F.count("*").alias("n")))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    top = cnt.orderBy(F.desc("n"), "term").limit(VOCAB_TOP)
+    arr = top.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("n")).alias("_neg"), F.col("term").alias("term"),
+        F.col("n").alias("n")))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"), "a")
+               .crossJoin(F.broadcast(tot))
+               .select((F.col("_pos") + 1).cast("int").alias("rank"),
+                       F.col("_s.term").alias("term"),
+                       F.col("_s.n").alias("n_tokens"),
+                       F.round(F.expr(
+                           "aggregate(slice(a, 1, _pos + 1), 0L, "
+                           "(acc, s) -> acc + s.n)") * 1.0
+                           / F.col("total"), 6).alias("cum_share"))
+               .orderBy("rank"))
