@@ -43,7 +43,8 @@ HEADLINE = [
     "bm25_pruned_search",
     "duplicate_spans", "distance_matrix", "events_gap_fill",
     "events_moving_avg", "wav_audio_features", "hybrid_tri_fusion",
-    "near_text_move", "vocab_coverage",
+    "near_text_move", "vocab_coverage", "phrase_slop_search",
+    "geo_polygon_search",
 ]
 
 

@@ -161,3 +161,30 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
                 offenders.append(name)
                 break
     assert not offenders, offenders
+
+
+def test_r3_ops_plan_shapes(spark, sf_dir):
+    from unified_vector_database_spark.operators.matrix import distance_matrix
+    from unified_vector_database_spark.operators.knn import near_text_move
+    from unified_vector_database_spark.operators.spans import duplicate_spans
+    from unified_vector_database_spark.operators.sparse import (
+        hybrid_tri_fusion,
+    )
+    from unified_vector_database_spark.operators.textops import vocab_coverage
+    from unified_vector_database_spark.operators.timeseries import (
+        events_gap_fill,
+    )
+
+    # N x N sample scoring: both sides bounded, joined by broadcast
+    assert_broadcast_join(distance_matrix(spark, sf_dir))
+    # move-force knn: one broadcast query row, top-k is TakeOrdered
+    ntm = near_text_move(spark, sf_dir)
+    assert_broadcast_join(ntm)
+    assert_take_ordered(ntm)
+    # span stats only read (doc_id, text) — metadata columns pruned
+    assert_column_pruned(duplicate_spans(spark, sf_dir), "lang")
+    # bucket grid joins onto the rollup without a cartesian explosion
+    assert_broadcast_join(events_gap_fill(spark, sf_dir))
+    # fusion result and vocab top-N both end in TakeOrdered cuts
+    assert_take_ordered(hybrid_tri_fusion(spark, sf_dir))
+    assert_take_ordered(vocab_coverage(spark, sf_dir))

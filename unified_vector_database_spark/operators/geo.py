@@ -154,3 +154,58 @@ def geo_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("bal").cast("double").alias("total_bal"))
                 .orderBy(F.desc("n"), "cell_lat", "cell_lon")
                 .limit(20))
+
+
+# ------------------------------------------------------- polygon filter
+
+# pentagon (lat, lon) — closed implicitly (last edge wraps to first)
+GEO_POLY = [(10.0, -40.0), (45.0, -10.0), (70.0, -60.0),
+            (40.0, -110.0), (0.0, -80.0)]
+
+
+def _poly_edges():
+    return [(GEO_POLY[i], GEO_POLY[(i + 1) % len(GEO_POLY)])
+            for i in range(len(GEO_POLY))]
+
+
+def _crossing_sql(lat: str, lon: str) -> str:
+    """Ray-casting crossing count as one SQL expression — identical
+    literal arithmetic on both engines (+,-,*,/ and comparisons are
+    IEEE-exact, so inside/outside needs no tolerance)."""
+    terms = []
+    for (y1, x1), (y2, x2) in _poly_edges():
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat}) <> ({y2!r} > {lat})) "
+            f"AND ({lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r}) "
+            f"/ ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register("geo_polygon_search", oracle=f"""
+WITH geo AS (
+  SELECT c_custkey, c_mktsegment,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer)
+SELECT c_custkey, c_mktsegment, lat, lon
+FROM geo
+WHERE ({_crossing_sql('lat', 'lon')}) % 2 = 1
+ORDER BY c_custkey
+LIMIT 100
+""")
+def geo_polygon_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-polygon payload filter (Qdrant geo_polygon, ES geo_polygon
+    — via the client libs the reference installs, /root/reference
+    README.md:95): records whose point falls inside an arbitrary
+    polygon, by ray casting (odd crossing count = inside).
+
+    Scale shape: the crossing count is a fixed per-edge expression
+    chain evaluated map-side in the scan — no join, no shuffle, no
+    UDF; the page is TakeOrdered. The SAME generated expression text
+    feeds both engines, so inside/outside agrees bit-for-bit with no
+    epsilon."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    inside = F.expr(f"({_crossing_sql('lat', 'lon')}) % 2 = 1")
+    return (cust.where(inside)
+                .select("c_custkey", "c_mktsegment", "lat", "lon")
+                .orderBy("c_custkey").limit(100))

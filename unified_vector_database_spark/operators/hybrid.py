@@ -488,3 +488,51 @@ def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / F.col("bg_total")), 6).alias("lift"))
                .orderBy(F.desc("lift"), "term")
                .limit(10))
+
+
+# ------------------------------------------------------ phrase with slop
+
+SLOP_T1, SLOP_T2, SLOP = "hash", "table", 3
+
+
+@register("phrase_slop_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+px AS (SELECT doc_id, unnest(toks) AS term,
+              CAST(generate_subscripts(toks, 1) AS INT) AS p
+       FROM t),
+a AS (SELECT doc_id, p FROM px WHERE term = '{SLOP_T1}'),
+b AS (SELECT doc_id, p FROM px WHERE term = '{SLOP_T2}'),
+m AS (SELECT a.doc_id AS doc_id, b.p - a.p AS gap
+      FROM a JOIN b ON a.doc_id = b.doc_id
+      WHERE b.p > a.p AND b.p - a.p <= {SLOP + 1})
+SELECT doc_id, count(*) AS n_matches, CAST(min(gap) AS INT) AS min_gap
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id LIMIT 20
+""")
+def phrase_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity phrase match (ES match_phrase with `slop`, via the
+    `elasticsearch` client the reference installs, /root/reference
+    README.md:95): '{t1} ... {t2}' with the terms in order and at most
+    SLOP intervening tokens. T3b's exact `contains` cannot express
+    proximity; this is the positional-postings form.
+
+    Scale shape: the token stream is filtered to the TWO query terms'
+    postings BEFORE any join (postings ≪ corpus), then a single
+    co-keyed join on doc_id + gap predicate, partial-agg'd rollup.
+    Never corpus x corpus, never a window."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    px = (docs.select("doc_id",
+                      F.posexplode(tokens("text")).alias("p", "term"))
+              .where(F.col("term").isin(SLOP_T1, SLOP_T2)))
+    a = px.where(F.col("term") == SLOP_T1).select("doc_id",
+                                                  F.col("p").alias("pa"))
+    b = px.where(F.col("term") == SLOP_T2).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    m = (a.join(b, (F.col("doc_id") == F.col("doc_b"))
+                & (F.col("pb") > F.col("pa"))
+                & (F.col("pb") - F.col("pa") <= SLOP + 1))
+          .select("doc_id", (F.col("pb") - F.col("pa")).alias("gap")))
+    return (m.groupBy("doc_id")
+             .agg(F.count("*").alias("n_matches"),
+                  F.min("gap").cast("int").alias("min_gap"))
+             .orderBy(F.desc("n_matches"), "doc_id").limit(20))

@@ -815,7 +815,9 @@ ORDER BY score DESC, vec_id
 LIMIT 10
 """)
 def near_text_move(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weaviate nearText/nearObject with moveTo / moveAwayFrom: the
+    """Weaviate nearText/nearObject with moveTo / moveAwayFrom
+    (implied by the `weaviate-client` lib the reference installs,
+    /root/reference README.md:95): the
     query vector is nudged toward the centroid of the move-to objects
     (force {MOVE_TO}) and away from the move-away object (force
     {MOVE_AWAY}) BEFORE the search. Distinct from `recommend` (which

@@ -1,7 +1,9 @@
 """Distance matrix over a sampled point set.
 
 Reference analog: Qdrant's distance-matrix API (`matrix_pairs` /
-`matrix_offsets`): sample N points from the collection and return the
+`matrix_offsets`; implied by the `qdrant-client` lib the reference
+installs, /root/reference README.md:95): sample N points from the
+collection and return the
 pairwise-similarity graph, used for cluster exploration and dedup
 diagnostics. Sampling here is deterministic (md5 order) rather than
 random so the oracle reproduces the draw bit-for-bit.

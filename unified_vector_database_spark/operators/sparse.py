@@ -251,7 +251,9 @@ ORDER BY rrf_score DESC, doc_id LIMIT 15
 def hybrid_tri_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-modality reciprocal-rank fusion — dense cosine + learned
     sparse + BM25 keyword in ONE query (Milvus hybrid_search with N
-    AnnSearchRequests + RRFRanker; Qdrant multi-prefetch rrf fusion).
+    AnnSearchRequests + RRFRanker; Qdrant multi-prefetch rrf fusion —
+    both client libs installed by the reference, /root/reference
+    README.md:95).
 
     Scale shape: each modality independently cuts to HYBRID_CANDIDATES
     via TakeOrdered (corpus-size-independent rank input), ranks via the

@@ -6,7 +6,8 @@ Reference analog: Elasticsearch date_histogram's `extended_bounds` +
 `min_doc_count: 0` emits empty buckets; `moving_fn`, `derivative` and
 `cumulative_sum` pipeline aggregations post-process the histogram
 (reference backends: ES via its aggs DSL — implied surface of the
-elasticsearch client at reference README.md:95).
+`elasticsearch` client the reference installs, /root/reference
+README.md:95).
 
 Scale shape: the raw scan aggregates FIRST (partial aggs map-side), so
 every window/join below runs on bucket-count rows (hours x types —
@@ -51,20 +52,27 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid is generated in-plan from a 1-row bounds agg, then the real
     rollup left-joins onto it with zero fill."""
     ev = tables.load_events(spark, sf_dir)
+    # ONE pass over the raw events; bounds and the type set both
+    # derive from the bucket-count-sized rollup (min/max of truncated
+    # hours equals the truncated min/max — date_trunc is monotone), so
+    # the grid costs no extra corpus scan
     hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
                 .agg(F.count("*").alias("n"),
-                     F.round(F.sum("value"), 6).alias("total_value")))
-    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
-                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+                     F.round(F.sum("value"), 6).alias("total_value"))
+                .localCheckpoint())
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     hours = bounds.select(F.explode(F.sequence(
         "h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
-    grid = hours.crossJoin(ev.select("event_type").distinct())
-    return (grid.join(hourly,
-                      (hourly.h == grid.bucket)
-                      & (hourly.event_type == grid.event_type), "left")
-                .select(grid.bucket, grid.event_type,
-                        F.coalesce(hourly.n, F.lit(0)).alias("n"),
-                        F.coalesce(hourly.total_value, F.lit(0.0))
+    grid = hours.crossJoin(hourly.select("event_type").distinct()) \
+                .alias("g")
+    h = hourly.alias("h")
+    return (grid.join(h, (F.col("h.h") == F.col("g.bucket"))
+                      & (F.col("h.event_type") == F.col("g.event_type")),
+                      "left")
+                .select(F.col("g.bucket").alias("bucket"),
+                        F.col("g.event_type").alias("event_type"),
+                        F.coalesce(F.col("h.n"), F.lit(0)).alias("n"),
+                        F.coalesce(F.col("h.total_value"), F.lit(0.0))
                          .alias("total_value"))
                 .orderBy("bucket", "event_type"))
 
