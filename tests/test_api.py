@@ -9,7 +9,9 @@ import re
 from pyspark.sql import functions as F
 
 from unified_vector_database_spark import tables
-from unified_vector_database_spark.api import compile_filter, search
+from unified_vector_database_spark.api import (
+    compile_filter, count, search, search_batch,
+)
 from unified_vector_database_spark.functions import distance as D
 from unified_vector_database_spark.plans.asserts import plan_text
 
@@ -143,3 +145,28 @@ def test_compiled_windows_are_partitioned(spark, sf_dir):
 def test_compile_filter_none():
     assert compile_filter(None) is None
     assert compile_filter({}) is None
+
+
+def test_count_with_filter(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    [r] = count(corpus, {"filter": {"must": [{"key": "label",
+                                              "match": 4}]}}).collect()
+    assert r.n == corpus.where(F.col("label") == 4).count()
+    [r2] = count(corpus).collect()
+    assert r2.n == corpus.count()
+
+
+def test_search_batch_unions_specs(spark, sf_dir):
+    corpus, v = _corpus(spark, sf_dir), _qvec(spark, sf_dir)
+    specs = [
+        {"vector": v, "limit": 3, "with_payload": ["label"]},
+        {"vector": v, "limit": 2, "metric": "l2",
+         "filter": {"must": [{"key": "label", "match": 4}]}},
+    ]
+    rows = search_batch(corpus, specs).collect()
+    by_idx = {}
+    for r in rows:
+        by_idx.setdefault(r.query_idx, []).append(r)
+    assert len(by_idx[0]) == 3 and len(by_idx[1]) == 2
+    single0 = search(corpus, specs[0]).collect()
+    assert [r.vec_id for r in by_idx[0]] == [r.vec_id for r in single0]

@@ -174,6 +174,32 @@ def search(corpus: DataFrame, spec: dict,
                        *[F.col(f"_s._row.{p}").alias(p) for p in payload]))
 
 
+def count(corpus: DataFrame, spec: dict | None = None) -> DataFrame:
+    """Qdrant/Milvus count API: number of records matching the spec's
+    filter — one partial-agg'd aggregate, filter pushed to the scan."""
+    pred = compile_filter((spec or {}).get("filter"))
+    df = corpus if pred is None else corpus.where(pred)
+    return df.agg(F.count("*").alias("n"))
+
+
+def search_batch(corpus: DataFrame, specs: list[dict],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Qdrant search_batch / Milvus multi-request search: each spec
+    compiles independently (its own filters/metric/limit) and the
+    results union with a `query_idx` discriminator. Per-spec plans
+    stay bounded (TakeOrdered cuts), so the union is ≤ Σ limits rows;
+    Spark schedules the per-spec scans concurrently."""
+    parts = [
+        search(corpus, spec, id_col=id_col, vec_col=vec_col)
+        .withColumn("query_idx", F.lit(i))
+        for i, spec in enumerate(specs)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 # ---- driver-checked facade query: the full spec surface in one run ----
 
 _COS = ("list_dot_product(embedding::DOUBLE[], qvec)"
