@@ -31,7 +31,8 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
-        analytics, arrow_knn, cleanup, dedup, geo, hybrid, index, inverted,
+        analytics, arrow_knn, cleanup, dedup, evaluation, geo, hybrid,
+        index, inverted,
         knn, lm, matrix, multimodal, percolate, rerank, simhash, simjoin,
         spans, sparse, suggest, textops, timeseries, tpch_extra, tpch_more,
     )
