@@ -56,13 +56,13 @@ _PRIORITY = [
     "events_moving_avg", "wav_audio_features", "stateful_topk_stream",
     "hybrid_tri_fusion", "near_text_move", "vocab_coverage",
     "phrase_slop_search", "geo_polygon_search", "search_quality_eval",
+    "stream_join_attribution", "composite_agg_page", "terms_set_search",
+    "function_score_knn",
     # (d) rows-only recall-pinned (driver records a weaker rows check)
     "pq_adc_knn", "ivfpq_knn",
     # (e) code changed this round (events loader rewritten for the
     # Spark 4.1 TIMESTAMP_NTZ parquet read) — re-prove the green rows
     "asof_click_attribution", "events_hourly", "events_multires_rollup",
-    "events_percentiles",
-    "range_join_attribution", "events_funnel",
     # ---- driver budget line (~50) ----
     "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",

@@ -44,7 +44,8 @@ HEADLINE = [
     "duplicate_spans", "distance_matrix", "events_gap_fill",
     "events_moving_avg", "wav_audio_features", "hybrid_tri_fusion",
     "near_text_move", "vocab_coverage", "phrase_slop_search",
-    "geo_polygon_search", "search_quality_eval",
+    "geo_polygon_search", "search_quality_eval", "composite_agg_page",
+    "terms_set_search", "function_score_knn",
 ]
 
 

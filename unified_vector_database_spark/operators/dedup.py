@@ -325,10 +325,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # below the corpus), so the per-round cost is job latency, not
     # data — keep partition counts at the edge frame's own width
     e = edges.localCheckpoint()
+    # the src/dst mirror is a free union over the materialized edge
+    # frame — no second checkpoint needed
     und = (e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
             .union(e.select(F.col("id_b").alias("src"),
-                            F.col("id_a").alias("dst")))
-            .localCheckpoint())
+                            F.col("id_a").alias("dst"))))
     labels = (und.select(F.col("src").alias("id")).distinct()
                  .withColumn("label", F.col("id"))
                  .localCheckpoint())
@@ -344,18 +345,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                          .select(F.col("a.id").alias("id"),
                                  F.col("b.label").alias("label")))
             grow = grow.union(hop)
-        new = (grow.groupBy("id").agg(F.min("label").alias("label"))
-                   .localCheckpoint())
+        new = grow.groupBy("id").agg(F.min("label").alias("label"))
         if rnd > 0:
             # round 0 always changes something on a non-empty edge set;
-            # start fixpoint checks once labels can have stabilized
+            # start fixpoint checks once labels can have stabilized.
+            # `new` is evaluated lazily here: when nothing changed the
+            # previous (checkpointed) labels ARE the answer, so the
+            # final round never pays a materialization
             changed = (new.alias("n")
                           .join(labels.alias("o"), "id")
                           .where(F.col("n.label") != F.col("o.label"))
                           .count())
             if changed == 0:
-                return new
-        labels = new
+                return labels
+        labels = new.localCheckpoint()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the duplicate graph is deeper than expected — raise max_iter")

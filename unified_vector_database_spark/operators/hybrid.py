@@ -536,3 +536,121 @@ def phrase_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_matches"),
                   F.min("gap").cast("int").alias("min_gap"))
              .orderBy(F.desc("n_matches"), "doc_id").limit(20))
+
+
+# -------------------------------------------- composite agg (after_key)
+
+COMPOSITE_AFTER = ("en", "src12")  # after_key from the "previous page"
+COMPOSITE_PAGE = 8
+
+
+@register("composite_agg_page", oracle=f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+HAVING (lang > '{COMPOSITE_AFTER[0]}')
+    OR (lang = '{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}')
+ORDER BY lang, source
+LIMIT {COMPOSITE_PAGE}
+""")
+def composite_agg_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation with `after_key` paging: aggregation
+    buckets streamed page by page in (lang, source) key order, resuming
+    strictly after the previous page's last key — THE way to export a
+    high-cardinality aggregation without one giant response.
+
+    Scale shape: one partial-agg'd groupBy; the after-key predicate is
+    a lexicographic filter on the (small) bucket set and the page cut
+    is TakeOrdered. Bucket cardinality, not corpus size, bounds
+    everything after the aggregate."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    after_l, after_s = COMPOSITE_AFTER
+    buckets = (docs.groupBy("lang", "source")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("n_chars").cast("long").alias("total_chars")))
+    page = ((F.col("lang") > after_l)
+            | ((F.col("lang") == after_l) & (F.col("source") > after_s)))
+    return (buckets.where(page)
+                   .orderBy("lang", "source").limit(COMPOSITE_PAGE))
+
+
+# ------------------------------------------------------ terms_set query
+
+TERMS_SET = ("key", "hash", "merge", "vector", "sort")
+TERMS_SET_MIN = 3
+
+
+@register("terms_set_search", oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct({_TOK}),
+             {list(TERMS_SET)!r})) AS n_matched
+  FROM documents)
+SELECT doc_id, CAST(n_matched AS INT) AS n_matched
+FROM m WHERE n_matched >= {TERMS_SET_MIN}
+ORDER BY n_matched DESC, doc_id LIMIT 25
+""")
+def terms_set_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query (minimum_should_match over a term list):
+    docs containing at least {TERMS_SET_MIN} distinct terms of the
+    query set, scored by how many. Pure map-side array math in the
+    scan (the query set is a literal array) + TakeOrdered — the
+    multi-term OR that a term-at-a-time posting merge would do, done
+    document-at-a-time with zero shuffle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    qset = F.array(*[F.lit(t) for t in TERMS_SET])
+    n = F.size(F.array_intersect(F.array_distinct(tokens("text")), qset))
+    return (docs.select("doc_id", n.cast("int").alias("n_matched"))
+                .where(F.col("n_matched") >= TERMS_SET_MIN)
+                .orderBy(F.desc("n_matched"), "doc_id").limit(25))
+
+
+# ----------------------------------------------- function_score (decay)
+
+DECAY_ORIGIN, DECAY_SCALE = 300.0, 100.0
+
+
+@register("function_score_knn", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], qvec)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qvec, qvec))) AS cos_score,
+         exp(-((d.n_chars - {DECAY_ORIGIN!r}) * (d.n_chars - {DECAY_ORIGIN!r}))
+             / (2.0 * {DECAY_SCALE!r} * {DECAY_SCALE!r})) AS decay
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, round(cos_score * decay, 6) AS score
+FROM s ORDER BY score DESC, vec_id LIMIT 10
+""")
+def function_score_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score with a gauss decay multiplier: relevance =
+    cosine similarity x exp decay on a payload attribute's distance
+    from an origin (the recency/size-boost pattern). The decay is
+    map-side arithmetic on the joined payload; rounding the FINAL
+    score to 6 digits absorbs the 1-ulp libm-vs-JVM exp() spread.
+
+    Scale shape: one co-keyed equi-join (id FK) that AQE can convert
+    to broadcast when the payload side is dim-sized, scoring in the
+    scan, TakeOrdered cut."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec"))
+            .withColumn("nq", D.norm("qvec")))
+    corpus = (emb.where(F.col("vec_id") != 0)
+                 .select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec"))
+                 .join(docs, F.col("doc_id") == F.col("vec_id")))
+    cos = D.safe_div(D.dot("vec", "qvec"), F.col("nvec") * F.col("nq"))
+    dx = F.col("n_chars") - F.lit(DECAY_ORIGIN)
+    decay = F.exp(-(dx * dx) / F.lit(2.0 * DECAY_SCALE * DECAY_SCALE))
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id",
+                          F.round(cos * decay, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id").limit(10))

@@ -36,4 +36,5 @@ def load_all() -> None:
         knn, lm, matrix, multimodal, percolate, rerank, simhash, simjoin,
         spans, sparse, suggest, textops, timeseries, tpch_extra, tpch_more,
     )
+    from .streaming import ingest as streaming_ingest  # noqa: F401
     from .streaming import stateful  # noqa: F401

@@ -10,7 +10,10 @@ not O(history).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..registry import register
 
 
 def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
@@ -84,3 +87,55 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
             & (F.col("p_ts") >= F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")))
     return c.join(p, cond, "inner")
+
+
+@register("stream_join_attribution", oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS c_ts, p.ts AS p_ts
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+""")
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 driven end-to-end for the correctness gate: replay clicks
+    and purchases as two multi-batch file streams, run the REAL
+    watermarked stream-stream inner join, and hash-check the appended
+    matches against the batch join fixpoint.
+
+    The replay pins the watermark beyond the data's full time span:
+    file splits are not time-ordered, so a production-tight watermark
+    would evict state between batches and drop matches
+    nondeterministically — the eviction-free setting makes the
+    streaming result provably equal to the batch join while still
+    exercising the streaming state machine. (Production uses the
+    tight-horizon default of `click_purchase_join`; state eviction is
+    then the POINT, not a bug.)"""
+    import os
+    import tempfile
+    import uuid
+
+    ev = tables.load_events(spark, sf_dir) \
+        .select("event_id", "ts", "user_id", "event_type")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"uvdb_sjoin_src_{abs(hash(sf_dir)) % 10 ** 8}")
+    for etype in ("click", "purchase"):
+        (ev.where(F.col("event_type") == etype).repartition(2)
+           .write.mode("overwrite").parquet(f"{base}/{etype}"))
+    sch = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    clicks = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(f"{base}/click"))
+    purchases = (spark.readStream.schema(sch)
+                 .option("maxFilesPerTrigger", 1).parquet(f"{base}/purchase"))
+    joined = click_purchase_join(clicks, purchases,
+                                 horizon="1 hour", watermark="90 days")
+    name = "uvdb_sjoin_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.col("click_id"),
+                    F.col("purchase_id"),
+                    F.col("c_ts"), F.col("p_ts").alias("p_ts"))
+            .orderBy("click_id", "purchase_id"))
