@@ -64,6 +64,8 @@ _PRIORITY = [
     # Spark 4.1 TIMESTAMP_NTZ parquet read) — re-prove the green rows
     "asof_click_attribution", "events_hourly", "events_multires_rollup",
     # ---- driver budget line (~50) ----
+    "stream_windowed_counts", "stream_dedup_counts",
+    "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
     "matryoshka_knn", "decontaminate", "pii_redact",

@@ -139,3 +139,73 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("purchase_id"),
                     F.col("c_ts"), F.col("p_ts").alias("p_ts"))
             .orderBy("click_id", "purchase_id"))
+
+
+def _replay_events(spark: SparkSession, sf_dir: str, tag: str,
+                   n_files: int = 4) -> DataFrame:
+    """Events rewritten once as an n-file parquet dir and opened as a
+    maxFilesPerTrigger=1 file stream — the standard replay harness
+    shared by the streaming oracle queries."""
+    import os
+    import tempfile
+
+    ev = tables.load_events(spark, sf_dir) \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    src = os.path.join(tempfile.gettempdir(),
+                       f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double")
+    return (spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    import uuid
+
+    name = "uvdb_mem_" + uuid.uuid4().hex[:8]
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@register("stream_windowed_counts", oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+ORDER BY window_start, event_type
+""")
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 driven end-to-end: tumbling-window streaming aggregation
+    over a multi-batch replay, complete-mode emission, hash-checked
+    against the batch rollup — the streaming ingest path's state
+    machine is correctness-gated, not just smoke-run. Watermark 0 +
+    complete mode keep every window live so the final emission equals
+    the batch fixpoint regardless of file/batch order."""
+    stream = _replay_events(spark, sf_dir, "wincounts")
+    agg = windowed_event_counts(stream, window="1 hour",
+                                watermark="0 seconds")
+    out = _run_to_memory(agg, "complete")
+    return (out.select("window_start", "event_type", "n_events",
+                       F.round("total_value", 6).alias("total_value"))
+               .orderBy("window_start", "event_type"))
+
+
+@register("stream_dedup_counts", oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 driven end-to-end: the replayed stream passes through
+    dropDuplicatesWithinWatermark on event_id (with the watermark
+    beyond the data span, no key ever expires -> exact global dedup),
+    then a per-type rollup of the deduped append stream is checked
+    against the batch DISTINCT. Exercises the streaming dedup state
+    store across 4 incremental batches."""
+    stream = _replay_events(spark, sf_dir, "dedup")
+    deduped = dedup_events(stream, watermark="90 days")
+    out = _run_to_memory(deduped, "append")
+    return (out.groupBy("event_type")
+               .agg(F.count("*").alias("n_unique"))
+               .orderBy("event_type"))
