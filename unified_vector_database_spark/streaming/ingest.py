@@ -209,3 +209,38 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("event_type")
                .agg(F.count("*").alias("n_unique"))
                .orderBy("event_type"))
+
+
+@register("stream_session_windows", oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2)
+SELECT session_start, session_end, user_id, n_events
+FROM g ORDER BY user_id, session_start
+""")
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 driven end-to-end: gap-merged session windows over a
+    multi-batch replay in complete mode, hash-checked against the
+    batch lag-based sessionization (session end = last event + gap,
+    exactly `session_window`'s definition). The eviction-free
+    watermark keeps every session mergeable across out-of-time-order
+    file batches, so the final state provably equals the batch
+    fixpoint while the session-merge state machine does the work."""
+    stream = _replay_events(spark, sf_dir, "sesswin")
+    agg = sessionized_counts(stream, gap="30 minutes", watermark="90 days")
+    out = _run_to_memory(agg, "complete")
+    return (out.select("session_start", "session_end", "user_id",
+                       "n_events")
+               .orderBy("user_id", "session_start"))
