@@ -65,7 +65,7 @@ _PRIORITY = [
     "asof_click_attribution", "events_hourly", "events_multires_rollup",
     # ---- driver budget line (~50) ----
     "stream_windowed_counts", "stream_dedup_counts",
-    "stream_session_windows",
+    "stream_session_windows", "events_percentile_ranks",
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",

@@ -118,3 +118,30 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             wo.rowsBetween(W.unboundedPreceding, 0)), 6)
          .alias("cum_revenue"))
         .orderBy("event_type", "day"))
+
+
+PR_THRESHOLDS = (10.0, 50.0, 200.0)
+
+
+@register("events_percentile_ranks", oracle=f"""
+SELECT event_type,
+       {", ".join(
+           f"round(count(*) FILTER (value <= {t!r}) * 1.0 / count(*), 6)"
+           f" AS pr_{int(t)}" for t in PR_THRESHOLDS)},
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def events_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation (the inverse of percentiles):
+    for fixed value thresholds, the fraction of observations at or
+    below each — one conditional-count pass, partial-agg'd map-side,
+    exact (no sketch needed when the thresholds are known up front).
+    The forward direction (exact percentiles + HLL distinct) is
+    `events_percentiles`."""
+    ev = tables.load_events(spark, sf_dir)
+    aggs = [F.round(F.count_if(F.col("value") <= t)
+                    / F.count("*"), 6).alias(f"pr_{int(t)}")
+            for t in PR_THRESHOLDS]
+    return (ev.groupBy("event_type")
+              .agg(*aggs, F.count("*").alias("n"))
+              .orderBy("event_type"))
