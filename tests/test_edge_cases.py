@@ -75,3 +75,55 @@ def test_mmr_rerank_greedy_properties(spark, sf_dir):
     assert rows[0].vec_id == 0 and rows[0].rank == 1
     assert len({r.vec_id for r in rows}) == 10
     assert [r.rank for r in rows] == list(range(1, 11))
+
+
+def test_span_stats_empty_and_whitespace_docs(spark):
+    from unified_vector_database_spark.operators.spans import span_stats
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two three four five six seven "
+                                  "eight nine")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_stats(docs).collect()}
+    assert len(out) == 3
+    assert out[1].n_windows == 0 and out[1].dup_ratio == 0.0
+    assert out[2].n_windows == 0
+    assert out[3].n_windows == 2 and out[3].n_dup_windows == 0
+
+
+def test_connected_components_empty_and_chain(spark):
+    import pyspark.sql.functions as F
+    from unified_vector_database_spark.operators.dedup import (
+        connected_components,
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    # a 40-node chain needs pointer doubling to converge in <=20
+    # rounds (plain propagation would need ~40)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    labels = connected_components(chain).collect()
+    assert len(labels) == 41
+    assert {r.label for r in labels} == {0}
+
+
+def test_moving_avg_single_bucket_series(spark, tmp_path):
+    import os
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.timeseries import (
+        events_moving_avg,
+    )
+    sf = str(tmp_path / "mini")
+    os.makedirs(sf, exist_ok=True)
+    ev = tables.load_events(spark, os.environ.get(
+        "UVDB_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    # one day only -> every series has a single bucket: ma7 == revenue,
+    # delta NULL, cum == revenue
+    one_day = ev.where(F.date_trunc("day", "ts")
+                       == ev.agg(F.date_trunc(
+                           "day", F.min("ts")).alias("d")).collect()[0].d)
+    one_day.write.parquet(f"{sf}/events.parquet")
+    rows = events_moving_avg(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.delta is None
+        assert r.ma7 == r.revenue == r.cum_revenue

@@ -61,10 +61,9 @@ SELECT round(n_rel_hits * 1.0 / {EVAL_K}, 6) AS precision_at_k,
 FROM hits, rel
 """)
 def search_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank_eval for the cosine searcher on query vec 0: P@{EVAL_K},
-    R@{EVAL_K} (capped at k — the 'recall' ES rank_eval reports), and
-    binary-gain nDCG@{EVAL_K} with the ideal DCG from the true
-    relevant count."""
+    """rank_eval for the cosine searcher on query vec 0: P@k, R@k
+    (capped at k — the 'recall' ES rank_eval reports), and binary-gain
+    nDCG@k with the ideal DCG from the true relevant count, k=10."""
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     q = (emb.where(F.col("vec_id") == 0)
             .select(D.vec_double("embedding").alias("qvec"),

@@ -512,7 +512,7 @@ ORDER BY n_matches DESC, doc_id LIMIT 20
 def phrase_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity phrase match (ES match_phrase with `slop`, via the
     `elasticsearch` client the reference installs, /root/reference
-    README.md:95): '{t1} ... {t2}' with the terms in order and at most
+    README.md:95): 'hash ... table' with the terms in order and at most
     SLOP intervening tokens. T3b's exact `contains` cannot express
     proximity; this is the positional-postings form.
 
@@ -593,7 +593,7 @@ ORDER BY n_matched DESC, doc_id LIMIT 25
 """)
 def terms_set_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms_set query (minimum_should_match over a term list):
-    docs containing at least {TERMS_SET_MIN} distinct terms of the
+    docs containing at least TERMS_SET_MIN=3 distinct terms of the
     query set, scored by how many. Pure map-side array math in the
     scan (the query set is a literal array) + TakeOrdered — the
     multi-term OR that a term-at-a-time posting merge would do, done

@@ -819,8 +819,8 @@ def near_text_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     (implied by the `weaviate-client` lib the reference installs,
     /root/reference README.md:95): the
     query vector is nudged toward the centroid of the move-to objects
-    (force {MOVE_TO}) and away from the move-away object (force
-    {MOVE_AWAY}) BEFORE the search. Distinct from `recommend` (which
+    (force MOVE_TO=0.35) and away from the move-away object (force
+    MOVE_AWAY=0.25) BEFORE the search. Distinct from `recommend` (which
     replaces the query with example arithmetic): here the original
     query remains the anchor and the forces are dampened refinements.
     All vector arithmetic happens in one 4-row broadcast; the corpus

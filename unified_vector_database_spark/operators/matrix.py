@@ -50,8 +50,8 @@ FROM ranked WHERE rank <= {MATRIX_TOPK}
 ORDER BY id_a, rank
 """)
 def distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise cosine matrix over a deterministic {N}-point sample,
-    top-{K} nearest per sampled point (Qdrant matrix API shape)."""
+    """Pairwise cosine matrix over a deterministic 20-point sample,
+    top-5 nearest per sampled point (Qdrant matrix API shape)."""
     emb = tables.load(spark, sf_dir, "embeddings")
     sample = (emb.select("vec_id",
                          D.vec_double("embedding").alias("emb"))
