@@ -45,7 +45,7 @@ HEADLINE = [
     "events_moving_avg", "wav_audio_features", "hybrid_tri_fusion",
     "near_text_move", "vocab_coverage", "phrase_slop_search",
     "geo_polygon_search", "search_quality_eval", "composite_agg_page",
-    "terms_set_search", "function_score_knn", "stream_windowed_counts",
+    "terms_set_search", "function_score_knn",
 ]
 
 
