@@ -177,3 +177,23 @@ def test_aliases_blue_green_swap(spark, tmp_path):
     Collection.drop_alias(base, "docs")
     with pytest.raises(ValueError):
         Collection.open_alias(spark, base, "docs")
+
+
+def test_collection_stats(spark, sf_dir, tmp_path):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.sources.catalog import Collection
+
+    base = str(tmp_path / "cat")
+    c = Collection.create(spark, base, "statcoll", id_col="vec_id",
+                          dim=64)
+    emb = tables.load(spark, sf_dir, "embeddings").limit(100)
+    c.upsert(emb)
+    c.snapshot("s1")
+    c.upsert(emb.limit(10))  # second version
+    st = c.stats()
+    assert st["name"] == "statcoll"
+    assert st["rows"] == 100
+    assert st["version"] == 2
+    assert st["files"] >= 1 and st["bytes"] > 0
+    assert st["versions_retained"] >= 2
+    assert st["snapshots"] == 1

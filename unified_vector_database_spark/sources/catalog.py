@@ -216,6 +216,36 @@ class Collection:
         df = self.read()
         return 0 if df is None else df.count()
 
+    def stats(self) -> dict:
+        """Collection telemetry (reference backends' describe surface:
+        Qdrant collection info, Milvus get_collection_stats, ES
+        _stats): row count, current-version file count and bytes,
+        retained versions, snapshots. File-level numbers come from the
+        directory listing — the same metadata a SHOW TABLE EXTENDED
+        reports — so the call is O(files), not O(rows), except for the
+        row count which is one parquet-footer-only Spark count."""
+        import glob as _glob
+
+        m = self.describe()
+        files, nbytes = 0, 0
+        if m.version:
+            for f in _glob.glob(
+                    os.path.join(self._data_path(m.version),
+                                 "**", "*.parquet"), recursive=True):
+                files += 1
+                nbytes += os.path.getsize(f)
+        versions = len([d for d in _glob.glob(
+            os.path.join(self.path, "data_v*")) if os.path.isdir(d)])
+        return {
+            "name": self.name,
+            "rows": self.count(),
+            "version": m.version,
+            "files": files,
+            "bytes": nbytes,
+            "versions_retained": versions,
+            "snapshots": len(self._read_snapshots()),
+        }
+
     # ----------------------------------------------------- maintenance
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """OPTIMIZE: rewrite the current version into right-sized files.
