@@ -66,6 +66,7 @@ _PRIORITY = [
     # ---- driver budget line (~50) ----
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",
+    "video_frame_sample",
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",

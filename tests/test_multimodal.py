@@ -70,3 +70,24 @@ def test_ppm_pipeline_end_to_end(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.width == 4 and r.height == 4 for r in rows)
     assert all(0.0 <= r.mean_r <= 255.0 for r in rows)
+
+
+def test_video_container_decode_and_stride():
+    from unified_vector_database_spark.operators.multimodal import (
+        _FRAME_BYTES, sample_video_frames,
+    )
+    frames = [bytes([i] * _FRAME_BYTES) for i in range(4)]
+    payload = b"PVID" + bytes([4]) + b"".join(frames)
+    out = sample_video_frames(payload, stride=2)
+    assert out["n_frames"] == 4 and out["n_sampled"] == 2
+    assert out["frame_means"] == [0.0, 2.0]  # frames 0 and 2
+    try:
+        sample_video_frames(b"XXXX" + payload[4:])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    try:
+        sample_video_frames(payload[:-1])
+        raise AssertionError("expected ValueError on truncation")
+    except ValueError:
+        pass

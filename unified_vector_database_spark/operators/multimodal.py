@@ -2,12 +2,17 @@
 `binary` columns with typed metadata structs, plus Arrow-batched
 decode/feature plumbing via mapInPandas.
 
-Decode status: PPM (P6) images get a REAL byte-level decoder + 2x2
-mean-pool resize (decode_ppm — no external libs needed, oracle-checked
-end-to-end in ppm_image_features). Formats that require codecs
-(JPEG/PNG/audio/video) remain STUBBED behind the same Arrow contract
-(decode_binary_batches) because the container ships no media
-libraries; swap _fake_decode for the library call in production.
+Decode status — the decode/resize/frame-sample triple is REAL
+byte-level work, no external libs, each oracle-checked end-to-end:
+- images: PPM (P6) header parse + raster + channel means + 2x2
+  mean-pool resize (`decode_ppm` / `ppm_image_features`);
+- audio: RIFF/WAVE chunk walk + fmt struct + int16 PCM -> RMS / peak /
+  zero-crossings (`decode_wav` / `wav_audio_features`);
+- video: raw-frame container parse + stride frame-sampling +
+  per-frame means (`sample_video_frames` / `video_frame_sample`).
+Formats that require codecs (JPEG/H.264/MP3) remain STUBBED behind
+the same Arrow contract (decode_binary_batches); swap `_fake_decode`
+for the library call in production.
 """
 
 from __future__ import annotations
@@ -330,3 +335,97 @@ def ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.select("media_id", "width", "height",
                          "mean_r", "mean_g", "mean_b")
                  .orderBy("media_id"))
+
+
+# ------------------------------------------------ video frame sampling
+
+VID_N_FRAMES = 4
+VID_STRIDE = 2  # sample every 2nd frame
+_FRAME_BYTES = 3 * PPM_W * PPM_H  # one 4x4 RGB raster
+
+
+def synth_video(docs: DataFrame) -> DataFrame:
+    """Deterministic raw-video payloads built JVM-side: a minimal
+    container — magic 'PVID', one frame-count byte, then N fixed-size
+    4x4 RGB24 rasters (frame i derived from md5(text || frame index)).
+    The fixed-raster container is what raw/Y4M-class formats look like
+    after header parse; codec formats (H.264 etc.) stay behind the
+    documented stub."""
+    frames = [
+        F.unhex(F.concat(
+            F.md5(F.concat("text", F.lit(f"f{i}"))),
+            F.md5(F.concat("text", F.lit(f"f{i}x"))),
+            F.md5(F.concat("text", F.lit(f"f{i}y")))))
+        for i in range(VID_N_FRAMES)]
+    payload = F.concat(
+        F.encode(F.lit("PVID"), "UTF-8"),
+        F.unhex(F.lit(f"{VID_N_FRAMES:02x}")),
+        *frames)
+    return docs.select(F.col("doc_id").alias("media_id"),
+                       payload.alias("payload"))
+
+
+def sample_video_frames(payload: bytes, stride: int = VID_STRIDE) -> dict:
+    """REAL container parse + frame sampling: validate magic, read the
+    frame count, slice fixed-size rasters, keep every `stride`-th
+    frame, and compute per-sampled-frame grayscale means — the
+    decode/frame-sample step of a video ingest pipeline."""
+    if payload[0:4] != b"PVID":
+        raise ValueError("not a PVID payload")
+    n = payload[4]
+    body = payload[5:]
+    if len(body) != n * _FRAME_BYTES:
+        raise ValueError("truncated frames")
+    means = []
+    for i in range(0, n, stride):
+        raster = body[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES]
+        means.append(round(sum(raster) / len(raster), 6))
+    return {"n_frames": n, "n_sampled": len(means),
+            "frame_means": means}
+
+
+def video_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = [sample_video_frames(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "n_frames": [r["n_frames"] for r in rows],
+            "n_sampled": [r["n_sampled"] for r in rows],
+            "frame_means": [r["frame_means"] for r in rows],
+        })
+
+
+@register("video_frame_sample", oracle=f"""
+WITH f AS (
+  SELECT doc_id, fi,
+         md5(text || 'f' || fi) || md5(text || 'f' || fi || 'x')
+           || md5(text || 'f' || fi || 'y') AS hex
+  FROM documents,
+       (SELECT unnest(range(0, {VID_N_FRAMES}, {VID_STRIDE})) AS fi)),
+m AS (
+  SELECT doc_id, fi,
+         round(list_sum(list_transform(range(0, {_FRAME_BYTES}),
+               j -> ('0x' || substr(hex, j * 2 + 1, 2))::INT))
+               / {_FRAME_BYTES}.0, 6) AS fmean
+  FROM f)
+SELECT doc_id AS media_id,
+       {VID_N_FRAMES} AS n_frames,
+       CAST(count(*) AS INT) AS n_sampled,
+       list(fmean ORDER BY fi) AS frame_means
+FROM m GROUP BY doc_id ORDER BY media_id
+""")
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video frame-sampling pipeline: synthesize raw-frame
+    video binaries from the corpus (JVM), parse the container and
+    stride-sample frames in an Arrow-batched kernel, emit per-frame
+    grayscale means — hash-checked against an oracle that recomputes
+    each sampled frame from the same md5 hex. Completes M2's
+    decode/resize/frame-sample triple with real byte-level work
+    (PPM decode + WAV decode + this)."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    media = synth_video(docs)
+    feats = media.mapInPandas(
+        video_frame_batches,
+        schema=("media_id long, n_frames int, n_sampled int, "
+                "frame_means array<double>"))
+    return feats.orderBy("media_id")
