@@ -43,8 +43,7 @@ g AS (
            range(1, greatest(len(t) - {SPAN_N - 2}, 1)),
            i -> array_to_string(t[i:i+{SPAN_N - 1}], ' '))) AS grams
   FROM toks),
-ex AS (SELECT doc_id, unnest(list_transform(grams, x -> md5(x))) AS gram
-       FROM g),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
 dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 2),
 per AS (
   SELECT ex.doc_id, count(*) AS n_dup
@@ -64,11 +63,19 @@ def span_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     oracle-determinism sort)."""
     g = docs.select("doc_id", ngram_array(F.col("text"), n)
                     .alias("grams"))
-    # fingerprint each window to a fixed 16-byte md5 BEFORE the
-    # shuffle: the groupBy/join keys stay uniform and small no matter
-    # how long the window text is (the oracle hashes identically)
-    ex = g.select("doc_id", F.explode(
-        F.transform("grams", lambda x: F.md5(x))).alias("gram"))
+    # fingerprint each window to a FIXED 8-byte xxhash64 BEFORE the
+    # shuffle: join/group keys stay uniform and tiny no matter how
+    # long the window text is, and the hash is a cheap JVM intrinsic
+    # (md5 cost 64x-scale-tested as the dominant term). The oracle
+    # groups the raw window strings — identical counts, no collisions
+    # at oracle scale. The hashed posting stream is cached: both the
+    # dup-set aggregate and the join back consume it, and recomputing
+    # the explode+hash twice doubled the dominant cost (measured at a
+    # 64x replica corpus; on a cluster this persist spills to local
+    # disk like any shuffle would).
+    ex = (g.select("doc_id", F.explode("grams").alias("w"))
+           .select("doc_id", F.xxhash64("w").alias("gram"))
+           .cache())
     dup = (ex.groupBy("gram").agg(F.count("*").alias("nd"))
              .where(F.col("nd") >= 2).select("gram"))
     per = (ex.join(dup, "gram")
