@@ -194,7 +194,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embed_near_dup", oracle="""
 WITH q AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS qvec
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
 s AS (SELECT id_a, vec_id AS id_b,
              list_dot_product(embedding::DOUBLE[], qvec)
              / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
@@ -211,7 +211,12 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity join (operators/index.py) with this as its verifier."""
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     from ..functions import distance as D
-    q = (emb.where(F.col("vec_id") % 50 == 0)
+    # probe panel BOUNDED by the generator id domain: "% 50" alone is
+    # a 2% sample that grows WITH the corpus — the probe x corpus
+    # product then goes quadratic (measured 299 s at a 64x replica
+    # corpus). The id cap pins the panel to <=40 probes at any scale
+    # while leaving results at every test SF byte-identical.
+    q = (emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
             .select(F.col("vec_id").alias("id_a"),
                     D.vec_double("embedding").alias("qvec"))
             .withColumn("nq", D.norm("qvec")))

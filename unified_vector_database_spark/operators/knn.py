@@ -149,7 +149,7 @@ def knn_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("batch_knn", oracle="""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
-           FROM embeddings WHERE vec_id % 100 = 0),
+           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
 s AS (SELECT qid, vec_id,
              list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
       FROM embeddings, q),
@@ -163,7 +163,11 @@ def batch_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = (emb.select("vec_id", D.vec_double("embedding").alias("vec"))
                  .withColumn("nvec", D.norm("vec")))
-    queries = (emb.where(F.col("vec_id") % 100 == 0)
+    # fixed-size query panel (see dedup.embed_near_dup): the modulus
+    # alone scales the panel with the corpus and the broadcast
+    # nested-loop goes quadratic; the id cap bounds it at 20 queries
+    queries = (emb.where((F.col("vec_id") % 100 == 0)
+                         & (F.col("vec_id") < 2000))
                   .select(F.col("vec_id").alias("qid"),
                           D.vec_double("embedding").alias("qvec"))
                   .withColumn("nq", D.norm("qvec")))
