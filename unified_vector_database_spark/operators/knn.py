@@ -341,7 +341,12 @@ def recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = vec_of(0).select(F.col("v").alias("p0"))
     p1 = vec_of(17).select(F.col("v").alias("p1"))
     n0 = vec_of(225).select(F.col("v").alias("n0"))
-    target = (p0.crossJoin(p1).crossJoin(n0)
+    # every chain link broadcasts: a plain CartesianProduct of 1-row
+    # filtered scans re-executes the inner scans once per outer
+    # partition PAIR — with P-partition files the base scan runs
+    # O(P^depth) times (measured 188 s on a 64x corpus before the
+    # hint; broadcast materializes each side exactly once)
+    target = (p0.crossJoin(F.broadcast(p1)).crossJoin(F.broadcast(n0))
               .select(F.zip_with(
                   F.zip_with("p0", "p1", lambda a, b: (a + b) / 2.0),
                   "n0", lambda m, c: m - c).alias("qvec"))
@@ -578,8 +583,8 @@ def discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (emb.where(F.col("vec_id") == vid)
                    .select(D.vec_double("embedding").alias(name)))
 
-    ctx = (vec_of(0, "tv").crossJoin(vec_of(17, "pv"))
-           .crossJoin(vec_of(225, "nv")))
+    ctx = (vec_of(0, "tv").crossJoin(F.broadcast(vec_of(17, "pv")))
+           .crossJoin(F.broadcast(vec_of(225, "nv"))))
     corpus = (emb.where(~F.col("vec_id").isin(0, 17, 225))
                  .select("vec_id", "label",
                          D.vec_double("embedding").alias("vec")))
@@ -774,8 +779,8 @@ def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select(D.vec_double("embedding").alias(name))
                    .withColumn(f"n_{name}", D.norm(name)))
 
-    q = (vec_of(0, "p0").crossJoin(vec_of(17, "p1"))
-                        .crossJoin(vec_of(225, "n0")))
+    q = (vec_of(0, "p0").crossJoin(F.broadcast(vec_of(17, "p1")))
+                        .crossJoin(F.broadcast(vec_of(225, "n0"))))
     corpus = (emb.where(~F.col("vec_id").isin(0, 17, 225))
                  .select("vec_id", "label",
                          D.vec_double("embedding").alias("vec"))
@@ -835,8 +840,9 @@ def near_text_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (emb.where(F.col("vec_id") == vid)
                    .select(D.vec_double("embedding").alias(name)))
 
-    parts = (vec_of(0, "q").crossJoin(vec_of(9, "t0"))
-             .crossJoin(vec_of(23, "t1")).crossJoin(vec_of(77, "aw")))
+    parts = (vec_of(0, "q").crossJoin(F.broadcast(vec_of(9, "t0")))
+             .crossJoin(F.broadcast(vec_of(23, "t1")))
+             .crossJoin(F.broadcast(vec_of(77, "aw"))))
     moved = F.zip_with(
         F.zip_with("q", F.zip_with("t0", "t1", lambda a, b: (a + b) / 2.0),
                    lambda qq, tt: qq + MOVE_TO * tt),
