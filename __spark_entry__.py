@@ -60,9 +60,11 @@ _PRIORITY = [
     "function_score_knn",
     # (d) rows-only recall-pinned (driver records a weaker rows check)
     "pq_adc_knn", "ivfpq_knn",
-    # (e) code changed this round (events loader rewritten for the
-    # Spark 4.1 TIMESTAMP_NTZ parquet read) — re-prove the green rows
-    "asof_click_attribution", "events_hourly", "events_multires_rollup",
+    # (e) code changed this round: simhash widened to 60 bits (new
+    # signatures — the r2 rows describe the 32-bit outputs), events
+    # loader rewritten for the Spark 4.1 TIMESTAMP_NTZ parquet read
+    "dedup_simhash", "simhash_pairs",
+    "asof_click_attribution",
     # ---- driver budget line (~50) ----
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

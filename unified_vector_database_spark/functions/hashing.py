@@ -18,6 +18,14 @@ def md5_int32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def md5_int60(col: Column | str) -> Column:
+    """First 15 hex chars of md5 -> bigint in [0, 2^60) — wide enough
+    for 60-bit signature schemes, still exactly representable in a
+    signed 64-bit long (and in DuckDB's BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_perm(h: Column, j: int) -> Column:
     """j-th universal-hash permutation of a 32-bit base hash."""
     return (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)

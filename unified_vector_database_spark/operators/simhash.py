@@ -1,12 +1,20 @@
-"""SimHash near-dup (SURVEY §2.5 D3): 32-bit signature by tf-weighted
+"""SimHash near-dup (SURVEY §2.5 D3): 60-bit signature by tf-weighted
 bit voting over md5-derived token hashes, plus banded Hamming pairing.
 
 Fully oracle-checked: every stage is integer math over md5, identical
-in DuckDB. Scale shape: signature = ONE doc-keyed groupBy whose 32
+in DuckDB. Scale shape: signature = ONE doc-keyed groupBy whose 60
 counters partial-aggregate map-side (occurrence-level +-1 votes — no
-tf pre-shuffle); pair generation bands the 32 bits into 4 bytes, so
-any pair within Hamming distance 3 shares >= 1 intact band
-(pigeonhole) and the self-join never goes quadratic.
+tf pre-shuffle); pair generation bands the 60 bits into 4x15-bit
+bands, so any pair within Hamming distance 3 shares >= 1 intact band
+(pigeonhole) and the self-join stays in buckets.
+
+Why 60 bits: the r1-r2 version used 32 bits = 8-bit band keys = only
+256 buckets per band — fine at test scale, but the candidate join
+goes quadratic once the corpus outgrows the key space (a 64x replica
+corpus wedged it for >9 min). 15-bit bands give 32k buckets/band, and
+`bucket_cap` bounds the residual hot buckets exactly like the MinHash
+LSH pair generator. 60 (not 64) keeps every signature and every
+DuckDB shift inside non-negative signed-64 range.
 """
 
 from __future__ import annotations
@@ -14,13 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import tables
-from ..functions.hashing import md5_int32
+from ..functions.hashing import md5_int60
 from ..functions.text import tokens
 from ..registry import register
 
-BITS = 32
+BITS = 60
 BANDS = 4
-BAND_BITS = BITS // BANDS
+BAND_BITS = BITS // BANDS  # 15-bit band keys: 32k buckets per band
 _TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
 
 
@@ -34,9 +42,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     partition, so token occurrences never shuffle (r1 paid a full
     extra shuffle + a 1.9 s bench entry for the tf stage)."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    votes = tok.select("doc_id", md5_int32("token").alias("h"))
-    # codegen diet: vote_i > 0 <=> 2*ones_i > n, so instead of 32
-    # signed-vote aggregates we sum 16 longs that PACK two bit
+    votes = tok.select("doc_id", md5_int60("token").alias("h"))
+    # codegen diet: vote_i > 0 <=> 2*ones_i > n, so instead of 60
+    # signed-vote aggregates we sum 30 longs that PACK two bit
     # counters each (upper/lower 32 bits; ones < 2^32 so no carry)
     # plus one count. Half the agg buffers, same integers. Safe to
     # 2^31 tokens per doc per partition (long packing headroom).
@@ -59,9 +67,15 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return g.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by banded Hamming join: 4 bytes per signature;
-    a <= max_hamming pair shares an intact byte."""
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3,
+                  bucket_cap: int | None = None) -> DataFrame:
+    """Near-dup pairs by banded Hamming join: 4x15-bit bands per
+    signature; a <= max_hamming pair shares an intact band.
+
+    `bucket_cap` mirrors lsh_candidate_pairs: only the cap lowest-id
+    docs of a degenerate (band, key) bucket enter the pair join, so a
+    boilerplate-heavy bucket contributes <= cap^2/2 pairs instead of
+    B^2/2. None = exact (the oracle-checked queries)."""
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -71,6 +85,11 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
                  .bitwiseAND(F.lit((1 << BAND_BITS) - 1)).alias("key"))
             for i in range(BANDS)])).alias("bk")
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    if bucket_cap is not None:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("band", "key").orderBy("doc_id")
+        bands = (bands.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= bucket_cap).drop("_rn"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -89,13 +108,12 @@ _ORACLE_BITS = ", ".join(
 _ORACLE_SIG = " + ".join(
     f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
     for i in range(BITS))
+_ORACLE_H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
 
 
 @register("dedup_simhash", oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
-votes AS (SELECT doc_id,
-                 ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-          FROM tok),
+votes AS (SELECT doc_id, {_ORACLE_H} AS h FROM tok),
 bits AS (SELECT doc_id, {_ORACLE_BITS} FROM votes GROUP BY doc_id)
 SELECT doc_id, {_ORACLE_SIG} AS simhash
 FROM bits ORDER BY doc_id
@@ -107,9 +125,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_pairs", oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
-votes AS (SELECT doc_id,
-                 ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-          FROM tok),
+votes AS (SELECT doc_id, {_ORACLE_H} AS h FROM tok),
 bits AS (SELECT doc_id, {_ORACLE_BITS} FROM votes GROUP BY doc_id),
 sig AS (SELECT doc_id, {_ORACLE_SIG} AS simhash FROM bits),
 bands AS (
