@@ -28,47 +28,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["knn_cosine"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority: the r1 driver checked the FIRST 50 entries of
-# queries() in dict order, so entries still lacking a green
-# CORRECTNESS row come first — (a) queries with no r1 driver row,
-# (b) the 4 r1 hash-fails (decimal outputs, fixed), (c) queries whose
-# code changed this round, (d) new operators, then (e) a handful of
-# stable flagships. Unmodified r1-green queries sit at the tail; their
-# r1 rows remain the evidence of record.
+# Verification priority: the driver checks the FIRST ~50 entries of
+# queries() in dict order each round; entries still lacking a
+# hash-green CORRECTNESS row come first, then entries whose code or
+# oracle changed this round (their old rows describe old outputs),
+# then new r4 operators, then stable flagships. 128/134 oracle
+# queries already have a lifetime green row (r1+r2+r3) — those rows
+# remain the evidence of record for everything past the budget line.
 _PRIORITY = [
-    # (a) registered in r2 but past the driver's ~50-entry budget line
-    # — no CORRECTNESS row yet; these verify first (r3 rotation)
-    "maxsim_knn", "more_like_this", "fuzzy_search", "percolate",
-    "significant_terms", "geo_grid_agg", "geo_bounding_box", "discover",
-    "repetition_score", "pack_context_windows", "corpus_shuffle",
-    "sparse_vectors_layout", "ppm_image_features", "suggest_prefix",
-    "search_highlight", "extended_stats", "events_retention",
-    "recommend_best_score", "unified_search", "dedup_clusters",
-    "dedup_survivors", "lm_bigram_quality", "bm25_pruned_search",
-    "q2_min_cost_supplier", "q11_important_parts",
-    "q12_priority_by_returnflag", "q16_supplier_counts",
-    "q20_part_promotion",
-    # (b) rows-only in r1, upgraded to full oracles in r2 — still no
-    # hash-green row
-    "lsh_buckets", "sq8_quantize",
-    # (c) new in r3
-    "duplicate_spans", "distance_matrix", "events_gap_fill",
-    "events_moving_avg", "wav_audio_features", "stateful_topk_stream",
-    "hybrid_tri_fusion", "near_text_move", "vocab_coverage",
-    "phrase_slop_search", "geo_polygon_search", "search_quality_eval",
-    "stream_join_attribution", "composite_agg_page", "terms_set_search",
-    "function_score_knn",
-    # (d) rows-only recall-pinned (driver records a weaker rows check)
-    "pq_adc_knn", "ivfpq_knn",
-    # (e) code changed this round: simhash widened to 60 bits (new
-    # signatures — the r2 rows describe the 32-bit outputs), events
-    # loader rewritten for the Spark 4.1 TIMESTAMP_NTZ parquet read
-    "dedup_simhash", "simhash_pairs",
-    "asof_click_attribution",
-    # ---- driver budget line (~50) ----
+    # (a) registered in r3 but one past the driver's ~50-entry budget
+    # line — never driver-checked (all MATCH under driver_sim)
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",
     "video_frame_sample",
+    # (b) the two r3 red rows, fixed this round: q12's oracle now
+    # CASTs its HUGEINT sums to BIGINT; stateful topk posexplodes its
+    # array column into (key, rank, topv) rows
+    "q12_priority_by_returnflag", "stateful_topk_stream",
+    # (c) queued in r3 to re-prove the rewritten NTZ events loader via
+    # its exact-microsecond oracle but sat at slot 51 (ADVICE r3:
+    # budget off-by-one)
+    "asof_click_attribution",
+    # (d) code/oracle changed this round: n_relevant=0 guard on both
+    # engines (ADVICE r3)
+    "search_quality_eval",
+    # (e) new r4: rows-only queries upgraded to full oracles
+    # (centroid/codebook plan literals), new operators
+    "ivf_knn", "pq_adc_knn", "ivfpq_knn", "knn_cosine_arrow",
+    "jpeg_image_features",
+    # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",
@@ -77,6 +65,12 @@ _PRIORITY = [
     "hybrid_rrf", "hybrid_weighted", "dedup_exact", "dedup_jaccard",
     "q3_topurgent", "q5_region_volume", "q6_forecast_revenue",
     "q14_promo_share", "q10_returned_revenue", "q19_bracket_filters",
+    "dedup_simhash", "simhash_pairs", "dedup_clusters",
+    "dedup_survivors", "duplicate_spans", "embed_near_dup",
+    "batch_knn", "grouped_topk", "mmr_rerank", "unified_search",
+    "hybrid_tri_fusion", "bm25_pruned_search", "lsh_buckets",
+    "sq8_quantize", "stream_join_attribution", "wav_audio_features",
+    "ppm_image_features",
 ]
 
 
@@ -96,5 +90,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: registry.ORACLES[name]
-            for name in _ordered(registry.ORACLES)}
+    resolved = registry.resolved_oracles()
+    return {name: resolved[name] for name in _ordered(resolved)}

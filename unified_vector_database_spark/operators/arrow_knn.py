@@ -50,10 +50,28 @@ def knn_arrow(corpus: DataFrame, qvec: list[float], k: int,
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
 
-@register("knn_cosine_arrow")  # rows-only: BLAS sums are not bit-exact
+@register("knn_cosine_arrow", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id, round(score, 6) AS score FROM (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], qvec)
+           / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qvec, qvec))) AS score
+  FROM embeddings, q
+  ORDER BY score DESC, vec_id LIMIT 10)
+""")
 def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-path knn for the same query as knn_cosine; the id set is
     asserted identical to the JVM path in tests/test_simjoin.py.
+
+    r4: upgraded from rows-only to a full oracle. BLAS reassociates
+    the sums, so raw scores differ from the exact fold by ulps; the
+    final select rounds to 6 decimals (the repo's standard libm-spread
+    absorber) AFTER the raw-score TakeOrdered, which keeps the top-10
+    membership decision on the raw ordering (ties at a rounded
+    boundary cannot admit a different member).
 
     Deliberately NOT load_parallel: the Arrow path wants LARGE batches
     (one GEMV per batch amortizes the Python boundary), so the natural
@@ -65,4 +83,5 @@ def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).first().embedding]
-    return knn_arrow(corpus, qvec, k=10)
+    return (knn_arrow(corpus, qvec, k=10)
+            .select("vec_id", F.round("score", 6).alias("score")))

@@ -304,7 +304,8 @@ def verified_edges(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
                  .select("id_a", "id_b"))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         check_every: int = 2) -> DataFrame:
     """(id, cluster_id) for every node in `edges`, cluster_id = min
     node id reachable — min-label propagation WITH pointer doubling.
 
@@ -319,10 +320,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     joins + one partial-agg min whose shuffle key is reusable round to
     round. localCheckpoint truncates lineage between rounds (on a real
     cluster: `checkpoint` to stable storage every few rounds). The
-    driver reads only a 1-long "did anything change" count per round,
-    never data. Raises if max_iter rounds pass without a fixpoint —
-    a silently split cluster would diverge from the transitive-closure
-    oracle, so non-convergence must be loud.
+    driver reads only a 1-long "did anything change" count per
+    checked round, never data. Raises if max_iter rounds pass without
+    a fixpoint — a silently split cluster would diverge from the
+    transitive-closure oracle, so non-convergence must be loud.
+
+    r4 (VERDICT #8): the fixpoint test runs every `check_every`
+    rounds, against the labels at the LAST check — valid because
+    min-propagation is monotone (a node's label never increases), so
+    equality across the window proves nothing moved in any round
+    inside it. Costs at most check_every-1 extra propagation rounds
+    past the fixpoint; saves a count job per skipped round. Labels are
+    also checkpointed BEFORE the count (r3 evaluated the whole round's
+    lineage once for the count and AGAIN for the checkpoint).
     """
     # materialize the edge pipeline ONCE (the union below would
     # otherwise evaluate it twice), then mirror on the checkpointed
@@ -338,6 +348,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (und.select(F.col("src").alias("id")).distinct()
                  .withColumn("label", F.col("id"))
                  .localCheckpoint())
+    last_checked = labels
     for rnd in range(max_iter):
         prop = (und.join(labels, und.src == labels.id)
                    .select(F.col("dst").alias("id"), "label"))
@@ -350,20 +361,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                          .select(F.col("a.id").alias("id"),
                                  F.col("b.label").alias("label")))
             grow = grow.union(hop)
-        new = grow.groupBy("id").agg(F.min("label").alias("label"))
-        if rnd > 0:
-            # round 0 always changes something on a non-empty edge set;
-            # start fixpoint checks once labels can have stabilized.
-            # `new` is evaluated lazily here: when nothing changed the
-            # previous (checkpointed) labels ARE the answer, so the
-            # final round never pays a materialization
-            changed = (new.alias("n")
-                          .join(labels.alias("o"), "id")
-                          .where(F.col("n.label") != F.col("o.label"))
-                          .count())
+        labels = (grow.groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        # round 0 always changes something on a non-empty edge set;
+        # check once labels can have stabilized, then every
+        # check_every rounds (and always on the last allowed round,
+        # so the non-convergence raise stays accurate)
+        if rnd > 0 and (rnd % check_every == 0 or rnd == max_iter - 1):
+            changed = (labels.alias("n")
+                             .join(last_checked.alias("o"), "id")
+                             .where(F.col("n.label") != F.col("o.label"))
+                             .count())
             if changed == 0:
-                return labels
-        labels = new.localCheckpoint()
+                return last_checked
+            last_checked = labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the duplicate graph is deeper than expected — raise max_iter")

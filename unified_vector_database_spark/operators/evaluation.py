@@ -52,10 +52,11 @@ hits AS (
          count(*) FILTER (label = qlabel) AS n_rel_hits
   FROM ranked)
 SELECT round(n_rel_hits * 1.0 / {EVAL_K}, 6) AS precision_at_k,
-       round(n_rel_hits * 1.0 / least(n_relevant, {EVAL_K}), 6)
+       round(n_rel_hits * 1.0
+             / least(greatest(n_relevant, 1), {EVAL_K}), 6)
          AS recall_at_k,
        round(dcg / list_sum(list_transform(
-             range(1, least(n_relevant, {EVAL_K}) + 1),
+             range(1, least(greatest(n_relevant, 1), {EVAL_K}) + 1),
              i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_k,
        CAST(n_relevant AS BIGINT) AS n_relevant
 FROM hits, rel
@@ -95,15 +96,20 @@ def search_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = (corpus.crossJoin(F.broadcast(q.select("qlabel")))
                  .where(F.col("label") == F.col("qlabel"))
                  .agg(F.count("*").alias("n_relevant")))
+    # greatest(…, 1): with n_relevant = 0, Spark's sequence(1, 0)
+    # yields [1, 0] (descending-range pitfall, functions/text.py)
+    # while DuckDB's range(1, 1) is empty — guard BOTH sides so the
+    # engines agree even on a label with no other members.
     idcg = F.expr(
-        f"aggregate(sequence(1, least(n_relevant, {EVAL_K})), 0D, "
-        "(acc, i) -> acc + 1.0 / log2(i + 1))")
+        f"aggregate(sequence(1, least(greatest(n_relevant, 1), {EVAL_K})), "
+        "0D, (acc, i) -> acc + 1.0 / log2(i + 1))")
     return (hits.crossJoin(F.broadcast(rel))
                 .select(
         F.round(F.col("n_rel_hits") / F.lit(float(EVAL_K)), 6)
          .alias("precision_at_k"),
         F.round(F.col("n_rel_hits")
-                / F.least(F.col("n_relevant"), F.lit(EVAL_K)), 6)
+                / F.least(F.greatest(F.col("n_relevant"), F.lit(1)),
+                          F.lit(EVAL_K)), 6)
          .alias("recall_at_k"),
         F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_k"),
         F.col("n_relevant").cast("long").alias("n_relevant")))

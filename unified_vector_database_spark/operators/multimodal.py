@@ -386,13 +386,15 @@ def sample_video_frames(payload: bytes, stride: int = VID_STRIDE) -> dict:
 
 def video_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        rows = [sample_video_frames(bytes(b)) for b in pdf["payload"]]
-        yield pd.DataFrame({
-            "media_id": pdf["media_id"],
-            "n_frames": [r["n_frames"] for r in rows],
-            "n_sampled": [r["n_sampled"] for r in rows],
-            "frame_means": [r["frame_means"] for r in rows],
-        })
+        out = {"media_id": [], "n_frames": [], "frame_idx": [], "fmean": []}
+        for mid, b in zip(pdf["media_id"], pdf["payload"]):
+            r = sample_video_frames(bytes(b))
+            for j, m in enumerate(r["frame_means"]):
+                out["media_id"].append(mid)
+                out["n_frames"].append(r["n_frames"])
+                out["frame_idx"].append(j * VID_STRIDE)
+                out["fmean"].append(m)
+        yield pd.DataFrame(out)
 
 
 @register("video_frame_sample", oracle=f"""
@@ -410,22 +412,24 @@ m AS (
   FROM f)
 SELECT doc_id AS media_id,
        {VID_N_FRAMES} AS n_frames,
-       CAST(count(*) AS INT) AS n_sampled,
-       list(fmean ORDER BY fi) AS frame_means
-FROM m GROUP BY doc_id ORDER BY media_id
+       CAST(fi AS INT) AS frame_idx,
+       fmean
+FROM m ORDER BY media_id, frame_idx
 """)
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end video frame-sampling pipeline: synthesize raw-frame
     video binaries from the corpus (JVM), parse the container and
-    stride-sample frames in an Arrow-batched kernel, emit per-frame
-    grayscale means — hash-checked against an oracle that recomputes
-    each sampled frame from the same md5 hex. Completes M2's
+    stride-sample frames in an Arrow-batched kernel, emit one row per
+    sampled frame (media_id, frame_idx, grayscale mean) — hash-checked
+    against an oracle that recomputes each sampled frame from the same
+    md5 hex. Per-frame rows (not an array column) because the driver's
+    pandas canonicalizer cannot sort/hash array cells — the
+    stateful_topk_stream r3 lesson. Completes M2's
     decode/resize/frame-sample triple with real byte-level work
     (PPM decode + WAV decode + this)."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     media = synth_video(docs)
     feats = media.mapInPandas(
         video_frame_batches,
-        schema=("media_id long, n_frames int, n_sampled int, "
-                "frame_means array<double>"))
-    return feats.orderBy("media_id")
+        schema="media_id long, n_frames int, frame_idx int, fmean double")
+    return feats.orderBy("media_id", "frame_idx")

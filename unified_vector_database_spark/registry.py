@@ -15,16 +15,38 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str, or a zero-arg callable resolved lazily at oracle_sql() time —
+# for oracles that embed data-derived build artifacts (IVF centroids,
+# PQ codebooks) as SQL literals: the artifact fit reads the oracle
+# corpus, so the SQL string can only be produced where the parquet is
+# reachable, not at import time.
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with lazy entries rendered to SQL. A lazy oracle that
+    fails to build (corpus unreadable) drops out — the driver then
+    records the weaker rows-only check for it instead of erroring
+    every other entry."""
+    out: dict[str, str] = {}
+    for name, o in ORACLES.items():
+        if callable(o):
+            try:
+                out[name] = o()
+            except Exception:  # pragma: no cover - defensive
+                continue
+        else:
+            out[name] = o
+    return out
 
 
 def load_all() -> None:

@@ -67,10 +67,18 @@ def running_topk(stream: DataFrame, key_col: str = "event_type",
 
 
 @register("stateful_topk_stream", oracle="""
-SELECT event_type AS key,
-       list(value ORDER BY value DESC)[1:3] AS topk,
-       count(*) AS n_seen
-FROM events GROUP BY event_type ORDER BY key
+WITH t AS (
+  SELECT event_type AS key,
+         list(value ORDER BY value DESC)[1:3] AS topk,
+         count(*) AS n_seen
+  FROM events GROUP BY event_type)
+SELECT key, rank, topv, n_seen FROM (
+  SELECT key,
+         CAST(generate_subscripts(topk, 1) AS INT) AS rank,
+         unnest(topk) AS topv,
+         CAST(n_seen AS BIGINT) AS n_seen
+  FROM t)
+ORDER BY key, rank
 """)
 def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 driven end-to-end for the correctness gate: replay events as
@@ -79,7 +87,10 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reduce the update-mode emissions to each key's final state
     (max_by on the monotone n_seen). The oracle is the batch fixpoint
     — per-key top-3 values + total count — so the streaming state
-    machine is hash-checked, not just smoke-run."""
+    machine is hash-checked, not just smoke-run. The final top-k is
+    posexploded to (key, rank, topv) rows: the driver's pandas
+    canonicalizer cannot sort/hash array cells (r3 ERR), so arrays
+    never appear in a final queries() output schema."""
     import tempfile
     import uuid
 
@@ -94,8 +105,12 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
          .queryName(name).outputMode("update")
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
-    return (spark.table(name)
-            .groupBy("key")
-            .agg(F.max_by("topk", "n_seen").alias("topk"),
-                 F.max("n_seen").alias("n_seen"))
-            .orderBy("key"))
+    final = (spark.table(name)
+             .groupBy("key")
+             .agg(F.max_by("topk", "n_seen").alias("topk"),
+                  F.max("n_seen").alias("n_seen")))
+    return (final.select("key", "n_seen",
+                         F.posexplode("topk").alias("_pos", "topv"))
+                 .select("key", (F.col("_pos") + 1).cast("int").alias("rank"),
+                         "topv", "n_seen")
+                 .orderBy("key", "rank"))
