@@ -197,3 +197,44 @@ def test_collection_stats(spark, sf_dir, tmp_path):
     assert st["files"] >= 1 and st["bytes"] > 0
     assert st["versions_retained"] >= 2
     assert st["snapshots"] == 1
+
+
+def test_uri_catalog_roundtrip(spark, tmp_path):
+    """Object-storage readiness (r4): the catalog must work through a
+    URI-addressed store, not just bare posix paths. file:// exercises
+    the full Hadoop FileSystem code path in sources/fsio.py — the
+    SAME calls an s3a:// or hdfs:// base would take (only the
+    FileSystem impl behind Path.getFileSystem differs), which is how
+    the reference's MinIO-backed persistence maps onto Spark."""
+    base = "file://" + str(tmp_path)
+    col = Collection.create(spark, base, "c_uri", id_col="id", dim=2)
+    assert Collection.list_collections(base) == ["c_uri"]
+
+    col.upsert(spark.createDataFrame(_rows(0, 8, "a")))
+    col.upsert(spark.createDataFrame(_rows(4, 8, "b")))  # 0-3 a, 4-11 b
+    assert col.count() == 12
+    assert col.describe().version == 2
+
+    # snapshot + time-travel through the URI store
+    col.snapshot("v2")
+    col.delete(F.col("id") >= 10)
+    assert col.count() == 10
+    assert col.read(tag="v2").count() == 12
+
+    # alias pointer swap lives in URI metadata too
+    Collection.set_alias(base, "live", "c_uri")
+    assert Collection.open_alias(spark, base, "live").count() == 10
+
+    # stats walks the URI file listing; vacuum GCs URI dirs
+    st = col.stats()
+    assert st["rows"] == 10 and st["files"] > 0 and st["bytes"] > 0
+    removed = col.vacuum()
+    assert removed == [1]  # v2 pinned by snapshot, v3 current
+    assert col.read(tag="v2").count() == 12  # pinned version survives
+
+    # the posix view of the same tmp_path sees the identical layout:
+    # fsio wrote real files, not a parallel namespace
+    assert (tmp_path / "c_uri" / "manifest.json").exists()
+
+    col.drop()
+    assert Collection.list_collections(base) == []

@@ -9,16 +9,22 @@ Writes are copy-on-write: a new data_v<N+1> directory is fully
 written, then the manifest pointer flips — readers of v<N> are never
 disturbed, which is exactly how object-store tables (and the
 reference's MinIO-backed snapshots) stay consistent without locks.
+
+`base` may be a bare posix path OR any URI Spark's Hadoop stack can
+reach (`file://`, `s3a://` MinIO/S3, `hdfs://`, ...): all metadata
+I/O routes through sources/fsio.py, which uses the standard library
+for posix paths and Hadoop's FileSystem for URIs — see fsio's
+docstring for the atomicity/committer story on object stores.
+Round-tripped through a URI store in tests/test_catalog.py.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import fsio
 
 
 @dataclass
@@ -43,7 +49,7 @@ class Collection:
         self.spark = spark
         self.base = base
         self.name = name
-        self.path = os.path.join(base, name)
+        self.path = fsio.join(base, name)
 
     # -------------------------------------------------------- lifecycle
     @classmethod
@@ -58,9 +64,9 @@ class Collection:
         at file listing instead of scanning the full collection —
         plan-asserted in tests/test_catalog.py."""
         col = cls(spark, base, name)
-        if os.path.exists(col.path):
+        if fsio.exists(col.path):
             raise ValueError(f"collection {name!r} already exists")
-        os.makedirs(col.path)
+        fsio.makedirs(col.path)
         col._write_manifest(Manifest(name, id_col, dim, metric, version=0,
                                      partition_by=partition_by))
         return col
@@ -68,16 +74,16 @@ class Collection:
     @classmethod
     def open(cls, spark: SparkSession, base: str, name: str) -> "Collection":
         col = cls(spark, base, name)
-        if not os.path.exists(col._manifest_path):
+        if not fsio.exists(col._manifest_path):
             raise ValueError(f"collection {name!r} does not exist")
         return col
 
     @staticmethod
     def list_collections(base: str) -> list[str]:
-        if not os.path.isdir(base):
+        if not fsio.isdir(base):
             return []
-        return sorted(n for n in os.listdir(base)
-                      if os.path.exists(os.path.join(base, n, "manifest.json")))
+        return sorted(n for n in fsio.listdir(base)
+                      if fsio.exists(fsio.join(base, n, "manifest.json")))
 
     # ---------------------------------------------------------- aliases
     # The blue-green reindex primitive every reference backend exposes
@@ -86,36 +92,29 @@ class Collection:
     # behind it; the swap is one atomic pointer write.
     @staticmethod
     def _aliases_path(base: str) -> str:
-        return os.path.join(base, "_aliases.json")
+        return fsio.join(base, "_aliases.json")
 
     @staticmethod
     def _read_aliases(base: str) -> dict:
         p = Collection._aliases_path(base)
-        if not os.path.exists(p):
+        if not fsio.exists(p):
             return {}
-        with open(p) as f:
-            return json.load(f)
+        return fsio.read_json(p)
 
     @staticmethod
     def set_alias(base: str, alias: str, name: str) -> None:
         """Point `alias` at collection `name` (create or atomic swap)."""
-        if not os.path.exists(os.path.join(base, name, "manifest.json")):
+        if not fsio.exists(fsio.join(base, name, "manifest.json")):
             raise ValueError(f"collection {name!r} does not exist")
         aliases = Collection._read_aliases(base)
         aliases[alias] = name
-        tmp = Collection._aliases_path(base) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(aliases, f)
-        os.replace(tmp, Collection._aliases_path(base))
+        fsio.write_json(Collection._aliases_path(base), aliases)
 
     @staticmethod
     def drop_alias(base: str, alias: str) -> None:
         aliases = Collection._read_aliases(base)
         aliases.pop(alias, None)
-        tmp = Collection._aliases_path(base) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(aliases, f)
-        os.replace(tmp, Collection._aliases_path(base))
+        fsio.write_json(Collection._aliases_path(base), aliases)
 
     @staticmethod
     def list_aliases(base: str) -> dict:
@@ -131,11 +130,10 @@ class Collection:
         return cls.open(spark, base, aliases[alias])
 
     def drop(self) -> None:
-        shutil.rmtree(self.path)
+        fsio.rmtree(self.path)
 
     def describe(self) -> Manifest:
-        with open(self._manifest_path) as f:
-            return Manifest(**json.load(f))
+        return Manifest(**fsio.read_json(self._manifest_path))
 
     # ---------------------------------------------------------- ingest
     def upsert(self, df: DataFrame) -> int:
@@ -208,7 +206,7 @@ class Collection:
         if v == 0:
             return None
         path = self._data_path(v)
-        if not os.path.isdir(path):
+        if not fsio.isdir(path):
             raise ValueError(f"version {v} does not exist (vacuumed?)")
         return self.spark.read.parquet(path)
 
@@ -224,18 +222,15 @@ class Collection:
         directory listing — the same metadata a SHOW TABLE EXTENDED
         reports — so the call is O(files), not O(rows), except for the
         row count which is one parquet-footer-only Spark count."""
-        import glob as _glob
-
         m = self.describe()
         files, nbytes = 0, 0
         if m.version:
-            for f in _glob.glob(
-                    os.path.join(self._data_path(m.version),
-                                 "**", "*.parquet"), recursive=True):
+            for _, sz in fsio.parquet_files(self._data_path(m.version)):
                 files += 1
-                nbytes += os.path.getsize(f)
-        versions = len([d for d in _glob.glob(
-            os.path.join(self.path, "data_v*")) if os.path.isdir(d)])
+                nbytes += sz
+        versions = len([d for d in fsio.listdir(self.path)
+                        if d.startswith("data_v")
+                        and fsio.isdir(fsio.join(self.path, d))])
         return {
             "name": self.name,
             "rows": self.count(),
@@ -271,12 +266,12 @@ class Collection:
         m = self.describe()
         keep = {m.version} | set(self._read_snapshots().values())
         removed = []
-        for entry in os.listdir(self.path):
+        for entry in fsio.listdir(self.path):
             if not entry.startswith("data_v"):
                 continue
             v = int(entry.removeprefix("data_v"))
             if v not in keep:
-                shutil.rmtree(os.path.join(self.path, entry))
+                fsio.rmtree(fsio.join(self.path, entry))
                 removed.append(v)
         return sorted(removed)
 
@@ -287,8 +282,7 @@ class Collection:
         m = self.describe()
         snaps = self._read_snapshots()
         snaps[tag] = m.version
-        with open(self._snapshots_path, "w") as f:
-            json.dump(snaps, f)
+        fsio.write_json(self._snapshots_path, snaps)
         return tag
 
     def restore(self, tag: str) -> None:
@@ -302,26 +296,22 @@ class Collection:
     # --------------------------------------------------------- private
     @property
     def _manifest_path(self) -> str:
-        return os.path.join(self.path, "manifest.json")
+        return fsio.join(self.path, "manifest.json")
 
     @property
     def _snapshots_path(self) -> str:
-        return os.path.join(self.path, "snapshots.json")
+        return fsio.join(self.path, "snapshots.json")
 
     def _read_snapshots(self) -> dict:
-        if not os.path.exists(self._snapshots_path):
+        if not fsio.exists(self._snapshots_path):
             return {}
-        with open(self._snapshots_path) as f:
-            return json.load(f)
+        return fsio.read_json(self._snapshots_path)
 
     def _data_path(self, version: int) -> str:
-        return os.path.join(self.path, f"data_v{version}")
+        return fsio.join(self.path, f"data_v{version}")
 
     def _write_manifest(self, m: Manifest) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m.to_json(), f)
-        os.replace(tmp, self._manifest_path)
+        fsio.write_json(self._manifest_path, m.to_json())
 
     def _commit(self, df: DataFrame, m: Manifest) -> int:
         new_version = m.version + 1
