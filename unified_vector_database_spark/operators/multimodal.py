@@ -5,14 +5,19 @@ decode/feature plumbing via mapInPandas.
 Decode status — the decode/resize/frame-sample triple is REAL
 byte-level work, no external libs, each oracle-checked end-to-end:
 - images: PPM (P6) header parse + raster + channel means + 2x2
-  mean-pool resize (`decode_ppm` / `ppm_image_features`);
+  mean-pool resize (`decode_ppm` / `ppm_image_features`); and a REAL
+  baseline JFIF (JPEG) decoder — markers, stream-defined Huffman
+  tables, DC prediction, IDCT — in operators/jpeg.py
+  (`jpeg_image_features`), closing the codec gap for the dominant
+  image format;
 - audio: RIFF/WAVE chunk walk + fmt struct + int16 PCM -> RMS / peak /
   zero-crossings (`decode_wav` / `wav_audio_features`);
 - video: raw-frame container parse + stride frame-sampling +
   per-frame means (`sample_video_frames` / `video_frame_sample`).
-Formats that require codecs (JPEG/H.264/MP3) remain STUBBED behind
-the same Arrow contract (decode_binary_batches); swap `_fake_decode`
-for the library call in production.
+Formats that still require external codecs (H.264/MP3, progressive or
+chroma-subsampled JPEG) remain STUBBED behind the same Arrow contract
+(decode_binary_batches); swap `_fake_decode` for the library call in
+production.
 """
 
 from __future__ import annotations

@@ -54,7 +54,7 @@ def load_all() -> None:
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, evaluation, geo, hybrid,
-        index, inverted,
+        index, inverted, jpeg,
         knn, lm, matrix, multimodal, percolate, rerank, simhash, simjoin,
         spans, sparse, suggest, textops, timeseries, tpch_extra, tpch_more,
     )
