@@ -46,6 +46,9 @@ HEADLINE = [
     "near_text_move", "vocab_coverage", "phrase_slop_search",
     "geo_polygon_search", "search_quality_eval", "composite_agg_page",
     "terms_set_search", "function_score_knn",
+    # r4: codec decode kernels + the unified API facade
+    "jpeg_image_features", "video_frame_sample", "ppm_image_features",
+    "unified_search",
 ]
 
 

@@ -253,3 +253,62 @@ def test_stream_upsert_compact_knn_composition(spark, sf_dir, tmp_path):
     # nprobe = all cells -> the probe IS exact; ids and scores agree
     assert [(r.vec_id, round(r.score, 9)) for r in got.collect()] == \
            [(r.vec_id, round(r.score, 9)) for r in exp.collect()]
+
+
+def test_stream_indexed_collection_online_ivf(spark, sf_dir, tmp_path):
+    """Online index maintenance: the reference backends index as they
+    upsert. Here every streamed micro-batch lands WITH its IVF cell
+    id (assignment against fixed broadcast centroids), so a probe can
+    prune cells at any moment without an offline re-index. The pruned
+    probe over the live collection must agree with brute force when
+    nprobe covers all cells, and the stored cid column must equal a
+    batch recomputation (ingest-time assignment == offline build)."""
+    from unified_vector_database_spark.operators.index import (
+        assign_cells, kmeans_fit,
+    )
+    from unified_vector_database_spark.operators.knn import knn
+    from unified_vector_database_spark.functions import distance as D
+    from unified_vector_database_spark.sources.catalog import Collection
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_into_indexed_collection,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").limit(256)
+    src = str(tmp_path / "vec_stream")
+    emb.repartition(4).write.parquet(src)
+
+    # centroids fit on the first batch's worth of data (the "existing
+    # index" the stream maintains)
+    fit_corpus = emb.select(
+        "vec_id", D.vec_double("embedding").alias("vec"))
+    cents = kmeans_fit(fit_corpus, k=4, sample=64)
+
+    col = Collection.create(spark, str(tmp_path / "cols"), "live_ivf",
+                            id_col="vec_id", dim=64)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_into_indexed_collection(
+            stream, col, cents, str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    live = col.read()
+    assert live.count() == 256 and "cid" in live.columns
+
+    # stored assignments == offline recomputation over the same rows
+    stored = {r.vec_id: r.cid for r in live.select("vec_id", "cid").collect()}
+    recomputed = {r.vec_id: r.cid for r in assign_cells(
+        live.select("vec_id", D.vec_double("embedding").alias("vec")),
+        cents).collect()}
+    assert stored == recomputed
+
+    # cid-pruned probe (all cells) == brute force over the collection
+    corpus = live.select("vec_id", "cid",
+                         D.vec_double("embedding").alias("vec"))
+    qdf = (corpus.where(F.col("vec_id") == 0)
+           .select(F.col("vec").alias("qvec")))
+    pruned = knn(corpus.where(F.col("cid").isin([0, 1, 2, 3])), qdf,
+                 k=5, metric="cosine")
+    brute = knn(corpus, qdf, k=5, metric="cosine")
+    assert [r.vec_id for r in pruned.collect()] == \
+           [r.vec_id for r in brute.collect()]

@@ -38,6 +38,10 @@ SRC = os.environ.get("UVDB_SCALE_SRC", "/root/testdata/sf0.1")
 DOC_OPS = [
     "duplicate_spans", "dedup_minhash", "dedup_simhash", "bm25_search",
     "knn_sparse", "lm_bigram_quality", "hybrid_rrf", "chunk_sliding",
+    # r4 panel additions (VERDICT #10): the iterative CC fixpoint, the
+    # two multi-join fusion/pruning paths, and the Arrow codec kernel
+    "dedup_clusters", "hybrid_tri_fusion", "bm25_pruned_search",
+    "jpeg_image_features",
 ]
 
 
