@@ -9,8 +9,18 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 
 import pytest
+
+# Lazy oracles (IVF/PQ centroid literals, operators/index.py) refit
+# their artifacts from the parquet at $UVDB_SIM_SF_DIR (driver default
+# sf0.01). This suite compares at sf0.001, so pin the fit dir to the
+# suite's SF BEFORE oracle_sql() renders the lazy entries — otherwise
+# the oracle's centroids come from a different corpus than Spark's.
+os.environ.setdefault(
+    "UVDB_SIM_SF_DIR",
+    os.environ.get("UVDB_TEST_SF_DIR", "/root/testdata/sf0.001"))
 
 import __spark_entry__ as entrymod
 
