@@ -56,6 +56,13 @@ _PRIORITY = [
     # (centroid/codebook plan literals), new operators
     "ivf_knn", "pq_adc_knn", "ivfpq_knn", "knn_cosine_arrow",
     "jpeg_image_features",
+    # (f) new r4 surface: sketch aggs, fusion/rescore/collapse/rare/
+    # adjacency search extras, training-mix sampling, annulus +
+    # group-lookup search (all MATCH under the hardened driver_sim)
+    "cardinality_hll", "distinct_kmv", "hybrid_relative_score",
+    "rescore_topn", "collapse_search", "rare_terms",
+    "adjacency_matrix", "quality_weighted_sample", "domain_mix_sample",
+    "range_annulus_search", "knn_group_lookup",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

@@ -49,6 +49,10 @@ HEADLINE = [
     # r4: codec decode kernels + the unified API facade
     "jpeg_image_features", "video_frame_sample", "ppm_image_features",
     "unified_search",
+    # r4 surface widening: sketches, fusion/rescore/collapse, sampling
+    "cardinality_hll", "distinct_kmv", "hybrid_relative_score",
+    "rescore_topn", "collapse_search", "rare_terms",
+    "quality_weighted_sample", "domain_mix_sample",
 ]
 
 

@@ -191,6 +191,68 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "vec_id"))
 
 
+@register("range_annulus_search", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q)
+SELECT vec_id, score FROM s
+WHERE score > 0.05 AND score <= 0.30
+ORDER BY score DESC, vec_id LIMIT 25
+""")
+def range_annulus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus range search with BOTH bounds (radius + range_filter):
+    hits in the annulus range_filter < score <= radius — 'similar but
+    not near-duplicate' retrieval. Same zero-shuffle shape as
+    range_search; the two bounds are one conjunct in the scan filter,
+    and the limit is TakeOrdered."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return (corpus.crossJoin(F.broadcast(q))
+            .select("vec_id", cosine_score().alias("score"))
+            .where((F.col("score") > 0.05) & (F.col("score") <= 0.30))
+            .orderBy(F.desc("score"), "vec_id").limit(25))
+
+
+@register("knn_group_lookup", oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+s AS (SELECT label, vec_id,
+             list_dot_product(embedding::DOUBLE[], qvec)/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q),
+r AS (SELECT label, vec_id, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM s),
+hits AS (SELECT label, vec_id, score, rank FROM r WHERE rank <= 2),
+g AS (SELECT label, max(score) AS best FROM hits GROUP BY 1
+      ORDER BY best DESC, label LIMIT 5)
+SELECT h.label, CAST(h.rank AS INT) AS rank, h.vec_id, h.score,
+       d.source AS group_payload
+FROM hits h JOIN g USING (label)
+JOIN documents d ON d.doc_id = h.label
+ORDER BY g.best DESC, h.label, h.rank
+""")
+def knn_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant search_groups `with_lookup`: top group_size=2 hits per
+    label for the best limit=5 groups, each group joined with its
+    payload row from a lookup collection (documents keyed by the
+    group id). The group table is ≤|labels| rows — both the group cut
+    and the lookup join broadcast; the corpus is scanned once."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    docs = tables.load(spark, sf_dir, "documents")
+    w = W.partitionBy("label").orderBy(F.desc("score"), F.col("vec_id"))
+    hits = (corpus.crossJoin(F.broadcast(q))
+            .select("label", "vec_id", cosine_score().alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 2))
+    g = (hits.groupBy("label").agg(F.max("score").alias("best"))
+             .orderBy(F.desc("best"), "label").limit(5))
+    return (hits.join(F.broadcast(g), "label")
+                .join(F.broadcast(docs.select(F.col("doc_id").alias("label"),
+                                              F.col("source").alias("group_payload"))),
+                      "label")
+                .orderBy(F.desc("best"), "label", "rank")
+                .select("label", "rank", "vec_id", "score", "group_payload"))
+
+
 @register("grouped_topk", oracle="""
 WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
 s AS (SELECT label, vec_id,

@@ -1,0 +1,128 @@
+"""Training-mix sampling: quality-weighted document sampling and
+domain-rebalancing ("data mixing") — the two selection steps between
+a filtered crawl and a training corpus.
+
+Both are DETERMINISTIC: the admit decision is a pure per-row function
+of the stable doc_id (md5 fraction) against a per-row/per-domain
+threshold, so resampling the same corpus yields the same subset on
+any engine, any partitioning, any run — the property that makes a
+100 TB sample reproducible and incrementally extendable (appending
+rows never changes earlier admit decisions, same contract as
+textops.hash_sample / hash_split).
+
+Scale shape: quality weighting is map-only (per-row score + per-row
+hash compare, no shuffle at all). Domain mixing needs ONE tiny
+aggregate — per-domain counts (|domains| rows) — broadcast back as
+the per-domain admit rate; the admit pass is again map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..functions.hashing import md5_int60
+from ..registry import register
+from .textops import _tok_sql, quality_score_t
+
+_POW60 = float(1 << 60)  # exact double; md5_int60/2^60 ∈ [0,1)
+
+# target corpus shares per language (the "data mixing" recipe)
+LANG_MIX = (("en", 0.25), ("de", 0.25), ("zh", 0.20),
+            ("fr", 0.15), ("es", 0.15))
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       0.4 * least(len({_tok_sql()}) / 100.0, 1.0)
+         + 0.3 * (1.0 - len(list_filter({_tok_sql()}, t -> t IN ('the', 'a')))
+                        / len({_tok_sql()}))
+         + 0.3 * least((list_sum(list_transform({_tok_sql()}, t -> length(t)))
+                        / len({_tok_sql()})) / 8.0, 1.0) AS quality
+FROM documents
+"""
+
+
+def _hash_frac_sql(id_expr: str) -> str:
+    return (f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))"
+            f"::BIGINT / {_POW60!r})")
+
+
+def hash_frac(col) -> F.Column:
+    """md5-derived uniform fraction in [0,1) of a stable id — the
+    admit coin. long/double division is IEEE-exact-rounded, so the
+    fraction (and every comparison against it) is engine-identical."""
+    return md5_int60(F.col(col).cast("string") if isinstance(col, str)
+                     else col.cast("string")) / F.lit(_POW60)
+
+
+@register("quality_weighted_sample", oracle=f"""
+WITH q AS ({_QUALITY_SQL})
+SELECT doc_id, quality
+FROM q
+WHERE {_hash_frac_sql('doc_id')} < quality
+ORDER BY doc_id
+""")
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document quality: each doc is admitted
+    with probability equal to its [0,1] quality score (X2's exact
+    formula), via the deterministic hash coin — high-quality docs are
+    kept ~always, low-quality docs are downsampled proportionally.
+    The standard soft-filter alternative to a hard quality cutoff."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    q = quality_score_t(docs).select("doc_id", "quality")
+    return (q.where(hash_frac("doc_id") < F.col("quality"))
+             .orderBy("doc_id"))
+
+
+_MIX_CASE = ("CASE " + " ".join(f"WHEN lang = '{l}' THEN {s!r}e0"
+                                for l, s in LANG_MIX) + " ELSE 0.0e0 END")
+
+
+@register("domain_mix_sample", oracle=f"""
+WITH n AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY 1),
+t AS (SELECT lang, n_in, {_MIX_CASE} AS target FROM n),
+cap AS (SELECT min(n_in / target) AS n_out FROM t WHERE target > 0),
+r AS (SELECT lang, n_in,
+             CASE WHEN target = 0 THEN 0.0e0
+                  ELSE target * cap.n_out / n_in END AS rate
+      FROM t, cap),
+adm AS (SELECT d.lang, count(*) AS n_sampled
+        FROM documents d JOIN r USING (lang)
+        WHERE {_hash_frac_sql('d.doc_id')} < r.rate
+        GROUP BY 1)
+SELECT r.lang, CAST(r.n_in AS BIGINT) AS n_in,
+       round(r.rate, 6) AS rate,
+       CAST(coalesce(adm.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN adm USING (lang)
+ORDER BY lang
+""")
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing to a target language mix: the largest
+    achievable output size keeps every domain at its target share
+    (n_out = min_s n_s/target_s), giving per-domain admit rates
+    target_s·n_out/n_s ≤ 1; rows are admitted by the deterministic
+    hash coin. Returns the per-domain plan + realized counts. The
+    rate table is |domains| rows — a broadcast join onto the map-only
+    admit pass at any corpus size."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    target = F.lit(0.0)
+    for l, s in reversed(LANG_MIX):
+        target = F.when(F.col("lang") == l, F.lit(s)).otherwise(target)
+    t = (docs.groupBy("lang").agg(F.count("*").alias("n_in"))
+             .withColumn("target", target))
+    cap = (t.where(F.col("target") > 0)
+            .agg(F.min(F.col("n_in") / F.col("target")).alias("n_out")))
+    r = (t.crossJoin(F.broadcast(cap))
+          .select("lang", "n_in",
+                  F.when(F.col("target") == 0, F.lit(0.0))
+                   .otherwise(F.col("target") * F.col("n_out")
+                              / F.col("n_in")).alias("rate")))
+    adm = (docs.join(F.broadcast(r.select("lang", "rate")), "lang")
+               .where(hash_frac("doc_id") < F.col("rate"))
+               .groupBy("lang").agg(F.count("*").alias("n_sampled")))
+    return (r.join(adm, "lang", "left")
+             .select("lang", F.col("n_in").cast("long").alias("n_in"),
+                     F.round("rate", 6).alias("rate"),
+                     F.coalesce(F.col("n_sampled"), F.lit(0))
+                      .cast("long").alias("n_sampled"))
+             .orderBy("lang"))

@@ -1,0 +1,229 @@
+"""Search-surface extensions: relative-score fusion, two-phase
+rescoring, field collapsing, and the rare-terms / adjacency-matrix
+aggregations.
+
+Reference parity: Weaviate hybrid `fusionType: relativeScoreFusion`
+(min-max per-modality normalization — the OTHER fusion next to
+rankedFusion/RRF), Elasticsearch `rescore` (re-rank only the top
+window of a cheap first phase with an expensive second query),
+Elasticsearch `collapse` (one hit per field value + inner-hit count),
+and the ES `rare_terms` / `adjacency_matrix` aggregations. All reuse
+hybrid.py's BM25/vector CTE twins so the oracle stays term-for-term
+identical to the Spark expression tree.
+
+Scale shapes:
+- relative fusion: both modalities cut to HYBRID_CANDIDATES by
+  TakeOrdered first; min/max are 1-row broadcast aggregates of those
+  bounded sets (Weaviate's normalization window IS the retrieved
+  result window, so candidate-set min/max is the semantics, not an
+  approximation).
+- rescore: phase 1 is the zero-shuffle BM25 scan; only the ≤window
+  rows join the vector-score scan (broadcast of the window side), so
+  the expensive scorer touches `window` rows at any corpus size —
+  exactly the cost contract ES rescore exists to provide.
+- collapse: one co-keyed join scores⋈docs on doc_id, one bounded
+  window per collapse-field value (groups ≤ distinct field values).
+- rare_terms / adjacency_matrix: map-side flags + one partial agg;
+  the rare-terms tail is cut by TakeOrdered, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+from .hybrid import (_BM25_CTE, _CAND_CTE, _TOK, _VEC_CTE, _candidates,
+                     _vec_scores, bm25_scores)
+
+RESCORE_WINDOW = 50
+RESCORE_QW = 1.0     # query_weight
+RESCORE_RW = 2.0     # rescore_query_weight
+COLLAPSE_LIMIT = 5
+RARE_MAX_DOCS = 2
+ADJ_FILTERS = (("merge", "merge"), ("vector", "vector"), ("fast", "fast"))
+
+
+@register("hybrid_relative_score", oracle=f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+{_CAND_CTE},
+kx AS (SELECT max(score) AS mx, min(score) AS mn FROM kcand),
+vx AS (SELECT max(vscore) AS mx, min(vscore) AS mn FROM vcand),
+fused AS (
+  SELECT coalesce(kcand.doc_id, vcand.doc_id) AS doc_id,
+         round(0.5 * coalesce(
+                 CASE WHEN kx.mx = kx.mn THEN 1.0e0
+                      ELSE (kcand.score - kx.mn) / (kx.mx - kx.mn) END, 0)
+             + 0.5 * coalesce(
+                 CASE WHEN vx.mx = vx.mn THEN 1.0e0
+                      ELSE (vcand.vscore - vx.mn) / (vx.mx - vx.mn) END, 0),
+               6) AS fused_score
+  FROM kcand FULL OUTER JOIN vcand ON kcand.doc_id = vcand.doc_id, kx, vx)
+SELECT doc_id, fused_score FROM fused
+ORDER BY fused_score DESC, doc_id LIMIT 15
+""")
+def hybrid_relative_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate relativeScoreFusion: min-max normalize each modality
+    over its candidate window, then average. Differs from
+    hybrid_weighted (max-norm) exactly as Weaviate's two fusionTypes
+    differ; a degenerate window (max==min) normalizes to 1."""
+    kw = _candidates(bm25_scores(spark, sf_dir), "score")
+    vec = _candidates(_vec_scores(spark, sf_dir), "vscore")
+    kx = kw.agg(F.max("score").alias("kmx"), F.min("score").alias("kmn"))
+    vx = vec.agg(F.max("vscore").alias("vmx"), F.min("vscore").alias("vmn"))
+
+    def norm(s, mx, mn):
+        return F.when(F.col(mx) == F.col(mn), F.lit(1.0)) \
+                .otherwise((s - F.col(mn)) / (F.col(mx) - F.col(mn)))
+
+    return (kw.join(vec, "doc_id", "full_outer")
+              .crossJoin(F.broadcast(kx)).crossJoin(F.broadcast(vx))
+              .select("doc_id",
+                      F.round(0.5 * F.coalesce(norm(F.col("score"), "kmx", "kmn"), F.lit(0.0))
+                              + 0.5 * F.coalesce(norm(F.col("vscore"), "vmx", "vmn"), F.lit(0.0)),
+                              6).alias("fused_score"))
+              .orderBy(F.desc("fused_score"), "doc_id").limit(15))
+
+
+@register("rescore_topn", oracle=f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+win AS (SELECT doc_id, score FROM bm25
+        ORDER BY score DESC, doc_id LIMIT {RESCORE_WINDOW})
+SELECT win.doc_id,
+       round({RESCORE_QW!r}e0 * win.score
+             + {RESCORE_RW!r}e0 * vec.vscore, 6) AS final_score
+FROM win JOIN vec USING (doc_id)
+ORDER BY final_score DESC, doc_id LIMIT 10
+""")
+def rescore_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rescore`: cheap BM25 picks a top-`window_size` shortlist,
+    the expensive scorer (here: exact cosine) runs on the shortlist
+    only, and final = qw·orig + rw·rescore. The window side is
+    broadcast into the vector-score scan, so phase 2 costs one corpus
+    scan + a 50-row hash probe regardless of corpus size."""
+    win = (bm25_scores(spark, sf_dir)
+           .orderBy(F.desc("score"), "doc_id").limit(RESCORE_WINDOW))
+    vec = _vec_scores(spark, sf_dir)
+    return (vec.join(F.broadcast(win), "doc_id")
+               .select("doc_id",
+                       F.round(F.lit(RESCORE_QW) * F.col("score")
+                               + F.lit(RESCORE_RW) * F.col("vscore"),
+                               6).alias("final_score"))
+               .orderBy(F.desc("final_score"), "doc_id").limit(10))
+
+
+@register("collapse_search", oracle=f"""
+WITH {_BM25_CTE},
+j AS (SELECT d.lang, b.doc_id, b.score
+      FROM bm25 b JOIN documents d USING (doc_id)),
+r AS (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j)
+SELECT lang, doc_id, score, CAST(n AS BIGINT) AS n_collapsed
+FROM r WHERE rn = 1
+ORDER BY score DESC, lang LIMIT {COLLAPSE_LIMIT}
+""")
+def collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: the best BM25 hit per `lang` value plus
+    the number of hits it collapsed away. One co-keyed doc_id join,
+    one window bounded by matching docs per field value."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    j = (bm25_scores(spark, sf_dir)
+         .join(docs.select("doc_id", "lang"), "doc_id"))
+    w = W.partitionBy("lang")
+    return (j.withColumn("rn", F.row_number().over(
+                w.orderBy(F.desc("score"), "doc_id")))
+             .withColumn("n_collapsed", F.count("*").over(w).cast("long"))
+             .where(F.col("rn") == 1)
+             .select("lang", "doc_id", "score", "n_collapsed")
+             .orderBy(F.desc("score"), "lang").limit(COLLAPSE_LIMIT))
+
+
+@register("rare_terms", oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len({_TOK}) - 1, 1)),
+             i -> {_TOK}[i] || ' ' || {_TOK}[i + 1] || ' '
+                  || {_TOK}[i + 2]))) AS term
+  FROM documents),
+cnt AS (SELECT term, count(*) AS doc_count FROM g GROUP BY 1)
+SELECT term, CAST(doc_count AS BIGINT) AS doc_count
+FROM cnt
+WHERE doc_count <= {RARE_MAX_DOCS}
+ORDER BY doc_count, term LIMIT 40
+""")
+def rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rare_terms` aggregation over a shingle field: the
+    long-tail word trigrams appearing in at most `max_doc_count`
+    documents — the opposite cut of `terms` (single words carry no
+    rare tail in a bounded vocabulary; shingles do, which is why ES
+    users point rare_terms at shingle/keyword fields). Per-doc gram
+    sets are distinct map-side (no corpus-wide distinct shuffle —
+    ngram_array de-dups within the row before the explode), then one
+    partial-agg'd count; the tail is cut by TakeOrdered (doc_count
+    asc, term), never a full sort."""
+    from ..functions.text import ngram_array
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    g = docs.select("doc_id",
+                    F.explode(ngram_array("text", 3)).alias("term"))
+    return (g.groupBy("term")
+             .agg(F.count("*").cast("long").alias("doc_count"))
+             .where(F.col("doc_count") <= RARE_MAX_DOCS)
+             .orderBy("doc_count", "term").limit(40))
+
+
+def _adj_pairs():
+    keys = [k for k, _ in ADJ_FILTERS]
+    singles = [(k, (k,)) for k in keys]
+    pairs = [(f"{a}&{b}", (a, b))
+             for i, a in enumerate(keys) for b in keys[i + 1:]]
+    return singles + pairs
+
+
+@register("adjacency_matrix", oracle=f"""
+WITH flags AS (
+  SELECT {', '.join(f"CASE WHEN list_contains({_TOK}, '{t}') THEN 1 ELSE 0 END AS f_{k}"
+                    for k, t in ADJ_FILTERS)}
+  FROM documents),
+c AS (SELECT {', '.join(f"CAST(sum(f_{k}) AS BIGINT) AS c_{k}" for k, _ in ADJ_FILTERS)},
+             {', '.join(f"CAST(sum(f_{a} * f_{b}) AS BIGINT) AS c_{a}_{b}"
+                        for i, (a, _) in enumerate(ADJ_FILTERS)
+                        for (b, _) in ADJ_FILTERS[i + 1:])}
+      FROM flags)
+{' UNION ALL '.join(
+    [f"SELECT '{k}' AS bucket, c_{k} AS doc_count FROM c" for k, _ in ADJ_FILTERS]
+    + [f"SELECT '{a}&{b}' AS bucket, c_{a}_{b} AS doc_count FROM c"
+       for i, (a, _) in enumerate(ADJ_FILTERS)
+       for (b, _) in ADJ_FILTERS[i + 1:]])}
+ORDER BY bucket
+""")
+def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: named term filters and the
+    document counts of each filter and each pairwise intersection.
+    Pure map-side flag columns + ONE partial aggregate; the 6-row
+    unpivot happens on the aggregate, so nothing about the shape
+    depends on corpus size."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = tokens("text")
+    flags = docs.select(*[
+        F.when(F.array_contains(toks, t), 1).otherwise(0).alias(f"f_{k}")
+        for k, t in ADJ_FILTERS])
+    keys = [k for k, _ in ADJ_FILTERS]
+    aggs = ([F.sum(f"f_{k}").cast("long").alias(f"c_{k}") for k in keys]
+            + [F.sum(F.col(f"f_{a}") * F.col(f"f_{b}")).cast("long")
+               .alias(f"c_{a}_{b}")
+               for i, a in enumerate(keys) for b in keys[i + 1:]])
+    c = flags.agg(*aggs)
+    cells = ([(k, f"c_{k}") for k in keys]
+             + [(f"{a}&{b}", f"c_{a}_{b}")
+                for i, a in enumerate(keys) for b in keys[i + 1:]])
+    stack = ", ".join(f"'{name}', {col}" for name, col in cells)
+    return (c.selectExpr(
+                f"stack({len(cells)}, {stack}) AS (bucket, doc_count)")
+             .orderBy("bucket"))

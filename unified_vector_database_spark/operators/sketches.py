@@ -1,0 +1,177 @@
+"""Approximate-cardinality sketches: HyperLogLog and KMV (k minimum
+values) distinct-count estimators as deterministic cross-engine
+operators.
+
+Reference surface: Elasticsearch's `cardinality` aggregation is an
+HLL++ sketch (the ES docs the reference stack's users hold: "the
+cardinality aggregation ... based on the HyperLogLog++ algorithm");
+Theta/KMV sketches are the same contract in the Druid/DataSketches
+ecosystem. Spark's own `approx_count_distinct` is HLL too, but its
+register layout is engine-private — so these operators implement the
+sketch math explicitly from the repo's md5-based hash (identical hex
+in Spark and DuckDB), making the estimate itself reproducible
+bit-for-bit across engines and therefore hash-checkable by the
+correctness driver, not just "approximately right".
+
+Scale shape (HLL): one corpus scan computes (group, bucket, rho) as
+pure map-side column math; groupBy(group, bucket) max(rho) is a
+partial-aggregating shuffle of at most |groups|·m register rows; the
+final per-group fold is over m=256 rows. At 100 TB the shuffle moves
+registers, not rows — the whole point of a sketch. The register
+harmonic sum is kept in EXACT integer form (sum of 2^(53-rho) as
+BIGINT) so the result is independent of partitioning/merge order —
+floating-point register sums would make the estimate depend on
+aggregation order and break both determinism and the oracle compare.
+
+Scale shape (KMV): dense_rank<=k over (group, hash) compiles with a
+WindowGroupLimit below the exchange (Spark 3.5+): every map partition
+pre-prunes to its k smallest hashes per group BEFORE the shuffle, so
+the window shuffle moves O(groups·k) rows at any corpus size.
+
+Mergeability (the property that makes sketches useful on a cluster)
+is pinned in tests/test_sketches.py: registers built on two disjoint
+halves of the corpus merge by max() into exactly the global registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..functions.hashing import md5_int60
+from ..registry import register
+
+HLL_M = 256          # registers (p = 8)
+HLL_WBITS = 52       # 60-bit hash = 8 bucket bits + 52 rho bits
+_W_MASK = (1 << HLL_WBITS) - 1
+_POW53 = float(1 << (HLL_WBITS + 1))   # 2^53, exact in double
+# alpha_m for m=256, spelled as the same literal arithmetic on both
+# engines (*, / are IEEE-correctly-rounded, so the doubles agree)
+_ALPHA_SQL = "0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)"
+
+KMV_K = 64
+_POW60 = float(1 << 60)  # 2^60 as double, exact (power of two)
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, bucket, rho) -> max(rho): the HLL register table.
+    bucket = top 8 bits of the 60-bit md5 hash; rho = 1-indexed
+    position of the first 1-bit in the remaining 52 (53 if all-zero).
+    Integer-only (bit length via bin()-string length — no float log2,
+    whose libm rounding could differ between engines)."""
+    h = md5_int60(F.col(value_col).cast("string"))
+    w = h.bitwiseAND(F.lit(_W_MASK))
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)) \
+           .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w)))
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.shiftright(h, HLL_WBITS).alias("bucket"),
+                      rho.alias("rho"))
+              .groupBy("grp", "bucket")
+              .agg(F.max("rho").alias("m_j")))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Fold registers to the raw HLL estimate. The harmonic sum
+    sum_j 2^-M_j is scaled by 2^53 into an exact BIGINT (absent
+    buckets are register value 0, contributing 2^53 each), so the
+    only floating-point step is the final alpha·m²·2^53/S division —
+    identical in both engines."""
+    s_present = F.sum(F.expr("shiftleft(1L, 53 - m_j)"))
+    n_present = F.count("*")
+    folded = (regs.groupBy("grp")
+                  .agg((s_present
+                        + (F.lit(HLL_M) - n_present) * F.lit(1 << 53))
+                       .alias("hll_s"),
+                       (F.lit(HLL_M) - n_present).alias("v_zero")))
+    raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+           * F.lit(256.0) * F.lit(256.0) * F.lit(_POW53) / F.col("hll_s"))
+    # small-range (linear counting) correction, as in Flajolet et al.:
+    # below 2.5m the raw estimator is dominated by zero registers and
+    # overestimates badly; m·ln(m/V) is the occupancy-based estimate.
+    lc = F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_zero"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0), lc) \
+           .otherwise(raw)
+    return folded.select("grp", "hll_s", F.round(est, 4).alias("hll_est"))
+
+
+@register("cardinality_hll", oracle=f"""
+WITH h AS (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+b AS (
+  SELECT grp, h >> {HLL_WBITS} AS bucket,
+         CASE WHEN (h & {_W_MASK}) = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS + 1} - length(bin(h & {_W_MASK})) END AS rho
+  FROM h),
+regs AS (SELECT grp, bucket, max(rho) AS m_j FROM b GROUP BY 1, 2),
+folded AS (
+  SELECT grp,
+         sum(1::BIGINT << (53 - m_j))::BIGINT
+           + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS hll_s,
+         {HLL_M} - count(*) AS v_zero
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT grp, hll_s, v_zero,
+         {_ALPHA_SQL} * 256.0e0 * 256.0e0 * {_POW53!r} / hll_s AS raw
+  FROM folded),
+exact AS (SELECT event_type AS grp,
+                 count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT est.grp AS event_type, hll_s,
+       round(CASE WHEN raw <= {2.5 * HLL_M!r}e0 AND v_zero > 0
+                  THEN 256.0e0 * ln(256.0e0 / v_zero)
+                  ELSE raw END, 4) AS hll_est,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM est JOIN exact USING (grp)
+ORDER BY event_type
+""")
+def cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via an explicit HLL sketch
+    (ES `cardinality` agg contract), alongside the exact count the
+    driver can trust. The estimate is a pure function of the register
+    table, so the SQL oracle reproduces it bit-for-bit."""
+    ev = tables.load_parallel(spark, sf_dir, "events", "event_id")
+    est = hll_estimate(hll_registers(ev, "event_type", "user_id"))
+    exact = (ev.groupBy(F.col("event_type").alias("grp"))
+               .agg(F.countDistinct("user_id").cast("long").alias("n_exact")))
+    return (est.join(exact, "grp")
+               .select(F.col("grp").alias("event_type"),
+                       "hll_s", "hll_est", "n_exact")
+               .orderBy("event_type"))
+
+
+@register("distinct_kmv", oracle=f"""
+WITH h AS (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+r AS (SELECT grp, h, dense_rank() OVER (PARTITION BY grp ORDER BY h) AS dr
+      FROM h),
+kept AS (SELECT grp, h, dr FROM r WHERE dr <= {KMV_K}),
+agg AS (SELECT grp, max(dr) AS nd, max(h) AS hk FROM kept GROUP BY 1)
+SELECT grp AS event_type, CAST(nd AS BIGINT) AS sketch_size,
+       round(CASE WHEN nd < {KMV_K} THEN nd::DOUBLE
+                  ELSE ({KMV_K} - 1) * {_POW60!r} / hk END, 4) AS kmv_est
+FROM agg ORDER BY event_type
+""")
+def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values / bottom-k Theta) distinct sketch:
+    keep the k smallest distinct hashes per group; the k-th smallest
+    estimates the density, est = (k-1)·2^60/h_k. dense_rank de-dups
+    hash collisions in-window, so no separate DISTINCT shuffle; the
+    WindowGroupLimit rewrite keeps the shuffle at O(groups·k)."""
+    ev = tables.load_parallel(spark, sf_dir, "events", "event_id")
+    h = md5_int60(F.col("user_id").cast("string"))
+    w = W.partitionBy("grp").orderBy("h")
+    kept = (ev.select(F.col("event_type").alias("grp"), h.alias("h"))
+              .withColumn("dr", F.dense_rank().over(w))
+              .where(F.col("dr") <= KMV_K))
+    est = F.when(F.col("nd") < KMV_K, F.col("nd").cast("double")) \
+           .otherwise(F.lit(float(KMV_K - 1)) * F.lit(_POW60)
+                      / F.col("hk"))
+    return (kept.groupBy("grp")
+                .agg(F.max("dr").alias("nd"), F.max("h").alias("hk"))
+                .select(F.col("grp").alias("event_type"),
+                        F.col("nd").cast("long").alias("sketch_size"),
+                        F.round(est, 4).alias("kmv_est"))
+                .orderBy("event_type"))
