@@ -63,6 +63,8 @@ _PRIORITY = [
     "rescore_topn", "collapse_search", "rare_terms",
     "adjacency_matrix", "quality_weighted_sample", "domain_mix_sample",
     "range_annulus_search", "knn_group_lookup",
+    "weighted_avg_price", "value_histogram", "multi_terms_agg",
+    "bucket_selector_having", "events_pipeline_aggs",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

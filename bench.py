@@ -53,6 +53,7 @@ HEADLINE = [
     "cardinality_hll", "distinct_kmv", "hybrid_relative_score",
     "rescore_topn", "collapse_search", "rare_terms",
     "quality_weighted_sample", "domain_mix_sample",
+    "value_histogram", "events_pipeline_aggs",
 ]
 
 

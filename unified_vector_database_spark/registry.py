@@ -53,8 +53,8 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
-        analytics, arrow_knn, cleanup, dedup, evaluation, geo, hybrid,
-        index, inverted, jpeg,
+        analytics, arrow_knn, cleanup, dedup, esagg, evaluation, geo,
+        hybrid, index, inverted, jpeg,
         knn, lm, matrix, multimodal, percolate, rerank, sampling,
         search_extras, simhash, simjoin,
         sketches, spans, sparse, suggest, textops, timeseries, tpch_extra,
