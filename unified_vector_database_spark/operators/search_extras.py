@@ -227,3 +227,188 @@ def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.selectExpr(
                 f"stack({len(cells)}, {stack}) AS (bucket, doc_count)")
              .orderBy("bucket"))
+
+
+# ------------------------------------------------ span / pattern queries
+
+SPAN_FIRST_TERM = "vector"
+SPAN_FIRST_END = 10
+WILDCARD = "fa%t"         # LIKE pattern: identical semantics both engines
+
+
+@register("span_first_search", oracle=f"""
+SELECT doc_id, CAST(list_position({_TOK}, '{SPAN_FIRST_TERM}') AS BIGINT) AS pos
+FROM documents
+WHERE list_position({_TOK}, '{SPAN_FIRST_TERM}') BETWEEN 1 AND {SPAN_FIRST_END}
+ORDER BY pos, doc_id LIMIT 20
+""")
+def span_first_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_first`: the term must occur within the first `end`
+    token positions. array_position is map-side in the scan; the page
+    is TakeOrdered — the whole query is one scan, zero shuffle."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    pos = F.array_position(tokens("text"), SPAN_FIRST_TERM)
+    return (docs.select("doc_id", pos.alias("pos"))
+                .where((F.col("pos") >= 1) & (F.col("pos") <= SPAN_FIRST_END))
+                .orderBy("pos", "doc_id").limit(20))
+
+
+@register("wildcard_search", oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter({_TOK}, t -> t LIKE '{WILDCARD}')) AS BIGINT)
+         AS n_wild
+FROM documents
+WHERE len(list_filter({_TOK}, t -> t LIKE '{WILDCARD}')) > 0
+ORDER BY n_wild DESC, doc_id LIMIT 20
+""")
+def wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wildcard` query: per-token LIKE pattern match, ranked by
+    match count. LIKE semantics (%/_) are identical in Spark and
+    DuckDB, so the pattern needs no dialect translation (unlike
+    regexp, where Java vs RE2 dialects diverge — the reason this
+    operator pins LIKE as the portable contract). Map-side array
+    filter in the scan + TakeOrdered page."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    n = F.size(F.filter(tokens("text"), lambda t: t.like(WILDCARD)))
+    return (docs.select("doc_id", n.cast("long").alias("n_wild"))
+                .where(F.col("n_wild") > 0)
+                .orderBy(F.desc("n_wild"), "doc_id").limit(20))
+
+
+# --------------------------------------------------- scoring explanation
+
+from ..constants import BM25_B, BM25_K1  # noqa: E402
+
+
+@register("score_explain", oracle=f"""
+WITH {_BM25_CTE},
+top1 AS (SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id LIMIT 1),
+qterms(term) AS (VALUES {', '.join(f"('{t}')" for t in ('merge', 'vector', 'fast'))}),
+base AS (SELECT top1.doc_id, qterms.term, stats.n, stats.avgdl
+         FROM top1, qterms, stats),
+x AS (
+  SELECT base.doc_id, base.term,
+         coalesce(tf.tf, 0) AS tf, df.df, dl.dl, base.n, base.avgdl
+  FROM base
+  LEFT JOIN tf ON tf.doc_id = base.doc_id AND tf.term = base.term
+  JOIN df ON df.term = base.term
+  JOIN dl ON dl.doc_id = base.doc_id)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) AS idf,
+       round(CASE WHEN tf = 0 THEN 0.0e0
+                  ELSE ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * ({BM25_K1} + 1.0)
+                       / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                            + {BM25_B} * dl / avgdl)) END,
+             6) AS contribution
+FROM x ORDER BY term
+""")
+def score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `explain=true`: the per-term BM25 breakdown (tf, df, idf,
+    contribution) for the top-ranked hit. The top-1 row broadcasts
+    back into the per-doc stats scan; the 3-row unpivot happens on
+    the single joined row, so explain costs one extra bounded join
+    over the ordinary search."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    from ..functions.text import tokens
+
+    def eq(term):
+        return lambda t: t == F.lit(term)
+
+    terms = ('merge', 'vector', 'fast')
+    per = docs.select(
+        "doc_id", F.size(tokens("text")).alias("dl"),
+        *[F.size(F.filter(tokens("text"), eq(t))).alias(f"tf_{i}")
+          for i, t in enumerate(terms)])
+    stats = per.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+          for i in range(len(terms))])
+    top1 = (bm25_scores(spark, sf_dir)
+            .orderBy(F.desc("score"), "doc_id").limit(1).select("doc_id"))
+    row = (per.join(F.broadcast(top1), "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    cols = []
+    for i, t in enumerate(terms):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(1 + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
+        w = (idf * tf * (BM25_K1 + 1.0)
+             / (tf + BM25_K1 * (1.0 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl"))))
+        contrib = F.when(tf > 0, w).otherwise(F.lit(0.0))
+        cols.append(row.select(
+            "doc_id", F.lit(t).alias("term"),
+            F.col(f"tf_{i}").cast("long").alias("tf"),
+            F.col(f"df_{i}").cast("long").alias("df"),
+            F.round(idf, 6).alias("idf"),
+            F.round(contrib, 6).alias("contribution")))
+    out = cols[0]
+    for c in cols[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("term")
+
+
+# ------------------------------------------------------- Weaviate autocut
+
+AUTOCUT_N = 20
+AUTOCUT_FACTOR = 2.0
+
+
+@register("autocut_search", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, {{cos}} AS score FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY score DESC, vec_id LIMIT {AUTOCUT_N}),
+r AS (SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
+             score - lead(score) OVER (ORDER BY score DESC, vec_id) AS gap
+      FROM s),
+thr AS (SELECT {AUTOCUT_FACTOR!r}e0 * (max(score) - min(score))
+               / ({AUTOCUT_N} - 1) AS t FROM s),
+cut AS (SELECT coalesce(min(rank), {AUTOCUT_N}) AS c
+        FROM r, thr WHERE rank < {AUTOCUT_N} AND gap > thr.t)
+SELECT vec_id, score, CAST(rank AS INT) AS rank
+FROM r, cut WHERE rank <= cut.c
+ORDER BY rank
+""".replace("{cos}",
+            "list_dot_product(embedding::DOUBLE[], qvec)"
+            "/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            "*sqrt(list_dot_product(qvec, qvec)))"))
+def autocut_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `autocut`: retrieve top-N, then cut the list at the
+    first score gap larger than FACTOR× the average step over the
+    window — returning only the first 'natural' result group. The
+    whole decision runs on the bounded top-N array (one TakeOrdered +
+    array math on a single collected row — no window operator, same
+    shape as hybrid.bounded_ranks), so autocut adds zero corpus-scale
+    work over the plain knn."""
+    from .knn import corpus_with_query, cosine_score
+    corpus, q = corpus_with_query(spark, sf_dir)
+    top = (corpus.where(F.col("vec_id") != 0)   # exclude-self, as served
+           .crossJoin(F.broadcast(q))
+           .select("vec_id", cosine_score().alias("score"))
+           .orderBy(F.desc("score"), "vec_id").limit(AUTOCUT_N))
+    arr = top.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("score")).alias("ns"), F.col("vec_id").alias("vec_id"))))
+        .alias("a"))
+    scores = F.transform(F.col("a"), lambda x: -x.getField("ns"))
+    thr = (F.lit(AUTOCUT_FACTOR)
+           * (F.element_at(scores, 1) - F.element_at(scores, AUTOCUT_N))
+           / F.lit(AUTOCUT_N - 1))
+    gaps = F.zip_with(F.slice(scores, 1, AUTOCUT_N - 1),
+                      F.slice(scores, 2, AUTOCUT_N - 1),
+                      lambda a, b: a - b)
+    cut = F.aggregate(
+        F.sequence(F.lit(1), F.lit(AUTOCUT_N - 1)),
+        F.lit(AUTOCUT_N),
+        lambda acc, i: F.least(
+            acc, F.when(F.element_at(gaps, i) > thr, i)
+                  .otherwise(F.lit(AUTOCUT_N))))
+    return (arr.select(F.posexplode(F.slice(F.col("a"), 1, cut))
+                        .alias("_pos", "_s"))
+               .select(F.col("_s.vec_id").alias("vec_id"),
+                       (-F.col("_s.ns")).alias("score"),
+                       (F.col("_pos") + 1).cast("int").alias("rank")))
