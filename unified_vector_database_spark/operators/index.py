@@ -811,3 +811,55 @@ def bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (short.select("vec_id", "hamming",
                          D.cosine("vec", "qvec").alias("score"))
                  .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+# ------------------------------------------- cluster-balanced sampling
+
+DIVERSE_PER_CELL = 3
+
+
+def _diversified_oracle() -> str:
+    cents, _, _ = _oracle_artifacts()
+    return f"""
+WITH {_ivf_assign_ctes(cents)},
+h AS (SELECT vec_id, cid,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hk
+      FROM assigned),
+r AS (SELECT cid, vec_id,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY hk, vec_id) AS draw_rank
+      FROM h)
+SELECT CAST(cid AS INT) AS cid, vec_id, CAST(draw_rank AS INT) AS draw_rank
+FROM r WHERE draw_rank <= {DIVERSE_PER_CELL}
+ORDER BY cid, draw_rank
+"""
+
+
+@register("diversified_sample", oracle=_diversified_oracle)
+def diversified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced ("diversified") sampling: a fixed quota of
+    vectors per IVF cell, drawn in deterministic md5 order — the ES
+    `diversified_sampler` agg contract, and the embedding-space
+    version of stratified sampling a training pipeline uses to keep
+    a sample semantically spread instead of density-weighted.
+
+    Scale shape: reuses the IVF artifacts (centroids broadcast,
+    assignment map-only); the per-cell draw is a row_number window
+    whose WindowGroupLimit pre-prunes every partition to the quota
+    BEFORE the shuffle, so the exchange moves O(cells·quota) rows.
+    The oracle refits the same centroids Spark-free and recomputes
+    assignment + draw in SQL (same literals as ivf_knn's oracle)."""
+    from ..functions.hashing import md5_int32
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    cents = kmeans_fit(corpus)
+    assigned = assign_cells(corpus, cents)
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("cid")
+          .orderBy(md5_int32(F.col("vec_id").cast("string")), "vec_id"))
+    return (assigned.withColumn("draw_rank", F.row_number().over(w))
+            .where(F.col("draw_rank") <= DIVERSE_PER_CELL)
+            .select(F.col("cid").cast("int").alias("cid"), "vec_id",
+                    F.col("draw_rank").cast("int").alias("draw_rank"))
+            .orderBy("cid", "draw_rank"))
