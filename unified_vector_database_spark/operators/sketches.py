@@ -59,15 +59,23 @@ def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     position of the first 1-bit in the remaining 52 (53 if all-zero).
     Integer-only (bit length via bin()-string length — no float log2,
     whose libm rounding could differ between engines)."""
+    return (hll_project(df, group_col, value_col)
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("m_j")))
+
+
+def hll_project(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The map-side (grp, bucket, rho) projection — shared by the
+    batch register builder and the streaming register maintainer
+    (streaming/ingest.stream_cardinality_hll), where the same
+    groupBy-max becomes a stateful streaming aggregation."""
     h = md5_int60(F.col(value_col).cast("string"))
     w = h.bitwiseAND(F.lit(_W_MASK))
     rho = F.when(w == 0, F.lit(HLL_WBITS + 1)) \
            .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w)))
-    return (df.select(F.col(group_col).alias("grp"),
-                      F.shiftright(h, HLL_WBITS).alias("bucket"),
-                      rho.alias("rho"))
-              .groupBy("grp", "bucket")
-              .agg(F.max("rho").alias("m_j")))
+    return df.select(F.col(group_col).alias("grp"),
+                     F.shiftright(h, HLL_WBITS).alias("bucket"),
+                     rho.alias("rho"))
 
 
 def hll_estimate(regs: DataFrame) -> DataFrame:
@@ -94,7 +102,10 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     return folded.select("grp", "hll_s", F.round(est, 4).alias("hll_est"))
 
 
-@register("cardinality_hll", oracle=f"""
+# Shared oracle CTE chain (hash → bucket/rho → registers → fold →
+# raw estimate); composed by cardinality_hll below and the streaming
+# register maintainer's oracle (streaming/ingest.py W7).
+HLL_ORACLE_CTES = f"""
 WITH h AS (
   SELECT event_type AS grp,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -114,13 +125,19 @@ folded AS (
 est AS (
   SELECT grp, hll_s, v_zero,
          {_ALPHA_SQL} * 256.0e0 * 256.0e0 * {_POW53!r} / hll_s AS raw
-  FROM folded),
+  FROM folded)"""
+
+HLL_ORACLE_EST = f"""round(CASE WHEN raw <= {2.5 * HLL_M!r}e0 AND v_zero > 0
+                  THEN 256.0e0 * ln(256.0e0 / v_zero)
+                  ELSE raw END, 4) AS hll_est"""
+
+
+@register("cardinality_hll", oracle=f"""
+{HLL_ORACLE_CTES},
 exact AS (SELECT event_type AS grp,
                  count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
 SELECT est.grp AS event_type, hll_s,
-       round(CASE WHEN raw <= {2.5 * HLL_M!r}e0 AND v_zero > 0
-                  THEN 256.0e0 * ln(256.0e0 / v_zero)
-                  ELSE raw END, 4) AS hll_est,
+       {HLL_ORACLE_EST},
        CAST(n_exact AS BIGINT) AS n_exact
 FROM est JOIN exact USING (grp)
 ORDER BY event_type

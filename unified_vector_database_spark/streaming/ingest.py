@@ -278,3 +278,32 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("session_start", "session_end", "user_id",
                        "n_events")
                .orderBy("user_id", "session_start"))
+
+
+from ..operators.sketches import (HLL_ORACLE_CTES, HLL_ORACLE_EST,  # noqa: E402
+                                  hll_estimate, hll_project)
+
+
+@register("stream_cardinality_hll", oracle=f"""
+{HLL_ORACLE_CTES}
+SELECT est.grp AS event_type, hll_s, {HLL_ORACLE_EST}
+FROM est ORDER BY event_type
+""")
+def stream_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: streaming distinct-count sketch — HLL registers maintained
+    as streaming state. The map-side (grp, bucket, rho) projection
+    feeds a stateful groupBy-max, so the state store holds at most
+    groups·m register rows (NOT the user-id set: the whole point of
+    a sketch on an unbounded stream); registers merge by max, so
+    batch order cannot change the fixpoint. The final fold to the
+    estimate runs on the materialized registers and is hash-checked
+    against the batch HLL oracle — the streaming register table
+    provably converges to the batch sketch."""
+    stream = (_replay_events(spark, sf_dir, "hll")
+              .select("event_type", "user_id"))
+    regs = (hll_project(stream, "event_type", "user_id")
+            .groupBy("grp", "bucket").agg(F.max("rho").alias("m_j")))
+    out = _run_to_memory(regs, "complete")
+    return (hll_estimate(out)
+            .select(F.col("grp").alias("event_type"), "hll_s", "hll_est")
+            .orderBy("event_type"))
