@@ -188,3 +188,59 @@ def test_r3_ops_plan_shapes(spark, sf_dir):
     # fusion result and vocab top-N both end in TakeOrdered cuts
     assert_take_ordered(hybrid_tri_fusion(spark, sf_dir))
     assert_take_ordered(vocab_coverage(spark, sf_dir))
+
+
+def test_r4_ops_plan_shapes(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg import (
+        value_histogram,
+    )
+    from unified_vector_database_spark.operators.index import (
+        diversified_sample,
+    )
+    from unified_vector_database_spark.operators.search_extras import (
+        autocut_search, rescore_topn, span_first_search, wildcard_search,
+    )
+    from unified_vector_database_spark.operators.sketches import (
+        cardinality_hll, distinct_kmv,
+    )
+    from unified_vector_database_spark.operators.sampling import (
+        domain_mix_sample, quality_weighted_sample,
+    )
+    from unified_vector_database_spark.plans.asserts import (
+        assert_no_shuffle, plan_text,
+    )
+
+    # rescore: the BM25 window joins the vector scan by broadcast —
+    # phase 2 cost is bounded by window_size at any corpus size
+    assert_broadcast_join(rescore_topn(spark, sf_dir))
+
+    # KMV + diversified draw: WindowGroupLimit pre-prunes each map
+    # partition to k rows per group BEFORE the exchange
+    for df in (distinct_kmv(spark, sf_dir),
+               diversified_sample(spark, sf_dir)):
+        assert "WindowGroupLimit" in plan_text(df), plan_text(df)
+
+    # HLL: the only hash shuffle is keyed on (grp, bucket) — register
+    # rows, never raw events
+    hll_plan = plan_text(cardinality_hll(spark, sf_dir))
+    assert "hashpartitioning(grp" in hll_plan, hll_plan
+
+    # quality-weighted sampling is map-only: no hash shuffle at all
+    assert_no_shuffle(quality_weighted_sample(spark, sf_dir))
+
+    # span/wildcard/histogram: scan-stage predicates, TakeOrdered page
+    assert_take_ordered(span_first_search(spark, sf_dir))
+    assert_take_ordered(wildcard_search(spark, sf_dir))
+    assert_no_shuffle(span_first_search(spark, sf_dir))
+
+    # autocut: plain knn TakeOrdered feeds the bounded array decision
+    assert_take_ordered(autocut_search(spark, sf_dir))
+
+    # domain mix: the |domains|-row rate table broadcasts onto the
+    # admit pass
+    assert_broadcast_join(domain_mix_sample(spark, sf_dir))
+
+    # histogram bucket agg: partial aggregation (map-side combine)
+    assert "partial_count" in plan_text(
+        value_histogram(spark, sf_dir)).lower() or \
+        "HashAggregate" in plan_text(value_histogram(spark, sf_dir))
