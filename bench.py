@@ -54,6 +54,7 @@ HEADLINE = [
     "rescore_topn", "collapse_search", "rare_terms",
     "quality_weighted_sample", "domain_mix_sample",
     "value_histogram", "events_pipeline_aggs",
+    "embed_documents", "rerank_inference", "diversified_sample",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Batched-inference plumbing properties: partitioning/batching must
+not change results (the contract that lets a real model slot into the
+same kernel), and the rerank path must only ever feed the shortlist
+through the model."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_vector_database_spark import tables
+from unified_vector_database_spark.operators.inference import (
+    cross_encode_batches, embed_batches, embed_documents,
+    rerank_inference)
+
+
+def test_embed_partition_invariance(spark, sf_dir):
+    """Same embeddings whether the corpus streams through 1 partition
+    or 13 — batch boundaries and partitioning are invisible to the
+    kernel's output (no cross-row state leaks)."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    sch = "doc_id long, emb_sum double, emb_first double"
+    a = sorted(map(tuple,
+                   docs.coalesce(1).mapInPandas(embed_batches, sch).collect()))
+    b = sorted(map(tuple,
+                   docs.repartition(13).mapInPandas(embed_batches, sch)
+                       .collect()))
+    assert a == b and len(a) == docs.count()
+
+
+def test_embed_small_arrow_batches(spark, sf_dir):
+    """Force tiny Arrow batches (many kernel invocations per
+    partition): per-batch model reuse must not change output."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        sch = "doc_id long, emb_sum double, emb_first double"
+        out = docs.mapInPandas(embed_batches, sch)
+        assert out.count() == docs.count()
+        one = out.where(F.col("doc_id") == 3).collect()[0]
+    finally:
+        if small is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", small)
+    full = embed_documents(spark, sf_dir) \
+        .where(F.col("doc_id") == 3).collect()[0]
+    assert abs(one["emb_first"] - full["emb_first"]) < 1e-6
+
+
+def test_rerank_scores_only_shortlist(spark, sf_dir):
+    """The inference kernel input is the bounded BM25 window, so the
+    result's doc set is a subset of the window — and the op returns
+    exactly 10 ranked rows."""
+    from unified_vector_database_spark.operators.hybrid import bm25_scores
+    win = set(r[0] for r in bm25_scores(spark, sf_dir)
+              .orderBy(F.desc("score"), "doc_id").limit(50)
+              .select("doc_id").collect())
+    rows = rerank_inference(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["doc_id"] in win for r in rows)
+
+
+def test_cross_encoder_batch_determinism(spark, sf_dir):
+    """Two independent runs produce identical scores (model stub is
+    stateless across batches and partitions)."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(40)
+    sch = "doc_id long, ce_score double"
+    a = sorted(map(tuple, docs.mapInPandas(cross_encode_batches, sch)
+                   .collect()))
+    b = sorted(map(tuple, docs.repartition(5)
+                   .mapInPandas(cross_encode_batches, sch).collect()))
+    assert a == b

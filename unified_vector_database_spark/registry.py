@@ -54,7 +54,7 @@ def load_all() -> None:
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, esagg, evaluation, geo,
-        hybrid, index, inverted, jpeg,
+        hybrid, index, inference, inverted, jpeg,
         knn, lm, matrix, multimodal, percolate, rerank, sampling,
         search_extras, simhash, simjoin,
         sketches, spans, sparse, suggest, textops, timeseries, tpch_extra,
