@@ -67,7 +67,8 @@ _PRIORITY = [
     "bucket_selector_having", "events_pipeline_aggs",
     "span_first_search", "wildcard_search", "score_explain",
     "autocut_search", "diversified_sample", "stream_cardinality_hll",
-    "embed_documents", "rerank_inference",
+    "embed_documents", "rerank_inference", "geo_distance_rings",
+    "events_anomaly",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

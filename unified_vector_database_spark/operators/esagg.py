@@ -154,3 +154,65 @@ def events_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dsum") - F.lag("dsum").over(w)).cast("double")
                  .alias("derivative"))
             .orderBy("event_type", "day"))
+
+
+ANOM_WIN = 7      # trailing days in the moving-stats frame
+ANOM_Z = 2.0
+
+
+@register("events_anomaly", oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day, CAST(dsum AS DOUBLE) AS daily_value,
+         CAST(sum(dsum) OVER f AS DOUBLE) AS s1,
+         CAST(sum(dsum * dsum) OVER f AS DOUBLE) AS s2,
+         count(*) OVER f AS n
+  FROM daily
+  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ANOM_WIN - 1} PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT event_type, day, daily_value,
+         CASE WHEN n < {ANOM_WIN}
+                   OR (s2 - s1 * s1 / n) / (n - 1) <= 0 THEN NULL
+              ELSE (daily_value - s1 / n)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS zraw
+  FROM w)
+SELECT event_type, day, daily_value, round(zraw, 4) AS z,
+       CAST(CASE WHEN abs(zraw) > {ANOM_Z!r} THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM z ORDER BY event_type, day
+""")
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving z-score anomaly flagging (ES `moving_fn` stddev /
+    anomaly-detection rollup): each day's total scored against the
+    trailing {window}-day mean/σ within its series. The moving
+    moments accumulate as exact DECIMALs inside the ordered frame
+    (engine-identical regardless of partitioning), so z and the flag
+    are deterministic; only full frames get a score. The window runs
+    over ≤days bucket rows per event_type partition."""
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("dsum")))
+    f = (W.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-(ANOM_WIN - 1), 0))
+    w = daily.select(
+        "event_type", "day",
+        F.col("dsum").cast("double").alias("daily_value"),
+        F.sum("dsum").over(f).cast("double").alias("s1"),
+        F.sum(F.col("dsum") * F.col("dsum")).over(f).cast("double")
+         .alias("s2"),
+        F.count("*").over(f).alias("n"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+        / (F.col("n") - 1)
+    zraw = F.when((F.col("n") < ANOM_WIN) | (var <= 0), F.lit(None)) \
+            .otherwise((F.col("daily_value") - F.col("s1") / F.col("n"))
+                       / F.sqrt(var))
+    return (w.select("event_type", "day", "daily_value",
+                     F.round(zraw, 4).alias("z"),
+                     F.when(F.abs(zraw) > ANOM_Z, 1).otherwise(0)
+                      .cast("int").alias("is_anomaly"))
+             .orderBy("event_type", "day"))

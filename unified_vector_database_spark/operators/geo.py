@@ -209,3 +209,50 @@ def geo_polygon_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cust.where(inside)
                 .select("c_custkey", "c_mktsegment", "lat", "lon")
                 .orderBy("c_custkey").limit(100))
+
+
+RING_EDGES_KM = (1000.0, 2500.0, 5000.0, 10000.0)
+
+
+def _ring_case_sql(dist: str) -> str:
+    whens = " ".join(
+        f"WHEN {dist} < {e!r} THEN {i}"
+        for i, e in enumerate(RING_EDGES_KM))
+    return f"CASE {whens} ELSE {len(RING_EDGES_KM)} END"
+
+
+@register("geo_distance_rings", oracle=f"""
+WITH geo AS (
+  SELECT c_custkey, c_acctbal,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+d AS (
+  SELECT c_custkey, c_acctbal,
+         sqrt(((lon - ({GEO_LON0!r})) * {KM_PER_DEG_LON!r})
+              * ((lon - ({GEO_LON0!r})) * {KM_PER_DEG_LON!r})
+              + ((lat - {GEO_LAT0!r}) * {KM_PER_DEG_LAT!r})
+                * ((lat - {GEO_LAT0!r}) * {KM_PER_DEG_LAT!r})) AS dist_km
+  FROM geo)
+SELECT CAST({_ring_case_sql('dist_km')} AS INT) AS ring,
+       count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM d GROUP BY 1 ORDER BY 1
+""")
+def geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_distance` aggregation: concentric distance rings around
+    a center with per-ring count + exact-decimal balance rollup. Ring
+    assignment is the same map-side planar distance as the radius
+    filter; the agg is a bounded-cardinality partial groupBy (at most
+    |edges|+1 rings at any corpus size)."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    d = cust.withColumn("dist_km", planar_km(F.col("lat"), F.col("lon")))
+    ring = F.when(F.col("dist_km") < RING_EDGES_KM[0], 0)
+    for i, e in enumerate(RING_EDGES_KM[1:], start=1):
+        ring = ring.when(F.col("dist_km") < e, i)
+    ring = ring.otherwise(len(RING_EDGES_KM))
+    return (d.groupBy(ring.cast("int").alias("ring"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                   .cast("double").alias("total_bal"))
+             .orderBy("ring"))
