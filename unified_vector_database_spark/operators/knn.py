@@ -334,6 +334,33 @@ def upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy("label"))
 
 
+@register("update_semantics", oracle="""
+WITH updated AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' AND n_chars < 200
+              THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents)
+SELECT lang, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM updated GROUP BY lang ORDER BY lang
+""")
+def update_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-by-filter (Qdrant set_payload / ES update_by_query /
+    Milvus upsert-with-expr; Collection.update's plan): a predicated
+    column rewrite over the collection — map-side CASE, no join, one
+    partial-agg rollup proving exactly the matching rows changed."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    upd = docs.withColumn(
+        "n_chars",
+        F.when((F.col("lang") == "en") & (F.col("n_chars") < 200),
+               F.col("n_chars") + 1000).otherwise(F.col("n_chars")))
+    return (upd.groupBy("lang")
+               .agg(F.count("*").alias("n"),
+                    F.sum("n_chars").cast("long").alias("total_chars"))
+               .orderBy("lang"))
+
+
 @register("delete_semantics", oracle="""
 SELECT label, count(*) AS n
 FROM embeddings
