@@ -42,6 +42,11 @@ DOC_OPS = [
     # two multi-join fusion/pruning paths, and the Arrow codec kernel
     "dedup_clusters", "hybrid_tri_fusion", "bm25_pruned_search",
     "jpeg_image_features",
+    # r4 surface additions worth watching at scale: the gram-vocab
+    # agg, the sketch pair (should stay near-flat), and the two
+    # Python inference kernels (linear in docs, Arrow-batched)
+    "rare_terms", "cardinality_hll", "distinct_kmv",
+    "embed_documents", "rerank_inference",
 ]
 
 
