@@ -55,6 +55,7 @@ HEADLINE = [
     "quality_weighted_sample", "domain_mix_sample",
     "value_histogram", "events_pipeline_aggs",
     "embed_documents", "rerank_inference", "diversified_sample",
+    "ivf_batch_knn",
 ]
 
 

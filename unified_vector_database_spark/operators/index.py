@@ -863,3 +863,79 @@ def diversified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("cid").cast("int").alias("cid"), "vec_id",
                     F.col("draw_rank").cast("int").alias("draw_rank"))
             .orderBy("cid", "draw_rank"))
+
+
+# ----------------------------------------------------- batch IVF probe
+
+BATCH_IVF_K = 5
+
+
+def _ivf_batch_oracle() -> str:
+    cents, _, _ = _oracle_artifacts()
+    return f"""
+WITH {_ivf_assign_ctes(cents)},
+qs AS (SELECT vec_id AS qid, vec AS qvec FROM e
+       WHERE vec_id % 100 = 0 AND vec_id < 2000),
+qcell AS (
+  SELECT qid, cid FROM (
+    SELECT qs.qid, c.cid,
+           row_number() OVER (PARTITION BY qs.qid
+                              ORDER BY {_l2_sql('qs.qvec', 'c.cvec')}, c.cid)
+             AS rn
+    FROM qs, cent c) WHERE rn <= {NPROBE}),
+cand AS (
+  SELECT qs.qid, e.vec_id,
+         list_dot_product(e.vec, qs.qvec)
+         / (sqrt(list_dot_product(e.vec, e.vec))
+            * sqrt(list_dot_product(qs.qvec, qs.qvec))) AS score
+  FROM e JOIN assigned a USING (vec_id)
+  JOIN qcell ON a.cid = qcell.cid
+  JOIN qs ON qs.qid = qcell.qid),
+r AS (SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM cand)
+SELECT qid, vec_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {BATCH_IVF_K}
+ORDER BY qid, rank
+"""
+
+
+@register("ivf_batch_knn", oracle=_ivf_batch_oracle)
+def ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN through the IVF index: every query in the (fixed,
+    bounded) panel probes only its own nprobe nearest cells — the
+    at-scale replacement for brute-force batch knn.
+
+    Scale shape: cell ranking runs on the broadcast queries×centroids
+    frame (|Q|·k rows); the (qid, cid) probe list broadcasts into the
+    corpus⋈assignment join, so each corpus row is scored only for the
+    queries probing its cell — total score work is nprobe/k of the
+    brute-force batch, and on the cell-partitioned layout
+    (ivf_write_partitioned) the union of probed cells is the only
+    data read. Per-query top-k is a WindowGroupLimit-pruned window.
+    Oracle: same centroid literals as ivf_knn, per-query assignment/
+    probe/rerank recomputed in SQL."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    queries = (emb.where((F.col("vec_id") % 100 == 0)
+                         & (F.col("vec_id") < 2000))
+                  .select(F.col("vec_id").alias("qid"),
+                          D.vec_double("embedding").alias("qvec")))
+    cents = centroids_for(spark, sf_dir, corpus)
+    assigned = assign_cells(corpus, cents)
+
+    from pyspark.sql import Window as W
+    wq = W.partitionBy("qid").orderBy("d", "cid")
+    qcell = (cents.crossJoin(F.broadcast(queries))
+             .select("qid", "cid", D.l2("qvec", "cvec").alias("d"))
+             .withColumn("rn", F.row_number().over(wq))
+             .where(F.col("rn") <= NPROBE).select("qid", "cid"))
+    cand = (corpus.join(assigned, "vec_id")
+                  .join(F.broadcast(qcell), "cid")
+                  .join(F.broadcast(queries), "qid"))
+    wr = W.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (cand.select("qid", "vec_id", D.cosine("vec", "qvec").alias("score"))
+                .withColumn("rank", F.row_number().over(wr))
+                .where(F.col("rank") <= BATCH_IVF_K)
+                .orderBy("qid", "rank"))
