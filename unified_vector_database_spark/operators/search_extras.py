@@ -412,3 +412,79 @@ def autocut_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("_s.vec_id").alias("vec_id"),
                        (-F.col("_s.ns")).alias("score"),
                        (F.col("_pos") + 1).cast("int").alias("rank")))
+
+
+# ------------------------------------------- boosting / dis_max queries
+
+NEG_TERM = "slow"
+NEG_BOOST = 0.3
+DISMAX_TIE = 0.3
+
+
+@register("boosting_search", oracle=f"""
+WITH {_BM25_CTE},
+neg AS (SELECT doc_id,
+               CASE WHEN list_contains({_TOK}, '{NEG_TERM}')
+                    THEN 1 ELSE 0 END AS is_neg
+        FROM documents)
+SELECT b.doc_id,
+       round(b.score * CASE WHEN neg.is_neg = 1
+                            THEN {NEG_BOOST!r}e0 ELSE 1.0e0 END, 6)
+         AS boosted_score,
+       CAST(neg.is_neg AS INT) AS demoted
+FROM bm25 b JOIN neg USING (doc_id)
+ORDER BY boosted_score DESC, doc_id LIMIT 15
+""")
+def boosting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `boosting` query: positive matches keep their relevance,
+    documents also matching the negative clause are DEMOTED by
+    `negative_boost` (not excluded — the distinction from must_not).
+    The negative flag is a map-side array test in the same scan
+    family as the BM25 pass; one co-keyed join, TakeOrdered page."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    neg = docs.select(
+        "doc_id",
+        F.when(F.array_contains(tokens("text"), NEG_TERM), 1).otherwise(0)
+         .alias("is_neg"))
+    return (bm25_scores(spark, sf_dir).join(neg, "doc_id")
+            .select("doc_id",
+                    F.round(F.col("score")
+                            * F.when(F.col("is_neg") == 1, F.lit(NEG_BOOST))
+                               .otherwise(F.lit(1.0)), 6)
+                     .alias("boosted_score"),
+                    F.col("is_neg").cast("int").alias("demoted"))
+            .orderBy(F.desc("boosted_score"), "doc_id").limit(15))
+
+
+@register("dis_max_search", oracle=f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+{_CAND_CTE},
+j AS (
+  SELECT coalesce(kcand.doc_id, vcand.doc_id) AS doc_id,
+         coalesce(kcand.score, 0) AS s1,
+         coalesce(vcand.vscore, 0) AS s2
+  FROM kcand FULL OUTER JOIN vcand ON kcand.doc_id = vcand.doc_id)
+SELECT doc_id,
+       round(greatest(s1, s2)
+             + {DISMAX_TIE!r}e0 * least(s1, s2), 6) AS dismax_score
+FROM j ORDER BY dismax_score DESC, doc_id LIMIT 15
+""")
+def dis_max_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `dis_max`: the best per-clause score wins, other matching
+    clauses contribute tie_breaker × their score — the
+    max-of-modalities alternative to additive fusion. Same bounded
+    full-outer candidate join as the fusion family; pure column math
+    above it."""
+    kw = _candidates(bm25_scores(spark, sf_dir), "score")
+    vec = _candidates(_vec_scores(spark, sf_dir), "vscore")
+    j = (kw.join(vec, "doc_id", "full_outer")
+           .select("doc_id",
+                   F.coalesce(F.col("score"), F.lit(0.0)).alias("s1"),
+                   F.coalesce(F.col("vscore"), F.lit(0.0)).alias("s2")))
+    return (j.select("doc_id",
+                     F.round(F.greatest("s1", "s2")
+                             + F.lit(DISMAX_TIE) * F.least("s1", "s2"), 6)
+                      .alias("dismax_score"))
+             .orderBy(F.desc("dismax_score"), "doc_id").limit(15))
