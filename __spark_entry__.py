@@ -69,7 +69,7 @@ _PRIORITY = [
     "autocut_search", "diversified_sample", "stream_cardinality_hll",
     "embed_documents", "rerank_inference", "geo_distance_rings",
     "events_anomaly", "update_semantics", "ivf_batch_knn",
-    "boosting_search", "dis_max_search",
+    "boosting_search", "dis_max_search", "dedup_incremental",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

@@ -67,6 +67,21 @@ def minhash_signatures(docs: DataFrame,
           for j in range(_K)])
 
 
+def band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key): the LSH band keys of each signature —
+    shared by the full self-join candidate generator and the
+    incremental batch-vs-corpus probe."""
+    n_bands = _K // LSH_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.concat_ws("_", *[F.col(f"m{i * LSH_ROWS + r}")
+                                        for r in range(LSH_ROWS)]).alias("key"))
+            for i in range(n_bands)])).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(sig: DataFrame,
                         bucket_cap: int | None = None) -> DataFrame:
     """Band the signatures (bands of LSH_ROWS values) and emit doc
@@ -80,15 +95,7 @@ def lsh_candidate_pairs(sig: DataFrame,
     (id order), one extra window over the SAME (band, key) shuffle
     key the join needs anyway. None = exact (the oracle-checked
     queries on the synthetic corpus, which has no hot buckets)."""
-    n_bands = _K // LSH_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.concat_ws("_", *[F.col(f"m{i * LSH_ROWS + r}")
-                                        for r in range(LSH_ROWS)]).alias("key"))
-            for i in range(n_bands)])).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = band_frame(sig)
     if bucket_cap is not None:
         w = W.partitionBy("band", "key").orderBy("doc_id")
         bands = (bands.withColumn("_rn", F.row_number().over(w))
@@ -436,3 +443,81 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("text_len").alias("keep_len"), "n_members",
                           (F.col("n_members") - 1).alias("n_dropped"))
                   .orderBy("cluster_id"))
+
+
+# ---------------------------------------------------- incremental dedup
+
+INCR_BATCH_FROM = 450    # docs with doc_id >= this are the "new batch"
+
+
+@register("dedup_incremental", oracle=f"""
+WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, band, key FROM (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', m{i * LSH_ROWS}, m{i * LSH_ROWS + 1}) AS key FROM sig"
+        for i in range(_K // LSH_ROWS))})),
+cand AS (
+  SELECT DISTINCT a.doc_id AS old_id, b.doc_id AS new_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < {INCR_BATCH_FROM} AND b.doc_id >= {INCR_BATCH_FROM}),
+nsh AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.old_id, c.new_id, count(*) AS shared
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.old_id
+  JOIN shd sb ON sb.doc_id = c.new_id AND sb.shingle = sa.shingle
+  GROUP BY c.old_id, c.new_id)
+SELECT i.old_id, i.new_id, i.shared,
+       round(i.shared * 1.0 / (na.n + nb.n - i.shared), 6) AS jaccard
+FROM inter i
+JOIN nsh na ON na.doc_id = i.old_id
+JOIN nsh nb ON nb.doc_id = i.new_id
+ORDER BY jaccard DESC, i.old_id, i.new_id
+LIMIT 20
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (D9): a NEW batch checked against the
+    existing corpus without ever re-pairing the corpus with itself —
+    the production shape for trickle ingest, where old×old pairs were
+    already resolved in previous runs.
+
+    Scale shape: the batch's band keys are tiny (|batch|·bands rows)
+    and BROADCAST into the corpus band stream, so the candidate join
+    is a map-side hash probe of one corpus-bands pass — no self-join,
+    no shuffle keyed on the full corpus pair space. Exact shingle
+    verification then touches candidate ids only. In production the
+    corpus signatures/bands are a persisted artifact (computed once
+    per commit, reused per batch); here both sides derive from the
+    same scan for the oracle's benefit."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    shd = shingle_sets(docs).cache()
+    hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
+          for j in range(_K)],
+        F.count("*").alias("n"))
+    bands = band_frame(per_doc.drop("n"))
+    old_b = bands.where(F.col("doc_id") < INCR_BATCH_FROM)
+    new_b = (bands.where(F.col("doc_id") >= INCR_BATCH_FROM)
+                  .select(F.col("doc_id").alias("new_id"), "band", "key"))
+    cand = (old_b.join(F.broadcast(new_b), ["band", "key"])
+                 .select(F.col("doc_id").alias("old_id"), "new_id")
+                 .distinct())
+    nsh = per_doc.select("doc_id", "n")
+    sa, sb = shd.alias("sa"), shd.alias("sb")
+    inter = (cand.join(sa, F.col("sa.doc_id") == F.col("old_id"))
+                 .join(sb, (F.col("sb.doc_id") == F.col("new_id"))
+                       & (F.col("sb.shingle") == F.col("sa.shingle")))
+                 .groupBy("old_id", "new_id")
+                 .agg(F.count("*").alias("shared")))
+    na, nb = nsh.alias("na"), nsh.alias("nb")
+    return (inter.join(na, F.col("na.doc_id") == F.col("old_id"))
+                 .join(nb, F.col("nb.doc_id") == F.col("new_id"))
+                 .select("old_id", "new_id", "shared",
+                         F.round(F.col("shared") * 1.0
+                                 / (F.col("na.n") + F.col("nb.n")
+                                    - F.col("shared")), 6).alias("jaccard"))
+                 .orderBy(F.desc("jaccard"), "old_id", "new_id")
+                 .limit(20))
