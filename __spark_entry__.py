@@ -70,6 +70,8 @@ _PRIORITY = [
     "embed_documents", "rerank_inference", "geo_distance_rings",
     "events_anomaly", "update_semantics", "ivf_batch_knn",
     "boosting_search", "dis_max_search", "dedup_incremental",
+    "pinned_search", "terms_lookup_filter", "field_value_factor_search",
+    "random_score_search", "mlt_unlike",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

@@ -488,3 +488,189 @@ def dis_max_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + F.lit(DISMAX_TIE) * F.least("s1", "s2"), 6)
                       .alias("dismax_score"))
              .orderBy(F.desc("dismax_score"), "doc_id").limit(15))
+
+
+# ------------------------------------ pinned / lookup / score modifiers
+
+PINNED_IDS = (7, 42)
+LOOKUP_DOC = 42
+RANDOM_SEED = 1234
+FVF_DIV = 100.0
+UNLIKE_DOC = 7
+UNLIKE_W = 2
+
+
+@register("pinned_search", oracle=f"""
+WITH {_BM25_CTE},
+organic AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id)
+           + {len(PINNED_IDS)} AS rank
+  FROM (SELECT doc_id, score FROM bm25
+        WHERE doc_id NOT IN {PINNED_IDS!r}
+        ORDER BY score DESC, doc_id LIMIT 13)),
+pinned AS (
+  SELECT d.doc_id, coalesce(b.score, 0.0e0) AS score,
+         CASE {" ".join(f"WHEN d.doc_id = {p} THEN {i + 1}"
+                        for i, p in enumerate(PINNED_IDS))} END AS rank
+  FROM documents d LEFT JOIN bm25 b USING (doc_id)
+  WHERE d.doc_id IN {PINNED_IDS!r})
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM pinned
+UNION ALL
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM organic
+ORDER BY rank
+""")
+def pinned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `pinned` query: curated ids occupy the top ranks in their
+    given order (scored or not), organic relevance fills the rest,
+    pinned ids excluded from the organic stream. Pinned side is an
+    O(|pins|) lookup; organic is the usual bounded TakeOrdered +
+    window-free ranks."""
+    from .hybrid import bounded_ranks
+    bm25 = bm25_scores(spark, sf_dir)
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    rank_expr = F.when(F.col("doc_id") == PINNED_IDS[0], 1)
+    for i, p in enumerate(PINNED_IDS[1:], start=2):
+        rank_expr = rank_expr.when(F.col("doc_id") == p, i)
+    pinned = (docs.where(F.col("doc_id").isin(*PINNED_IDS))
+                  .join(bm25, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("score", F.lit(0.0)).alias("score"),
+                          rank_expr.cast("int").alias("rank")))
+    organic_cut = (bm25.where(~F.col("doc_id").isin(*PINNED_IDS))
+                       .orderBy(F.desc("score"), "doc_id").limit(13))
+    ranks = bounded_ranks(organic_cut, "score", "doc_id", "rank")
+    organic = (organic_cut.join(ranks, "doc_id")
+               .select("doc_id", "score",
+                       (F.col("rank") + len(PINNED_IDS)).cast("int")
+                        .alias("rank")))
+    return pinned.unionByName(organic).orderBy("rank")
+
+
+@register("terms_lookup_filter", oracle=f"""
+WITH lookup AS (
+  SELECT list_distinct({_TOK}) AS lt FROM documents
+  WHERE doc_id = {LOOKUP_DOC})
+SELECT d.doc_id,
+       CAST(len(list_filter(list_distinct({_TOK}),
+                            x -> list_contains(lookup.lt, x))) AS INT)
+         AS n_matched
+FROM documents d, lookup
+WHERE d.doc_id <> {LOOKUP_DOC}
+  AND len(list_filter(list_distinct({_TOK}),
+                      x -> list_contains(lookup.lt, x))) > 0
+ORDER BY d.doc_id LIMIT 25
+""")
+def terms_lookup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `terms` lookup: the filter's term set is FETCHED from a
+    stored document rather than inlined in the request. The lookup
+    doc's distinct tokens are one broadcast row; the membership test
+    is a map-side array intersect in the scan — filter semantics
+    (with a matched-count payload), not MLT's ranking."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    lookup = (docs.where(F.col("doc_id") == LOOKUP_DOC)
+                  .select(F.array_distinct(tokens("text")).alias("lt")))
+    n = F.size(F.array_intersect(F.array_distinct(tokens("text")),
+                                 F.col("lt")))
+    return (docs.where(F.col("doc_id") != LOOKUP_DOC)
+                .crossJoin(F.broadcast(lookup))
+                .select("doc_id", n.cast("int").alias("n_matched"))
+                .where(F.col("n_matched") > 0)
+                .orderBy("doc_id").limit(25))
+
+
+@register("field_value_factor_search", oracle=f"""
+WITH {_BM25_CTE}
+SELECT b.doc_id,
+       round(b.score * ln(1.0e0 + d.n_chars / {FVF_DIV!r}e0), 6)
+         AS fvf_score
+FROM bm25 b JOIN documents d USING (doc_id)
+ORDER BY fvf_score DESC, b.doc_id LIMIT 15
+""")
+def field_value_factor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score `field_value_factor` (log1p modifier):
+    relevance scaled by a stored numeric field. One co-keyed payload
+    join above the zero-shuffle BM25 pass; round-6 absorbs the libm
+    ulp spread exactly as T17's decay boost does."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return (bm25_scores(spark, sf_dir)
+            .join(docs.select("doc_id", "n_chars"), "doc_id")
+            .select("doc_id",
+                    F.round(F.col("score")
+                            * F.log(1.0 + F.col("n_chars") / F.lit(FVF_DIV)),
+                            6).alias("fvf_score"))
+            .orderBy(F.desc("fvf_score"), "doc_id").limit(15))
+
+
+@register("random_score_search", oracle=f"""
+SELECT doc_id,
+       round(('0x' || substr(md5('{RANDOM_SEED}:' || doc_id), 1, 15))::BIGINT
+             / {float(1 << 60)!r}, 6) AS rscore
+FROM documents
+WHERE list_contains({_TOK}, 'fast')
+ORDER BY rscore DESC, doc_id LIMIT 10
+""")
+def random_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score `random_score` with a seed: reproducible
+    pseudo-random ranking of the filtered set — the seeded hash IS
+    the contract (same seed, same order, any node count), which is
+    exactly the repo's deterministic md5 coin."""
+    from ..functions.hashing import md5_int60
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    rscore = F.round(
+        md5_int60(F.concat(F.lit(f"{RANDOM_SEED}:"),
+                           F.col("doc_id").cast("string")))
+        / F.lit(float(1 << 60)), 6)
+    return (docs.where(F.array_contains(tokens("text"), "fast"))
+                .select("doc_id", rscore.alias("rscore"))
+                .orderBy(F.desc("rscore"), "doc_id").limit(10))
+
+
+@register("mlt_unlike", oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len({_TOK}) - 1, 1)),
+             i -> {_TOK}[i] || ' ' || {_TOK}[i + 1] || ' '
+                  || {_TOK}[i + 2])) AS gs
+  FROM documents),
+seed AS (SELECT gs AS sg FROM grams WHERE doc_id = {LOOKUP_DOC}),
+neg AS (SELECT gs AS ng FROM grams WHERE doc_id = {UNLIKE_DOC}),
+scored AS (
+  SELECT g.doc_id,
+         len(list_filter(g.gs, x -> list_contains(sg, x))) AS n_pos,
+         len(list_filter(g.gs, x -> list_contains(ng, x))) AS n_neg
+  FROM grams g, seed, neg
+  WHERE g.doc_id NOT IN ({LOOKUP_DOC}, {UNLIKE_DOC}))
+SELECT doc_id, CAST(n_pos AS INT) AS n_pos, CAST(n_neg AS INT) AS n_neg,
+       CAST(n_pos - {UNLIKE_W} * n_neg AS INT) AS mlt_score
+FROM scored
+WHERE n_pos - {UNLIKE_W} * n_neg > 0
+ORDER BY mlt_score DESC, doc_id LIMIT 15
+""")
+def mlt_unlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this with `unlike`: gram overlap with the liked
+    document minus a weighted penalty for overlap with the disliked
+    one. Both example gram sets ride in ONE broadcast row each; the
+    per-doc overlaps are map-side array intersects — same zero-shuffle
+    shape as T7."""
+    from ..functions.text import ngram_array
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    grams = docs.select("doc_id", ngram_array("text", 3).alias("gs"))
+    seed = (grams.where(F.col("doc_id") == LOOKUP_DOC)
+                 .select(F.col("gs").alias("sg")))
+    neg = (grams.where(F.col("doc_id") == UNLIKE_DOC)
+                .select(F.col("gs").alias("ng")))
+    n_pos = F.size(F.array_intersect("gs", "sg"))
+    n_neg = F.size(F.array_intersect("gs", "ng"))
+    return (grams.where(~F.col("doc_id").isin(LOOKUP_DOC, UNLIKE_DOC))
+                 .crossJoin(F.broadcast(seed)).crossJoin(F.broadcast(neg))
+                 .select("doc_id",
+                         n_pos.cast("int").alias("n_pos"),
+                         n_neg.cast("int").alias("n_neg"),
+                         (n_pos - UNLIKE_W * n_neg).cast("int")
+                          .alias("mlt_score"))
+                 .where(F.col("mlt_score") > 0)
+                 .orderBy(F.desc("mlt_score"), "doc_id").limit(15))
