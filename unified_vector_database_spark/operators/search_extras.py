@@ -653,9 +653,15 @@ ORDER BY mlt_score DESC, doc_id LIMIT 15
 def mlt_unlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES more_like_this with `unlike`: gram overlap with the liked
     document minus a weighted penalty for overlap with the disliked
-    one. Both example gram sets ride in ONE broadcast row each; the
-    per-doc overlaps are map-side array intersects — same zero-shuffle
-    shape as T7."""
+    one.
+
+    Scale shape (64x-probed): BOTH example gram sets ride in ONE
+    combined broadcast row (seed×neg is 1×1) so the corpus passes
+    through a SINGLE BroadcastNestedLoopJoin — a chain of two 1-row
+    crossJoins measured 2.3x slower at 64x (each extra BNLJ re-copies
+    the per-doc gram array through another non-codegen join boundary).
+    The intersects materialize once in a select BEFORE the score
+    filter, so the filter never re-evaluates them."""
     from ..functions.text import ngram_array
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     grams = docs.select("doc_id", ngram_array("text", 3).alias("gs"))
@@ -663,14 +669,16 @@ def mlt_unlike(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("gs").alias("sg")))
     neg = (grams.where(F.col("doc_id") == UNLIKE_DOC)
                 .select(F.col("gs").alias("ng")))
-    n_pos = F.size(F.array_intersect("gs", "sg"))
-    n_neg = F.size(F.array_intersect("gs", "ng"))
-    return (grams.where(~F.col("doc_id").isin(LOOKUP_DOC, UNLIKE_DOC))
-                 .crossJoin(F.broadcast(seed)).crossJoin(F.broadcast(neg))
-                 .select("doc_id",
-                         n_pos.cast("int").alias("n_pos"),
-                         n_neg.cast("int").alias("n_neg"),
-                         (n_pos - UNLIKE_W * n_neg).cast("int")
-                          .alias("mlt_score"))
-                 .where(F.col("mlt_score") > 0)
-                 .orderBy(F.desc("mlt_score"), "doc_id").limit(15))
+    ctx = seed.crossJoin(neg)          # one combined 1-row example frame
+    scored = (grams.where(~F.col("doc_id").isin(LOOKUP_DOC, UNLIKE_DOC))
+              .crossJoin(F.broadcast(ctx))
+              .select("doc_id",
+                      F.size(F.array_intersect("gs", "sg")).cast("int")
+                       .alias("n_pos"),
+                      F.size(F.array_intersect("gs", "ng")).cast("int")
+                       .alias("n_neg")))
+    return (scored.select("doc_id", "n_pos", "n_neg",
+                          (F.col("n_pos") - UNLIKE_W * F.col("n_neg"))
+                           .cast("int").alias("mlt_score"))
+                  .where(F.col("mlt_score") > 0)
+                  .orderBy(F.desc("mlt_score"), "doc_id").limit(15))
