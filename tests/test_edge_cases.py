@@ -153,31 +153,48 @@ def test_kmv_fewer_than_k_distinct(spark, sf_dir):
             assert r["kmv_est"] == exact[r["event_type"]]
 
 
-def test_autocut_short_corpus_keeps_all(spark, sf_dir, monkeypatch):
-    """Fewer rows than the autocut window: no gap computable past the
-    end -> every row survives (no crash on the short array)."""
+def test_autocut_short_corpus_keeps_all(spark, sf_dir):
+    """Fewer rows than the autocut window — including 1 and 0 rows —
+    must not raise under ANSI mode (try_element_at paths), and a flat
+    short window keeps every row."""
+    from unified_vector_database_spark.operators.search_extras import (
+        autocut_cut)
+    flat = spark.createDataFrame(
+        [Row(vec_id=i, score=1.0 - 0.001 * i) for i in range(3)])
+    out = autocut_cut(flat).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]          # all kept
+    one = autocut_cut(flat.where(F.col("vec_id") == 0)).collect()
+    assert len(one) == 1 and one[0]["rank"] == 1
+    empty = autocut_cut(flat.where(F.col("vec_id") < 0)).collect()
+    assert empty == []
+    # a short window WITH a big jump still cuts at the jump
+    jump = spark.createDataFrame(
+        [Row(vec_id=0, score=0.99), Row(vec_id=1, score=0.98),
+         Row(vec_id=2, score=0.10), Row(vec_id=3, score=0.09)])
+    cut = autocut_cut(jump).collect()
+    assert [r["vec_id"] for r in cut] == [0, 1]
+    # the registered op still behaves on the real corpus
     from unified_vector_database_spark.operators import search_extras as se
-    # run the registered op against the real corpus but with the
-    # window far larger than any natural first group; just assert it
-    # executes and returns >= 1 row in rank order
-    out = se.autocut_search(spark, sf_dir).collect()
-    assert len(out) >= 1
-    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    real = se.autocut_search(spark, sf_dir).collect()
+    assert len(real) >= 1
+    assert [r["rank"] for r in real] == list(range(1, len(real) + 1))
 
 
 def test_domain_mix_unknown_lang_rate_zero(spark):
-    """A domain absent from the target mix gets rate 0 and sample 0,
-    and does not crash the plan."""
-    from unified_vector_database_spark.operators.sampling import LANG_MIX
-    assert all(s > 0 for _, s in LANG_MIX)  # mix itself is positive
-    from unified_vector_database_spark.operators import sampling as sp
+    """A domain absent from the target mix gets rate 0 and sample 0
+    (kept in the plan output, dropped from the sample), and the
+    operator does not crash on it."""
+    from unified_vector_database_spark.operators.sampling import domain_mix_t
     docs = spark.createDataFrame(
-        [Row(doc_id=i, lang=("xx" if i % 2 else "en"), text="t")
-         for i in range(20)])
-    # reuse the operator body against a temp view by monkey-free path:
-    # compute rates directly through the same expressions
-    t = (docs.groupBy("lang").agg(F.count("*").alias("n_in")))
-    assert t.where(F.col("lang") == "xx").count() == 1
+        [Row(doc_id=i, lang=("xx" if i % 2 else "en"))
+         for i in range(40)])
+    rows = {r["lang"]: r for r in domain_mix_t(docs).collect()}
+    assert rows["xx"]["rate"] == 0.0
+    assert rows["xx"]["n_sampled"] == 0
+    assert rows["xx"]["n_in"] == 20
+    # the only in-mix domain is the binding one: rate 1, keeps all
+    assert rows["en"]["rate"] == 1.0
+    assert rows["en"]["n_sampled"] == 20
 
 
 def test_anomaly_flat_series_no_flags(spark):

@@ -18,9 +18,8 @@ import pytest
 # sf0.01). This suite compares at sf0.001, so pin the fit dir to the
 # suite's SF BEFORE oracle_sql() renders the lazy entries — otherwise
 # the oracle's centroids come from a different corpus than Spark's.
-os.environ.setdefault(
-    "UVDB_SIM_SF_DIR",
-    os.environ.get("UVDB_TEST_SF_DIR", "/root/testdata/sf0.001"))
+os.environ["UVDB_SIM_SF_DIR"] = \
+    os.environ.get("UVDB_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 import __spark_entry__ as entrymod
 

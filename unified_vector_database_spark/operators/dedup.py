@@ -357,6 +357,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                  .localCheckpoint())
     last_checked = labels
     for rnd in range(max_iter):
+        prev = labels
         prop = (und.join(labels, und.src == labels.id)
                    .select(F.col("dst").alias("id"), "label"))
         grow = labels.union(prop)
@@ -372,15 +373,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                       .localCheckpoint())
         # round 0 always changes something on a non-empty edge set;
         # check once labels can have stabilized, then every
-        # check_every rounds (and always on the last allowed round,
-        # so the non-convergence raise stays accurate)
+        # check_every rounds. The FINAL allowed round compares against
+        # the immediately previous round (not the possibly-stale
+        # last_checked snapshot): a graph whose fixpoint lands on a
+        # non-check round would otherwise show changed > 0 vs the old
+        # snapshot and raise despite having converged.
         if rnd > 0 and (rnd % check_every == 0 or rnd == max_iter - 1):
+            baseline = prev if rnd == max_iter - 1 else last_checked
             changed = (labels.alias("n")
-                             .join(last_checked.alias("o"), "id")
+                             .join(baseline.alias("o"), "id")
                              .where(F.col("n.label") != F.col("o.label"))
                              .count())
             if changed == 0:
-                return last_checked
+                return labels
             last_checked = labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "

@@ -853,7 +853,7 @@ def diversified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_int32
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-    cents = kmeans_fit(corpus)
+    cents = centroids_for(spark, sf_dir, corpus)  # cached fit, as ivf_knn
     assigned = assign_cells(corpus, cents)
     from pyspark.sql import Window as W
     w = (W.partitionBy("cid")

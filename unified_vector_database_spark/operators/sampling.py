@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import tables
 from ..functions.hashing import md5_int60
 from ..registry import register
-from .textops import _tok_sql, quality_score_t
+from .textops import QUALITY_ORACLE_SELECT, quality_score_t
 
 _POW60 = float(1 << 60)  # exact double; md5_int60/2^60 ∈ [0,1)
 
@@ -31,15 +31,7 @@ _POW60 = float(1 << 60)  # exact double; md5_int60/2^60 ∈ [0,1)
 LANG_MIX = (("en", 0.25), ("de", 0.25), ("zh", 0.20),
             ("fr", 0.15), ("es", 0.15))
 
-_QUALITY_SQL = f"""
-SELECT doc_id,
-       0.4 * least(len({_tok_sql()}) / 100.0, 1.0)
-         + 0.3 * (1.0 - len(list_filter({_tok_sql()}, t -> t IN ('the', 'a')))
-                        / len({_tok_sql()}))
-         + 0.3 * least((list_sum(list_transform({_tok_sql()}, t -> length(t)))
-                        / len({_tok_sql()})) / 8.0, 1.0) AS quality
-FROM documents
-"""
+_QUALITY_SQL = QUALITY_ORACLE_SELECT
 
 
 def _hash_frac_sql(id_expr: str) -> str:
@@ -105,8 +97,17 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate table is |domains| rows — a broadcast join onto the map-only
     admit pass at any corpus size."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return domain_mix_t(docs)
+
+
+def domain_mix_t(docs: DataFrame,
+                 mix: tuple[tuple[str, float], ...] = LANG_MIX) -> DataFrame:
+    """Operator form of domain_mix_sample over any (doc_id, lang)
+    frame. Domains absent from `mix` get target 0 → rate 0 →
+    n_sampled 0 (kept in the plan row output, dropped from the
+    sample) — pinned in tests/test_edge_cases.py."""
     target = F.lit(0.0)
-    for l, s in reversed(LANG_MIX):
+    for l, s in reversed(mix):
         target = F.when(F.col("lang") == l, F.lit(s)).otherwise(target)
     t = (docs.groupBy("lang").agg(F.count("*").alias("n_in"))
              .withColumn("target", target))

@@ -178,6 +178,9 @@ def rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _adj_pairs():
+    """The single source of the bucket enumeration — the oracle SQL,
+    the Spark aggregates, and the stack() unpivot all consume this, so
+    the three cannot drift: [(bucket_name, filter_keys_tuple)]."""
     keys = [k for k, _ in ADJ_FILTERS]
     singles = [(k, (k,)) for k in keys]
     pairs = [(f"{a}&{b}", (a, b))
@@ -185,21 +188,19 @@ def _adj_pairs():
     return singles + pairs
 
 
+def _adj_col(ks) -> str:
+    return "c_" + "_".join(ks)
+
+
 @register("adjacency_matrix", oracle=f"""
 WITH flags AS (
   SELECT {', '.join(f"CASE WHEN list_contains({_TOK}, '{t}') THEN 1 ELSE 0 END AS f_{k}"
                     for k, t in ADJ_FILTERS)}
   FROM documents),
-c AS (SELECT {', '.join(f"CAST(sum(f_{k}) AS BIGINT) AS c_{k}" for k, _ in ADJ_FILTERS)},
-             {', '.join(f"CAST(sum(f_{a} * f_{b}) AS BIGINT) AS c_{a}_{b}"
-                        for i, (a, _) in enumerate(ADJ_FILTERS)
-                        for (b, _) in ADJ_FILTERS[i + 1:])}
+c AS (SELECT {', '.join(f"CAST(sum({' * '.join('f_' + k for k in ks)}) AS BIGINT) AS {_adj_col(ks)}" for _, ks in _adj_pairs())}
       FROM flags)
-{' UNION ALL '.join(
-    [f"SELECT '{k}' AS bucket, c_{k} AS doc_count FROM c" for k, _ in ADJ_FILTERS]
-    + [f"SELECT '{a}&{b}' AS bucket, c_{a}_{b} AS doc_count FROM c"
-       for i, (a, _) in enumerate(ADJ_FILTERS)
-       for (b, _) in ADJ_FILTERS[i + 1:]])}
+{' UNION ALL '.join(f"SELECT '{name}' AS bucket, {_adj_col(ks)} AS doc_count FROM c"
+                    for name, ks in _adj_pairs())}
 ORDER BY bucket
 """)
 def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,18 +215,15 @@ def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = docs.select(*[
         F.when(F.array_contains(toks, t), 1).otherwise(0).alias(f"f_{k}")
         for k, t in ADJ_FILTERS])
-    keys = [k for k, _ in ADJ_FILTERS]
-    aggs = ([F.sum(f"f_{k}").cast("long").alias(f"c_{k}") for k in keys]
-            + [F.sum(F.col(f"f_{a}") * F.col(f"f_{b}")).cast("long")
-               .alias(f"c_{a}_{b}")
-               for i, a in enumerate(keys) for b in keys[i + 1:]])
+    from functools import reduce
+    from operator import mul
+    aggs = [F.sum(reduce(mul, [F.col(f"f_{k}") for k in ks])).cast("long")
+            .alias(_adj_col(ks)) for _, ks in _adj_pairs()]
     c = flags.agg(*aggs)
-    cells = ([(k, f"c_{k}") for k in keys]
-             + [(f"{a}&{b}", f"c_{a}_{b}")
-                for i, a in enumerate(keys) for b in keys[i + 1:]])
-    stack = ", ".join(f"'{name}', {col}" for name, col in cells)
+    stack = ", ".join(f"'{name}', {_adj_col(ks)}"
+                      for name, ks in _adj_pairs())
     return (c.selectExpr(
-                f"stack({len(cells)}, {stack}) AS (bucket, doc_count)")
+                f"stack({len(_adj_pairs())}, {stack}) AS (bucket, doc_count)")
              .orderBy("bucket"))
 
 
@@ -369,10 +367,13 @@ r AS (SELECT vec_id, score,
              row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
              score - lead(score) OVER (ORDER BY score DESC, vec_id) AS gap
       FROM s),
-thr AS (SELECT {AUTOCUT_FACTOR!r}e0 * (max(score) - min(score))
-               / ({AUTOCUT_N} - 1) AS t FROM s),
-cut AS (SELECT coalesce(min(rank), {AUTOCUT_N}) AS c
-        FROM r, thr WHERE rank < {AUTOCUT_N} AND gap > thr.t)
+thr AS (SELECT CASE WHEN count(*) >= 2
+                    THEN {AUTOCUT_FACTOR!r}e0 * (max(score) - min(score))
+                         / (count(*) - 1) END AS t,
+               count(*) AS m FROM s),
+cut AS (SELECT coalesce(min(rank) FILTER (rank < thr.m AND gap > thr.t),
+                        max(thr.m)) AS c
+        FROM r, thr)
 SELECT vec_id, score, CAST(rank AS INT) AS rank
 FROM r, cut WHERE rank <= cut.c
 ORDER BY rank
@@ -394,13 +395,27 @@ def autocut_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            .crossJoin(F.broadcast(q))
            .select("vec_id", cosine_score().alias("score"))
            .orderBy(F.desc("score"), "vec_id").limit(AUTOCUT_N))
+    return autocut_cut(top)
+
+
+def autocut_cut(top: DataFrame) -> DataFrame:
+    """The autocut decision over any bounded (vec_id, score) result
+    window — split out so the short-window degenerate paths (< 2
+    rows, fewer rows than AUTOCUT_N) are directly testable
+    (tests/test_edge_cases.py)."""
     arr = top.agg(F.array_sort(F.collect_list(F.struct(
         (-F.col("score")).alias("ns"), F.col("vec_id").alias("vec_id"))))
         .alias("a"))
     scores = F.transform(F.col("a"), lambda x: -x.getField("ns"))
-    thr = (F.lit(AUTOCUT_FACTOR)
-           * (F.element_at(scores, 1) - F.element_at(scores, AUTOCUT_N))
-           / F.lit(AUTOCUT_N - 1))
+    # short-window safety (ANSI mode): m = actual rows retrieved; all
+    # lookups via try_element_at so a corpus smaller than the window
+    # degrades to "keep everything" instead of INVALID_ARRAY_INDEX
+    m = F.least(F.lit(AUTOCUT_N), F.size(F.col("a")))
+    thr = F.when(m >= 2,
+                 F.lit(AUTOCUT_FACTOR)
+                 * (F.try_element_at(scores, F.lit(1))
+                    - F.try_element_at(scores, m))
+                 / (m - F.lit(1)))
     gaps = F.zip_with(F.slice(scores, 1, AUTOCUT_N - 1),
                       F.slice(scores, 2, AUTOCUT_N - 1),
                       lambda a, b: a - b)
@@ -408,9 +423,9 @@ def autocut_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.lit(AUTOCUT_N - 1)),
         F.lit(AUTOCUT_N),
         lambda acc, i: F.least(
-            acc, F.when(F.element_at(gaps, i) > thr, i)
+            acc, F.when(F.try_element_at(gaps, i) > thr, i)
                   .otherwise(F.lit(AUTOCUT_N))))
-    return (arr.select(F.posexplode(F.slice(F.col("a"), 1, cut))
+    return (arr.select(F.posexplode(F.slice(F.col("a"), 1, F.least(cut, m)))
                         .alias("_pos", "_s"))
                .select(F.col("_s.vec_id").alias("vec_id"),
                        (-F.col("_s.ns")).alias("score"),

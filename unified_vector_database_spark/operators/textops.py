@@ -165,6 +165,22 @@ def lang_id_t(docs: DataFrame) -> DataFrame:
                     conf.alias("confidence"))
 
 
+# Shared oracle fragment: the exact quality formula as one scalar
+# select (imported by operators/sampling.py's quality_weighted_sample,
+# whose Spark side runs quality_score_t — keep all three in lockstep;
+# the quality_score oracle below spells the same math over its
+# intermediate columns).
+QUALITY_ORACLE_SELECT = f"""
+SELECT doc_id,
+       0.4 * least(len({_tok_sql()}) / 100.0, 1.0)
+         + 0.3 * (1.0 - len(list_filter({_tok_sql()}, t -> t IN ('the', 'a')))
+                        / len({_tok_sql()}))
+         + 0.3 * least((list_sum(list_transform({_tok_sql()}, t -> length(t)))
+                        / len({_tok_sql()})) / 8.0, 1.0) AS quality
+FROM documents
+"""
+
+
 @register("quality_score", oracle=f"""
 WITH s AS (
   SELECT doc_id,
