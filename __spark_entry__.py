@@ -72,6 +72,15 @@ _PRIORITY = [
     "boosting_search", "dis_max_search", "dedup_incremental",
     "pinned_search", "terms_lookup_filter", "field_value_factor_search",
     "random_score_search", "mlt_unlike",
+    # (g) r4 continuation surface (slots 51+ — past this round's
+    # budget line by design; they queue first for the r5 rotation;
+    # all MATCH under the hardened driver_sim): ES stats aggs,
+    # query-DSL completions, Gopher quality gate
+    "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
+    "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",
+    "mad_value", "boxplot_value", "match_phrase_prefix_search",
+    "regexp_search", "span_near_search", "combined_fields_search",
+    "knn_by_id", "nested_payload_filter", "gopher_quality_rules",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

@@ -1,0 +1,189 @@
+"""Semantic edge tests for the r4 continuation surface: ES stats aggs
+(extended_stats / string_stats / matrix_stats / top_hits /
+auto_date_histogram / geo_centroid / MAD / boxplot), the query-DSL
+completions (match_phrase_prefix / regexp / span_near /
+combined_fields / knn_by_id / nested payload filter), and the Gopher
+quality gate. Oracle parity is covered by test_oracle_parity; these
+pin the SEMANTICS on crafted inputs where the hash can't speak.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from unified_vector_database_spark import tables
+from unified_vector_database_spark.operators import (
+    quality as Q, search_more as SM, stats as ST)
+
+SF = os.environ.get("UVDB_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _mini_docs(spark, tmp_path, texts):
+    sf = str(tmp_path / "mini")
+    os.makedirs(sf, exist_ok=True)
+    rows = [Row(doc_id=i, text=t, lang="en", source="src0",
+                n_chars=len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    return sf
+
+
+# ------------------------------------------------------------- stats aggs
+
+
+def test_extended_stats_matches_numpy(spark):
+    out = {r.event_type: r
+           for r in ST.extended_stats_agg(spark, SF).collect()}
+    ev = tables.load(spark, SF, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        r = out[et]
+        assert r.n == len(v)
+        assert r.vmin == v.min() and r.vmax == v.max()
+        assert abs(r.avg_value - v.mean()) < 1e-4
+        assert abs(r.variance_pop - v.var()) < 1e-3
+        assert abs(r.std_dev_pop - v.std()) < 1e-4
+
+
+def test_boxplot_quartiles_ordered(spark):
+    for r in ST.boxplot_value(spark, SF).collect():
+        assert r.vmin <= r.q1 <= r.q2 <= r.q3 <= r.vmax
+        assert abs(r.iqr - round(r.q3 - r.q1, 6)) < 2e-6
+
+
+def test_mad_matches_numpy(spark):
+    out = {r.event_type: r for r in ST.mad_value(spark, SF).collect()}
+    pdf = tables.load(spark, SF, "events").select(
+        "event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        med = np.percentile(v, 50, method="linear")
+        mad = np.percentile(np.abs(v - med), 50, method="linear")
+        assert abs(out[et].median_value - med) < 1e-6
+        assert abs(out[et].mad_value - mad) < 1e-6
+
+
+def test_top_hits_per_bucket_shape(spark):
+    rows = ST.top_hits_agg(spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.event_type, []).append(r)
+    for members in per.values():
+        assert [m.rnk for m in members] == list(range(1, len(members) + 1))
+        vals = [m.value for m in members]
+        assert vals == sorted(vals, reverse=True)
+        assert len(members) <= ST.TOP_HITS_PER_BUCKET
+
+
+def test_auto_date_histogram_unit_is_single(spark):
+    rows = ST.auto_date_histogram(spark, SF).collect()
+    units = {r.unit for r in rows}
+    assert len(units) == 1  # one ladder choice for the whole corpus
+    assert units.pop() in {"hour", "day", "month"}
+    # bucket count respects the target that drove the ladder
+    assert len(rows) <= ST.AUTO_HIST_TARGET_BUCKETS * 24
+
+
+def test_string_stats_entropy_bounds(spark):
+    for r in ST.string_stats_agg(spark, SF).collect():
+        assert 0.0 <= r.entropy <= math.log2(27) + 1e-9
+        assert r.min_len <= r.avg_len <= r.max_len
+
+
+def test_geo_centroid_in_range(spark):
+    for r in ST.geo_centroid_agg(spark, SF).collect():
+        assert -90 <= r.centroid_lat <= 90
+        assert -180 <= r.centroid_lon <= 180
+        assert r.n > 0
+
+
+def test_matrix_stats_corr_bounds(spark):
+    for r in ST.matrix_stats_agg(spark, SF).collect():
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------- query surface
+
+
+def test_match_phrase_prefix_semantics(spark, tmp_path):
+    sf = _mini_docs(spark, tmp_path, [
+        "fast table scan",      # match: fast -> ta*
+        "fast zebra scan",      # no: zebra not ta*
+        "table fast scan",      # no: wrong order
+        "slow fast table fast table",  # 2 matches
+    ])
+    out = {r.doc_id: r.n_matches
+           for r in SM.match_phrase_prefix_search(spark, sf).collect()}
+    assert out == {0: 1, 3: 2}
+
+
+def test_span_near_unordered(spark, tmp_path):
+    sf = _mini_docs(spark, tmp_path, [
+        "vector x table",        # gap 2 <= 3: pair in order
+        "table x vector",        # reversed order still counts
+        "vector x y z w table",  # gap 5 > slop
+        "vector table vector",   # pairs: (1,2)=1, (3,2)=1 -> 2 pairs
+    ])
+    out = {r.doc_id: (r.n_pairs, r.min_gap)
+           for r in SM.span_near_search(spark, sf).collect()}
+    assert out == {0: (1, 2), 1: (1, 2), 3: (2, 1)}
+
+
+def test_regexp_search_anchored(spark, tmp_path):
+    sf = _mini_docs(spark, tmp_path, [
+        "fast sort fast",   # fast, sort match [sf].*t
+        "softest stuff",    # softest matches; stuff doesn't (ends f)
+        "scan slow",        # none end in t
+    ])
+    out = {r.doc_id: (r.n_occurrences, r.n_terms)
+           for r in SM.regexp_search(spark, sf).collect()}
+    assert out == {0: (3, 2), 1: (1, 1)}
+
+
+def test_combined_fields_title_boost(spark, tmp_path):
+    filler = " ".join(["x"] * 7)
+    sf = _mini_docs(spark, tmp_path, [
+        "vector " + filler,            # term in title (pos 1 of 8)
+        filler + " y vector",          # same length, term in body
+    ])
+    rows = {r.doc_id: r.score
+            for r in SM.combined_fields_search(spark, sf).collect()}
+    assert rows[0] > rows[1] > 0  # title hit outranks body hit
+
+
+def test_knn_by_id_excludes_self(spark):
+    rows = SM.knn_by_id(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.vec_id != SM.NEAR_OBJECT_ID for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_nested_payload_filter_bounds(spark):
+    rows = SM.nested_payload_filter(spark, SF).collect()
+    for r in rows:
+        assert SM.PAYLOAD_K_LO <= r.min_k <= r.max_k <= SM.PAYLOAD_K_HI
+        assert r.min_k <= r.avg_k <= r.max_k
+
+
+# ------------------------------------------------------------ gopher gate
+
+
+def test_gopher_rules_reject_short_and_dominated(spark, tmp_path):
+    good_words = ("the a and of to " +
+                  " ".join(f"w{i % 23}x" for i in range(60)))
+    sf = _mini_docs(spark, tmp_path, [
+        good_words,                # passes every rule
+        "the a of",                # too short
+        "the a and of to " + " ".join(["spam"] * 60),  # dominated
+    ])
+    rows = Q.gopher_quality_rules(spark, sf).collect()
+    census = {(r.lang, r.keep): r.n_docs for r in rows}
+    assert census[("en", True)] == 1
+    assert census[("en", False)] == 2

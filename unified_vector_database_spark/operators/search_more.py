@@ -1,0 +1,299 @@
+"""Query-surface completion: ES `match_phrase_prefix`, `regexp`,
+`span_near` (unordered), `combined_fields`, plus Weaviate
+`near_object` / Qdrant recommend-by-id (`knn_by_id`) and the
+Qdrant/ES nested-JSON payload filter.
+
+Reference parity: all five backends of the reference stack expose
+some of these (README.md:82 backend selector) — match_phrase_prefix /
+regexp / span_near / combined_fields are ES query DSL types; querying
+by an existing object id is Weaviate `nearObject` and Qdrant
+`recommend(positive=[id])`; filtering on a nested JSON payload field
+is Qdrant payload filtering and the ES object-field query path.
+
+Scale shapes — every text op here is MAP-SIDE ONLY over the token
+array (no explode, no postings shuffle): per-doc counts come from
+higher-order array functions in the scan stage, then one TakeOrdered
+cut. The corpus is read exactly once per query; nothing shuffles but
+the final top-N page. knn_by_id adds one broadcast 1-row query frame
+(same contract as every other knn); nested_payload_filter is a
+predicate + bucket-count agg with the JSON parse in the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..registry import register
+from .knn import corpus_with_query, cosine_score, knn
+
+_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+# ----------------------------------------------------- match_phrase_prefix
+
+MPP_TERM = "fast"
+MPP_PREFIX = "ta"
+
+
+@register("match_phrase_prefix_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(toks)),
+              i -> toks[i] = '{MPP_TERM}'
+                   AND starts_with(toks[i + 1], '{MPP_PREFIX}')))
+              AS BIGINT) AS n_matches
+  FROM t)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id LIMIT 20
+""")
+def match_phrase_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match_phrase_prefix`: a phrase whose final term is a
+    prefix — here "fast ta*" (matches e.g. "fast table"). Adjacent
+    pairs are formed map-side with two array slices zipped together
+    (no position explode, no sequence(1,0) descending-range pitfall:
+    a slice of length 0 is empty); the count of matching pairs is the
+    score. One scan, zero corpus shuffle, TakeOrdered page."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    n = F.size(F.filter(
+        pairs,
+        lambda s: (s.getField("0") == MPP_TERM)
+        & s.getField("1").startswith(MPP_PREFIX)))
+    out = docs.select("doc_id", n.cast("long").alias("n_matches"))
+    return (out.where(F.col("n_matches") > 0)
+               .orderBy(F.desc("n_matches"), "doc_id").limit(20))
+
+
+# ----------------------------------------------------------------- regexp
+
+REGEX_PATTERN = "[sf].*t"  # full-match: fast, sort, ...
+
+
+@register("regexp_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks,
+              x -> regexp_full_match(x, '{REGEX_PATTERN}'))) AS BIGINT)
+           AS n_occurrences,
+         CAST(len(list_distinct(list_filter(toks,
+              x -> regexp_full_match(x, '{REGEX_PATTERN}')))) AS BIGINT)
+           AS n_terms
+  FROM t)
+SELECT doc_id, n_occurrences, n_terms FROM m WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id LIMIT 20
+""")
+def regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `regexp` query: terms matching an anchored regular
+    expression ("[sf].*t" — full-match semantics on both engines:
+    Spark rlike with ^...$ anchors == DuckDB regexp_full_match).
+    Scored by total occurrences + distinct matching terms, all
+    map-side array math. At scale the regexp runs against a term
+    DICTIONARY first (vocabulary << corpus), then matched terms drive
+    a postings probe — same contract, same results."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    hit = F.filter(toks, lambda x: x.rlike(f"^{REGEX_PATTERN}$"))
+    out = docs.select(
+        "doc_id",
+        F.size(hit).cast("long").alias("n_occurrences"),
+        F.size(F.array_distinct(hit)).cast("long").alias("n_terms"))
+    return (out.where(F.col("n_occurrences") > 0)
+               .orderBy(F.desc("n_occurrences"), "doc_id").limit(20))
+
+
+# -------------------------------------------------------------- span_near
+
+SPAN_T1 = "vector"
+SPAN_T2 = "table"
+SPAN_SLOP = 3
+
+
+@register("span_near_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_T1}') AS p1,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_T2}') AS p2
+  FROM t),
+g AS (
+  SELECT doc_id,
+         flatten(list_transform(p1,
+             x -> list_transform(p2, y -> abs(x - y)))) AS gaps
+  FROM p),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(gaps, d -> d <= {SPAN_SLOP})) AS BIGINT)
+           AS n_pairs,
+         CAST(list_min(list_filter(gaps, d -> d <= {SPAN_SLOP})) AS INT)
+           AS min_gap
+  FROM g)
+SELECT doc_id, n_pairs, min_gap FROM m WHERE n_pairs > 0
+ORDER BY n_pairs DESC, doc_id LIMIT 20
+""")
+def span_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_near` with `in_order: false`: both terms within a
+    slop-token window in EITHER order (the ordered variant is
+    phrase_slop_search). Per-doc position lists are built map-side
+    with an index-aware transform; the pair-gap cross product is
+    per-document (positions of two specific terms — tiny), never a
+    corpus-level join. Zero corpus shuffle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+
+    def positions(term):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i + 1)
+                        .otherwise(F.lit(-1))),
+            lambda x: x >= 0)
+
+    gaps = F.flatten(F.transform(
+        positions(SPAN_T1),
+        lambda x: F.transform(positions(SPAN_T2), lambda y: F.abs(x - y))))
+    near = F.filter(gaps, lambda d: d <= SPAN_SLOP)
+    out = docs.select(
+        "doc_id",
+        F.size(near).cast("long").alias("n_pairs"),
+        F.array_min(near).cast("int").alias("min_gap"))
+    return (out.where(F.col("n_pairs") > 0)
+               .orderBy(F.desc("n_pairs"), "doc_id").limit(20))
+
+
+# --------------------------------------------------------- combined_fields
+
+CF_TERMS = ("vector", "query")
+CF_TITLE_LEN = 8       # the "title" field = first 8 tokens
+CF_TITLE_BOOST = 2.0
+
+
+@register("combined_fields_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         toks[1:{CF_TITLE_LEN}] AS title,
+         toks[{CF_TITLE_LEN + 1}:] AS body,
+         len(toks) AS dl
+  FROM t),
+s AS (
+  SELECT doc_id, dl,
+         {' + '.join(
+             f"{CF_TITLE_BOOST!r} * len(list_filter(title, x -> x = '{w}'))"
+             f" + 1.0 * len(list_filter(body, x -> x = '{w}'))"
+             for w in CF_TERMS)} AS wtf
+  FROM f)
+SELECT doc_id, round(wtf / sqrt(dl), 6) AS score
+FROM s WHERE wtf > 0
+ORDER BY score DESC, doc_id LIMIT 15
+""")
+def combined_fields_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `combined_fields` query: one term-centric score across
+    multiple weighted fields, as if they were a single combined field
+    (title boosted 2x vs body; title = the first 8 tokens — the test
+    corpus is single-field, the field split is the deterministic
+    stand-in). Weighted tf with sqrt length normalization, all
+    map-side; one TakeOrdered page."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    f = docs.select(
+        "doc_id",
+        F.slice(toks, 1, CF_TITLE_LEN).alias("title"),
+        F.expr(f"slice({_spark_toks()}, {CF_TITLE_LEN + 1}, "
+               f"greatest(size({_spark_toks()}) - {CF_TITLE_LEN}, 0))")
+         .alias("body"),
+        F.size(toks).alias("dl"))
+    def eq(term):  # NB: a 2-arg lambda would become an (elem, idx) lambda
+        return lambda x: x == F.lit(term)
+
+    wtf = None
+    for w in CF_TERMS:
+        part = (F.lit(CF_TITLE_BOOST) * F.size(F.filter("title", eq(w)))
+                + 1.0 * F.size(F.filter("body", eq(w))))
+        wtf = part if wtf is None else wtf + part
+    s = f.select("doc_id", "dl", wtf.alias("wtf"))
+    return (s.where(F.col("wtf") > 0)
+             .select("doc_id",
+                     F.round(F.col("wtf") / F.sqrt("dl"), 6).alias("score"))
+             .orderBy(F.desc("score"), "doc_id").limit(15))
+
+
+def _spark_toks() -> str:
+    return "filter(split(trim(text), ' '), t -> t != '')"
+
+
+# --------------------------------------------------------------- knn_by_id
+
+NEAR_OBJECT_ID = 7
+
+
+@register("knn_by_id", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = {NEAR_OBJECT_ID})
+SELECT vec_id, label,
+       list_dot_product(embedding::DOUBLE[], qvec)
+       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(list_dot_product(qvec, qvec))) AS score
+FROM embeddings, q
+WHERE vec_id <> {NEAR_OBJECT_ID}
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def knn_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `nearObject` / Qdrant `recommend(positive=[id])` with
+    a single positive: the query vector is LOOKED UP from the
+    collection by id (1-row broadcast, exactly like a literal query
+    vector) and the object itself is excluded from the results —
+    the defining semantic vs plain knn. Scan -> map(score) ->
+    TakeOrdered, zero shuffle."""
+    corpus, q = corpus_with_query(spark, sf_dir,
+                                  query_vec_id=NEAR_OBJECT_ID)
+    return knn(corpus.where(F.col("vec_id") != NEAR_OBJECT_ID), q,
+               k=10, metric="cosine", payload=("label",),
+               score=cosine_score())
+
+
+# -------------------------------------------------- nested payload filter
+
+PAYLOAD_K_LO = 40
+PAYLOAD_K_HI = 60
+
+
+@register("nested_payload_filter", oracle=f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k,
+         value
+  FROM events)
+SELECT event_type,
+       count(*) AS n,
+       CAST(min(k) AS INT) AS min_k,
+       CAST(max(k) AS INT) AS max_k,
+       round(CAST(sum(CAST(k AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM p WHERE k BETWEEN {PAYLOAD_K_LO} AND {PAYLOAD_K_HI}
+GROUP BY 1 ORDER BY 1
+""")
+def nested_payload_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant nested-payload filter / ES object-field query: parse a
+    JSON payload field in the scan (`get_json_object`), filter on the
+    nested value, aggregate per event type. The JSON parse is
+    map-side; at scale the extracted field would be materialized as a
+    typed column at ingest (schema-on-write) so the predicate reaches
+    the parquet scan — this op is the schema-on-read fallback the
+    backends offer."""
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    p = ev.select("event_type", k.alias("k"), "value")
+    return (p.where(F.col("k").between(PAYLOAD_K_LO, PAYLOAD_K_HI))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.min("k").cast("int").alias("min_k"),
+                  F.max("k").cast("int").alias("max_k"),
+                  F.round(F.sum(F.col("k").cast("bigint")).cast("double")
+                          / F.count("*"), 6).alias("avg_k"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("total_value"))
+             .orderBy("event_type"))

@@ -55,10 +55,10 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, esagg, evaluation, geo,
         hybrid, index, inference, inverted, jpeg,
-        knn, lm, matrix, multimodal, percolate, rerank, sampling,
-        search_extras, simhash, simjoin,
-        sketches, spans, sparse, suggest, textops, timeseries, tpch_extra,
-        tpch_more,
+        knn, lm, matrix, multimodal, percolate, quality, rerank, sampling,
+        search_extras, search_more, simhash, simjoin,
+        sketches, spans, sparse, stats, suggest, textops, timeseries,
+        tpch_extra, tpch_more,
     )
     from .streaming import ingest as streaming_ingest  # noqa: F401
     from .streaming import stateful  # noqa: F401
