@@ -81,6 +81,8 @@ _PRIORITY = [
     "mad_value", "boxplot_value", "match_phrase_prefix_search",
     "regexp_search", "span_near_search", "combined_fields_search",
     "knn_by_id", "nested_payload_filter", "gopher_quality_rules",
+    "stats_bucket_agg", "percentiles_bucket_agg", "serial_diff_agg",
+    "t_test_agg", "geo_line_agg", "rank_feature_search", "dsir_importance",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

@@ -56,6 +56,11 @@ HEADLINE = [
     "value_histogram", "events_pipeline_aggs",
     "embed_documents", "rerank_inference", "diversified_sample",
     "ivf_batch_knn",
+    # r4 continuation: stats aggs, query-DSL completions, quality gate
+    "extended_stats_agg", "string_stats_agg", "top_hits_agg", "mad_value",
+    "gopher_quality_rules", "span_near_search", "regexp_search",
+    "knn_by_id", "nested_payload_filter",
+    "dsir_importance", "t_test_agg", "geo_line_agg",
 ]
 
 

@@ -47,6 +47,13 @@ DOC_OPS = [
     # Python inference kernels (linear in docs, Arrow-batched)
     "rare_terms", "cardinality_hll", "distinct_kmv",
     "embed_documents", "rerank_inference",
+    # r4 continuation additions: the 27-pass char-count agg, the
+    # sorted-run dominance gate, the per-doc position math, the
+    # exact-percentile MAD (its 64x cost is the documented price of
+    # exactness — approx_percentile is the scale path), the JSON
+    # payload parse, and the by-id lookup knn
+    "string_stats_agg", "gopher_quality_rules", "span_near_search",
+    "mad_value", "nested_payload_filter", "knn_by_id",
 ]
 
 

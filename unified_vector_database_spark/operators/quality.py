@@ -45,6 +45,15 @@ WITH t AS (
          length(text) - length(replace(text, '#', ''))
          + length(text) - length(replace(text, '...', '')) AS n_sym
   FROM documents),
+srt AS (
+  SELECT doc_id, lang, toks, n_sym, list_sort(toks) AS st
+  FROM t WHERE len(toks) > 0),
+-- run-boundary positions in the sorted token list: the max gap
+-- between consecutive boundaries IS the most-frequent-token count
+bnd AS (
+  SELECT *, list_filter(range(1, len(st) + 1),
+                        i -> i = 1 OR st[i] <> st[i - 1]) AS b
+  FROM srt),
 m AS (
   SELECT doc_id, lang,
          len(toks) AS n_words,
@@ -52,10 +61,10 @@ m AS (
            / len(toks) AS mwl,
          CAST(n_sym AS DOUBLE) / len(toks) AS sym_ratio,
          len(list_filter(toks, x -> x IN {GOPHER_STOPWORDS!r})) AS n_stop,
-         CAST(list_max(list_transform(list_distinct(toks),
-              d -> len(list_filter(toks, x -> x = d))))
+         CAST(list_max(list_transform(range(1, len(b) + 1),
+              j -> coalesce(b[j + 1], len(st) + 1) - b[j]))
            AS DOUBLE) / len(toks) AS dom
-  FROM t WHERE len(toks) > 0),
+  FROM bnd),
 f AS (
   SELECT lang,
          (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
@@ -81,11 +90,26 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sym = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
              + F.length("text")
              - F.length(F.replace(F.col("text"), F.lit("..."))))
-    # Most-frequent-token count without exploding: for each distinct
-    # token, count its occurrences via filter(), take the max.
-    dom_cnt = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda d: F.size(F.filter(toks, lambda x: x == d))))
+    # Most-frequent-token count without exploding AND without the
+    # O(n_tokens x n_distinct) distinct-scan: sort the token array and
+    # fold it ONCE with a (prev, run, best) accumulator — the longest
+    # run of equal adjacent tokens IS the max frequency. O(n log n)
+    # per document regardless of vocabulary size, and a single
+    # expression tree (a nested-lambda form that re-referenced the
+    # boundary array re-evaluated it per element: 13.7 s -> 0.9 s at
+    # sf0.1 for this op).
+    def _run_fold(acc, x):
+        run = (F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+                .otherwise(F.lit(1)))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.getField("best"), run).alias("best"))
+
+    dom_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        _run_fold,
+        lambda acc: acc.getField("best"))
     m = docs.select(
         "doc_id", "lang",
         F.size(toks).alias("n_words"),
@@ -107,3 +131,85 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("n_words").cast("bigint")).cast("bigint")
                    .alias("total_words"))
              .orderBy("lang", "keep"))
+
+
+# ----------------------------------------------------------- DSIR scoring
+
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"):
+# score raw documents by the log-likelihood ratio of a target-domain
+# hashed-ngram model vs the raw-corpus model; resample by the ratio.
+# Here: target = the English slice, features = hashed unigrams.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+DSIR_TOP = 20
+
+
+@register("dsir_importance", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOK}) AS term FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM tok),
+cnt AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}')
+              AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+  FROM cnt),
+w AS (
+  SELECT bucket,
+         CAST(round(ln((CAST(ct + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+                       / (CAST(cr + 1 AS DOUBLE) / (tr + {DSIR_BUCKETS}))),
+                    6) AS DECIMAL(14,6)) AS lw
+  FROM cnt, tot),
+s AS (
+  SELECT b.doc_id,
+         CAST(sum(w.lw) AS DOUBLE) AS score,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM b JOIN w USING (bucket) GROUP BY 1)
+SELECT s.doc_id, d.lang, s.n_tokens, round(s.score / s.n_tokens, 6)
+         AS importance
+FROM s JOIN documents d USING (doc_id)
+ORDER BY importance DESC, s.doc_id LIMIT {DSIR_TOP}
+""")
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): per-token
+    log-likelihood ratio of the target-domain hashed-unigram model vs
+    the raw-corpus model, length-normalized; the resampling step
+    admits documents proportionally to this score. Plan: one explode
+    pass builds BOTH models' bucket counts (a {DSIR_BUCKETS}-row
+    frame), the weight table broadcasts back onto the token stream,
+    and per-doc scores sum the per-bucket log weights as exact
+    DECIMAL(14,6) — order-independent under any partitioning, unlike
+    a raw double sum. Two bounded shuffles total (bucket agg, doc
+    agg), both linear in corpus tokens."""
+    from ..functions.hashing import md5_int32
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.filter(F.split(F.trim("text"), " "),
+                                          lambda t: t != "")).alias("term")))
+    b = tok.select("doc_id", "lang",
+                   (md5_int32("term") % DSIR_BUCKETS).alias("bucket"))
+    cnt = b.groupBy("bucket").agg(
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("ct"),
+        F.count("*").alias("cr"))
+    tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lw = F.round(
+        F.log(((F.col("ct") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS))
+              / ((F.col("cr") + 1).cast("double")
+                 / (F.col("tr") + DSIR_BUCKETS))), 6).cast("decimal(14,6)")
+    w = cnt.crossJoin(F.broadcast(tot)).select("bucket", lw.alias("lw"))
+    s = (b.join(F.broadcast(w), "bucket")
+          .groupBy("doc_id")
+          .agg(F.sum("lw").cast("double").alias("score"),
+               F.count("*").alias("n_tokens")))
+    return (s.join(docs.select("doc_id", "lang"), "doc_id")
+             .select("doc_id", "lang", "n_tokens",
+                     F.round(F.col("score") / F.col("n_tokens"), 6)
+                      .alias("importance"))
+             .orderBy(F.desc("importance"), "doc_id").limit(DSIR_TOP))

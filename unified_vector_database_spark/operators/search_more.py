@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import tables
 from ..registry import register
+from .hybrid import _BM25_CTE as _HYBRID_BM25_CTE
+from .hybrid import bm25_scores
 from .knn import corpus_with_query, cosine_score, knn
 
 _TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -253,6 +255,38 @@ def knn_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(corpus.where(F.col("vec_id") != NEAR_OBJECT_ID), q,
                k=10, metric="cosine", payload=("label",),
                score=cosine_score())
+
+
+# ------------------------------------------------------------ rank_feature
+
+RANK_FEATURE_PIVOT = 200.0  # saturation pivot for n_chars
+RANK_FEATURE_BOOST = 1.5
+
+
+@register("rank_feature_search", oracle=f"""
+WITH {_HYBRID_BM25_CTE}
+SELECT b.doc_id,
+       round(b.score + {RANK_FEATURE_BOOST!r}
+             * (d.n_chars / (d.n_chars + {RANK_FEATURE_PIVOT!r})), 6)
+         AS rf_score
+FROM bm25 b JOIN documents d USING (doc_id)
+ORDER BY rf_score DESC, b.doc_id LIMIT 15
+""")
+def rank_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rank_feature` query with the `saturation` function:
+    relevance plus boost * x/(x+pivot) over a stored numeric feature
+    (n_chars). Same co-keyed payload join above the zero-shuffle BM25
+    pass as field_value_factor (T32) — the function family
+    (saturation vs log1p vs sigmoid) is the distinct surface."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    sat = (F.col("n_chars")
+           / (F.col("n_chars") + F.lit(RANK_FEATURE_PIVOT)))
+    return (bm25_scores(spark, sf_dir)
+            .join(docs.select("doc_id", "n_chars"), "doc_id")
+            .select("doc_id",
+                    F.round(F.col("score") + RANK_FEATURE_BOOST * sat, 6)
+                     .alias("rf_score"))
+            .orderBy(F.desc("rf_score"), "doc_id").limit(15))
 
 
 # -------------------------------------------------- nested payload filter

@@ -1,0 +1,234 @@
+"""Pipeline/sibling aggregations and statistical tests — the last ES
+aggregation families: `stats_bucket` / `percentiles_bucket` /
+`serial_diff` (sibling pipeline aggs over a date_histogram), the
+`t_test` metric agg (Welch), and `geo_line`.
+
+Reference parity: ES backend of the reference stack (README.md:82
+`VECTOR_DB=elastic`); each is a named agg type in the ES search API.
+
+Scale shapes: every pipeline agg aggregates the RAW data once
+(partial-agg scan; bucket count is bounded by the date span) and then
+runs the sibling computation on bucket rows only — |days| rows, not
+events. t_test is one filtered-sum pass (two groups' power sums in
+the same partial agg). geo_line shuffles only the projected
+(sort-key, point-string) pairs and cuts each line to its first N
+points; ES itself caps geo_line at 10k points for the same reason.
+
+Float determinism: bucket totals and power sums accumulate in exact
+DECIMAL; sibling math (percentile interpolation, Welch t, diffs) runs
+on those exact values with byte-identical expressions on both
+engines. geo_line renders coordinates with fixed-format printf
+('%.2f') — never raw double→string casts, whose shortest-roundtrip
+renderings are an engine implementation detail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+
+# ------------------------------------------------------------ stats_bucket
+
+_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    # cast to DATE: DuckDB's date_trunc('day') yields DATE while
+    # Spark's yields TIMESTAMP
+    return (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+              .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total")))
+
+
+@register("stats_bucket_agg", oracle=f"""
+WITH d AS ({_DAILY_SQL})
+SELECT count(*) AS n_buckets,
+       min(total) AS min_total,
+       max(total) AS max_total,
+       round(CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_total,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM d
+""")
+def stats_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `stats_bucket` sibling pipeline agg: min/max/avg/sum over
+    the daily-total buckets of a date_histogram. The raw scan
+    aggregates once (partial agg, |days| output rows); the sibling
+    stats run over bucket rows only."""
+    d = _daily(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("total").alias("min_total"),
+        F.max("total").alias("max_total"),
+        F.round(F.sum(F.col("total").cast("decimal(18,2)")).cast("double")
+                / F.count("*"), 6).alias("avg_total"),
+        F.sum(F.col("total").cast("decimal(18,2)")).cast("double")
+         .alias("sum_total"))
+
+
+# ------------------------------------------------------ percentiles_bucket
+
+
+@register("percentiles_bucket_agg", oracle=f"""
+WITH d AS ({_DAILY_SQL})
+SELECT count(*) AS n_buckets,
+       round(quantile_cont(total, 0.25), 6) AS p25,
+       round(quantile_cont(total, 0.5), 6)  AS p50,
+       round(quantile_cont(total, 0.75), 6) AS p75,
+       round(quantile_cont(total, 0.9), 6)  AS p90
+FROM d
+""")
+def percentiles_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `percentiles_bucket` sibling pipeline agg: exact quantiles
+    of the daily bucket totals. The percentile runs on |days| rows —
+    bucket-sized, never the raw events."""
+    d = _daily(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(F.expr("percentile(total, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(total, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(total, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(total, 0.9)"), 6).alias("p90"))
+
+
+# ------------------------------------------------------------- serial_diff
+
+SERIAL_LAG = 3
+
+
+@register("serial_diff_agg", oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day, total,
+         round(total - lag(total, {SERIAL_LAG})
+                 OVER (PARTITION BY event_type ORDER BY day), 6) AS diff
+  FROM d)
+SELECT event_type, day, total, diff FROM s
+WHERE diff IS NOT NULL
+ORDER BY event_type, day
+""")
+def serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `serial_diff` pipeline agg (lag-k differencing for
+    seasonality removal): daily total minus the total k buckets
+    earlier, per event-type series. The window orders ≤|days| bucket
+    rows within each bounded series partition — never raw events."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type",
+                 F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
+    w = W.partitionBy("event_type").orderBy("day")
+    s = d.withColumn(
+        "diff", F.round(F.col("total") - F.lag("total", SERIAL_LAG).over(w), 6))
+    return (s.where(F.col("diff").isNotNull())
+             .select("event_type", "day", "total", "diff")
+             .orderBy("event_type", "day"))
+
+
+# ------------------------------------------------------------------ t_test
+
+TTEST_A = "click"
+TTEST_B = "view"
+
+
+@register("t_test_agg", oracle=f"""
+WITH s AS (
+  SELECT
+    count(*) FILTER (WHERE event_type = '{TTEST_A}') AS n1,
+    count(*) FILTER (WHERE event_type = '{TTEST_B}') AS n2,
+    CAST(sum(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = '{TTEST_A}') AS DOUBLE) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(18,2)))
+         FILTER (WHERE event_type = '{TTEST_B}') AS DOUBLE) AS s2,
+    CAST(sum(CAST(value * value AS DECIMAL(28,4)))
+         FILTER (WHERE event_type = '{TTEST_A}') AS DOUBLE) AS q1,
+    CAST(sum(CAST(value * value AS DECIMAL(28,4)))
+         FILTER (WHERE event_type = '{TTEST_B}') AS DOUBLE) AS q2
+  FROM events)
+SELECT n1, n2,
+       round(s1 / n1, 6) AS mean_a,
+       round(s2 / n2, 6) AS mean_b,
+       round((s1 / n1 - s2 / n2)
+             / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                    + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 6) AS t_stat
+FROM s
+""")
+def t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `t_test` metric agg (heteroscedastic / Welch): does mean
+    event value differ between two event types? Both groups' power
+    sums come from ONE filtered partial-agg pass (no second scan, no
+    join); the t statistic is closed-form double math over exact
+    DECIMAL sums."""
+    ev = tables.load(spark, sf_dir, "events")
+    a = F.col("event_type") == TTEST_A
+    b = F.col("event_type") == TTEST_B
+    dec = F.col("value").cast("decimal(18,2)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(28,4)")
+    s = ev.agg(
+        F.count_if(a).alias("n1"), F.count_if(b).alias("n2"),
+        F.sum(F.when(a, dec)).cast("double").alias("s1"),
+        F.sum(F.when(b, dec)).cast("double").alias("s2"),
+        F.sum(F.when(a, dec2)).cast("double").alias("q1"),
+        F.sum(F.when(b, dec2)).cast("double").alias("q2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    var2 = (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
+    t = (m1 - m2) / F.sqrt(var1 / n1 + var2 / n2)
+    return s.select(
+        "n1", "n2",
+        F.round(m1, 6).alias("mean_a"),
+        F.round(m2, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"))
+
+
+# ---------------------------------------------------------------- geo_line
+
+GEO_LINE_POINTS = 10
+
+
+@register("geo_line_agg", oracle=f"""
+WITH geo AS (
+  SELECT c_mktsegment, c_custkey,
+         printf('%.2f %.2f',
+                ((c_custkey * 9973) % 18000) / 100.0 - 90.0,
+                ((c_custkey * 7919) % 36000) / 100.0 - 180.0) AS pt
+  FROM customer)
+SELECT c_mktsegment,
+       count(*) AS n_points,
+       array_to_string(list(pt ORDER BY c_custkey)[1:{GEO_LINE_POINTS}], ';')
+         AS line
+FROM geo GROUP BY 1 ORDER BY 1
+""")
+def geo_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_line` agg: the track of a group's points ordered by a
+    sort field, truncated to the first N (ES caps lines at 10k points
+    for the same reason). Points render via fixed-format printf — raw
+    double→string casts are engine-defined. The shuffle moves only
+    (sort-key, point-string) pairs; the line itself is a bounded
+    string, array-free for the driver canonicalizer."""
+    from .geo import with_coords
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    pt = F.format_string("%.2f %.2f", F.col("lat"), F.col("lon"))
+    g = (cust.select("c_mktsegment", "c_custkey", pt.alias("pt"))
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_points"),
+                  F.array_join(
+                      F.slice(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct("c_custkey", "pt"))),
+                              lambda s: s.getField("pt")),
+                          1, GEO_LINE_POINTS),
+                      ";").alias("line")))
+    return g.orderBy("c_mktsegment")

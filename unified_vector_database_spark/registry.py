@@ -57,8 +57,8 @@ def load_all() -> None:
         hybrid, index, inference, inverted, jpeg,
         knn, lm, matrix, multimodal, percolate, quality, rerank, sampling,
         search_extras, search_more, simhash, simjoin,
-        sketches, spans, sparse, stats, suggest, textops, timeseries,
-        tpch_extra, tpch_more,
+        sketches, spans, sparse, stats, stats_more, suggest, textops,
+        timeseries, tpch_extra, tpch_more,
     )
     from .streaming import ingest as streaming_ingest  # noqa: F401
     from .streaming import stateful  # noqa: F401
