@@ -83,6 +83,9 @@ _PRIORITY = [
     "knn_by_id", "nested_payload_filter", "gopher_quality_rules",
     "stats_bucket_agg", "percentiles_bucket_agg", "serial_diff_agg",
     "t_test_agg", "geo_line_agg", "rank_feature_search", "dsir_importance",
+    "top_metrics_agg", "range_agg", "bucket_sort_agg",
+    "cumulative_cardinality_agg", "geo_bounds_agg", "context_search",
+    "knn_where_document", "edge_ngram_index",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

@@ -61,6 +61,7 @@ HEADLINE = [
     "gopher_quality_rules", "span_near_search", "regexp_search",
     "knn_by_id", "nested_payload_filter",
     "dsir_importance", "t_test_agg", "geo_line_agg",
+    "cumulative_cardinality_agg", "context_search", "edge_ngram_index",
 ]
 
 

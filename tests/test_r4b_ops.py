@@ -296,3 +296,85 @@ def test_dsir_prefers_target_domain_vocabulary(spark, tmp_path):
                                        if r.importance > 0}
     # every target-vocabulary doc (11 of them) outranks every other
     assert len(top) == 11 and sum(1 for r in top if r.lang == "de") == 1
+
+
+# -------------------------------------------- batch 3: ES aggs + search
+
+
+def test_top_metrics_is_latest(spark):
+    from unified_vector_database_spark.operators import esagg2 as E2
+    out = {r.event_type: r for r in E2.top_metrics_agg(spark, SF).collect()}
+    ev = tables.load(spark, SF, "events").select(
+        "event_type", "ts", "event_id", "value").toPandas()
+    for et, grp in ev.groupby("event_type"):
+        top = grp.sort_values(["ts", "event_id"], ascending=False).iloc[0]
+        assert out[et].last_value == top["value"]
+
+
+def test_range_agg_partitions_everything(spark):
+    from unified_vector_database_spark.operators import esagg2 as E2
+    rows = E2.range_agg(spark, SF).collect()
+    total = sum(r.n for r in rows)
+    assert total == tables.load(spark, SF, "events").count()
+    assert all(r.bucket[0] in "abcd" for r in rows)
+
+
+def test_bucket_sort_page(spark):
+    from unified_vector_database_spark.operators import esagg2 as E2
+    rows = E2.bucket_sort_agg(spark, SF).collect()
+    assert [r.rnk for r in rows] == list(range(
+        E2.BSORT_OFFSET + 1, E2.BSORT_OFFSET + 1 + len(rows)))
+    totals = [r.total for r in rows]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_cumulative_cardinality_monotone_and_exact(spark):
+    from unified_vector_database_spark.operators import esagg2 as E2
+    rows = E2.cumulative_cardinality_agg(spark, SF).collect()
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    n_users = tables.load(spark, SF, "events").select(
+        "user_id").distinct().count()
+    assert cums[-1] == n_users  # every user counted exactly once
+    assert sum(r.new_users for r in rows) == n_users
+
+
+def test_geo_bounds_contains_centroid(spark):
+    from unified_vector_database_spark.operators import esagg2 as E2
+    from unified_vector_database_spark.operators import stats as ST2
+    bounds = {r.c_mktsegment: r for r in E2.geo_bounds_agg(spark, SF).collect()}
+    for c in ST2.geo_centroid_agg(spark, SF).collect():
+        b = bounds[c.c_mktsegment]
+        assert b.south <= c.centroid_lat <= b.north
+        assert b.west <= c.centroid_lon <= b.east
+
+
+def test_context_search_excludes_examples(spark):
+    from unified_vector_database_spark.operators import search_more as SMO
+    rows = SMO.context_search(spark, SF).collect()
+    assert rows
+    ids = {r.vec_id for r in rows}
+    assert not ids & set(SMO._CTX_IDS)
+    sats = [r.n_satisfied for r in rows]
+    assert sats == sorted(sats, reverse=True)
+    assert all(1 <= s <= len(SMO.CTX_PAIRS) for s in sats)
+
+
+def test_knn_where_document_respects_predicate(spark):
+    from unified_vector_database_spark.operators import search_more as SMO
+    rows = SMO.knn_where_document(spark, SF).collect()
+    assert rows
+    docs = {r.doc_id for r in tables.load(spark, SF, "documents")
+            .where(F.col("text").contains(SMO.WHERE_DOC_SUBSTR))
+            .select("doc_id").collect()}
+    assert all(r.vec_id in docs for r in rows)
+
+
+def test_edge_ngram_prefix_lengths(spark):
+    from unified_vector_database_spark.operators import search_more as SMO
+    rows = SMO.edge_ngram_index(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert SMO.EDGE_NGRAM_MIN <= len(r.prefix) <= SMO.EDGE_NGRAM_MAX
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)

@@ -77,6 +77,14 @@ def build(spark, n: int) -> str:
         (rep.withColumn("vec_id", F.col("vec_id") + F.col("_r") * base)
             .drop("_r").repartition(32)
             .write.mode("overwrite").parquet(f"{big}/embeddings.parquet"))
+    if not os.path.exists(f"{big}/customer.parquet"):
+        cust = tables.load(spark, SRC, "customer")
+        cb = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+        rep = cust.select("*", F.explode(
+            F.sequence(F.lit(0), F.lit(n - 1))).alias("_r"))
+        (rep.withColumn("c_custkey", F.col("c_custkey") + F.col("_r") * cb)
+            .drop("_r").repartition(32)
+            .write.mode("overwrite").parquet(f"{big}/customer.parquet"))
     if not os.path.exists(f"{big}/events.parquet"):
         ev = tables.load_events(spark, SRC)
         eb = ev.agg(F.max("event_id")).collect()[0][0] + 1

@@ -1,0 +1,194 @@
+"""ES aggregation surface, final families: `top_metrics`, `range`
+(custom bucket boundaries), `bucket_sort` (order/page buckets by a
+metric), `cumulative_cardinality`, and `geo_bounds`.
+
+Reference parity: all are named aggregation types of the reference
+stack's Elasticsearch backend (README.md:82 `VECTOR_DB=elastic`).
+
+Scale shapes: each aggregates raw events ONCE with a partial-agg scan;
+everything after runs on bucket rows. The two ops that use a
+constant-partition window (bucket_sort's page rank,
+cumulative_cardinality's running sum) do so over an ALREADY-AGGREGATED
+frame whose row count is bounded by the date span (≤|days| rows) —
+never over raw events; bucket_sort additionally TakeOrdered-cuts to
+offset+size rows BEFORE the rank window.
+
+cumulative_cardinality is the interesting one at scale: a naive
+per-day distinct-union is quadratic. The standard linear rewrite used
+here: first-seen day per user (one groupBy over events), histogram of
+first-seen days, running sum — each user contributes exactly one row
+past the first agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+
+# -------------------------------------------------------------- top_metrics
+
+
+@register("top_metrics_agg", oracle="""
+WITH r AS (
+  SELECT event_type, ts, value, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rnk
+  FROM events)
+SELECT event_type, ts AS last_ts, value AS last_value, user_id AS last_user
+FROM r WHERE rnk = 1 ORDER BY event_type
+""")
+def top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `top_metrics` agg: the metric values carried by the row
+    with the extreme sort key per bucket (here: the latest event's
+    value/user per event type). A deterministic argmax — window
+    ranked by (ts desc, id desc); WindowGroupLimit cuts to 1 row per
+    bucket map-side. Engine max_by/arg_max builtins are avoided: their
+    tie-breaking is unspecified."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") == 1)
+              .select("event_type", F.col("ts").alias("last_ts"),
+                      F.col("value").alias("last_value"),
+                      F.col("user_id").alias("last_user"))
+              .orderBy("event_type"))
+
+
+# -------------------------------------------------------------------- range
+
+RANGE_BOUNDS = (10.0, 50.0, 100.0)
+
+
+def _range_label_sql() -> str:
+    lo, mid, hi = RANGE_BOUNDS
+    return (f"CASE WHEN value < {lo!r} THEN 'a_lt_{lo:g}' "
+            f"WHEN value < {mid!r} THEN 'b_{lo:g}_{mid:g}' "
+            f"WHEN value < {hi!r} THEN 'c_{mid:g}_{hi:g}' "
+            f"ELSE 'd_gte_{hi:g}' END")
+
+
+@register("range_agg", oracle=f"""
+SELECT {_range_label_sql()} AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `range` agg: explicit, possibly open-ended bucket
+    boundaries (vs the fixed-interval histogram R41). Bucket label is
+    map-side CASE math; cardinality = number of declared ranges."""
+    ev = tables.load(spark, sf_dir, "events")
+    lo, mid, hi = RANGE_BOUNDS
+    bucket = (F.when(F.col("value") < lo, f"a_lt_{lo:g}")
+               .when(F.col("value") < mid, f"b_{lo:g}_{mid:g}")
+               .when(F.col("value") < hi, f"c_{mid:g}_{hi:g}")
+               .otherwise(f"d_gte_{hi:g}"))
+    return (ev.groupBy(bucket.alias("bucket"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value"))
+              .orderBy("bucket"))
+
+
+# -------------------------------------------------------------- bucket_sort
+
+BSORT_OFFSET = 2
+BSORT_SIZE = 5
+
+
+@register("bucket_sort_agg", oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+r AS (
+  SELECT day, total,
+         row_number() OVER (ORDER BY total DESC, day) AS rnk
+  FROM d)
+SELECT day, total, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk > {BSORT_OFFSET} AND rnk <= {BSORT_OFFSET + BSORT_SIZE}
+ORDER BY rnk
+""")
+def bucket_sort_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_sort` pipeline agg: order sibling buckets by a
+    metric, then from/size-page them (days 3..7 by total value). The
+    rank window is constant-partition BUT runs on a frame already
+    TakeOrdered-cut to offset+size rows — the full bucket set never
+    sorts globally, and raw events never enter a window."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
+    page = (d.orderBy(F.desc("total"), "day")
+             .limit(BSORT_OFFSET + BSORT_SIZE))
+    w = W.orderBy(F.desc("total"), "day")
+    return (page.withColumn("rnk", F.row_number().over(w).cast("int"))
+                .where(F.col("rnk") > BSORT_OFFSET)
+                .orderBy("rnk"))
+
+
+# ---------------------------------------------------- cumulative_cardinality
+
+
+@register("cumulative_cardinality_agg", oracle="""
+WITH fs AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY 1),
+h AS (
+  SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1),
+c AS (
+  SELECT day, new_users,
+         CAST(sum(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+  FROM h)
+SELECT day, new_users, cum_users FROM c ORDER BY day
+""")
+def cumulative_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `cumulative_cardinality` pipeline agg: running distinct
+    users per day. The naive per-day distinct-union is quadratic; the
+    linear rewrite aggregates each user's FIRST-seen day (one groupBy
+    over events), histograms those, and runs a cumulative sum over
+    ≤|days| bucket rows. Exact, mergeable, and each user crosses the
+    shuffle once."""
+    ev = tables.load(spark, sf_dir, "events")
+    fs = (ev.groupBy("user_id")
+            .agg(F.min(F.date_trunc("day", "ts").cast("date"))
+                  .alias("first_day")))
+    h = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (h.withColumn("cum_users",
+                         F.sum("new_users").over(w).cast("bigint"))
+             .orderBy("day"))
+
+
+# --------------------------------------------------------------- geo_bounds
+
+
+@register("geo_bounds_agg", oracle="""
+WITH geo AS (
+  SELECT c_mktsegment,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer)
+SELECT c_mktsegment,
+       count(*) AS n,
+       min(lat) AS south, max(lat) AS north,
+       min(lon) AS west,  max(lon) AS east
+FROM geo GROUP BY 1 ORDER BY 1
+""")
+def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_bounds` agg: the bounding box enclosing each bucket's
+    points (derived customer coordinates, same placement as
+    operators/geo.py). Pure min/max partial agg — exact doubles, no
+    rounding needed."""
+    from .geo import with_coords
+    geo = with_coords(tables.load(spark, sf_dir, "customer"))
+    return (geo.groupBy("c_mktsegment")
+               .agg(F.count("*").alias("n"),
+                    F.min("lat").alias("south"), F.max("lat").alias("north"),
+                    F.min("lon").alias("west"), F.max("lon").alias("east"))
+               .orderBy("c_mktsegment"))

@@ -331,3 +331,146 @@ def nested_payload_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("value").cast("decimal(18,2)"))
                    .cast("double").alias("total_value"))
              .orderBy("event_type"))
+
+
+# ----------------------------------------------------------- context search
+
+_CTX_COS = ("list_dot_product(embedding::DOUBLE[], {q})"
+            "/(sqrt(list_dot_product(embedding::DOUBLE[],"
+            " embedding::DOUBLE[]))*sqrt(list_dot_product({q}, {q})))")
+CTX_PAIRS = ((17, 225), (42, 300))  # (positive, negative) example ids
+_CTX_IDS = tuple(i for p in CTX_PAIRS for i in p)
+
+
+@register("context_search", oracle=f"""
+WITH p1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {CTX_PAIRS[0][0]}),
+n1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {CTX_PAIRS[0][1]}),
+p2 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {CTX_PAIRS[1][0]}),
+n2 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {CTX_PAIRS[1][1]}),
+s AS (
+  SELECT vec_id, label,
+         (CASE WHEN {_CTX_COS.format(q="p1.v")} > {_CTX_COS.format(q="n1.v")}
+               THEN 1 ELSE 0 END
+        + CASE WHEN {_CTX_COS.format(q="p2.v")} > {_CTX_COS.format(q="n2.v")}
+               THEN 1 ELSE 0 END) AS n_satisfied
+  FROM embeddings, p1, n1, p2, n2
+  WHERE vec_id NOT IN {_CTX_IDS!r})
+SELECT vec_id, label, CAST(n_satisfied AS INT) AS n_satisfied
+FROM s WHERE n_satisfied > 0
+ORDER BY n_satisfied DESC, vec_id LIMIT 15
+""")
+def context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `context` search (discovery mode WITHOUT a target):
+    rank purely by how many (positive, negative) context pairs a
+    point satisfies — inside more half-spaces is better; no distance
+    to any target enters the score. All four example vectors ride ONE
+    broadcast row (the r3 lesson: chained per-example crossJoins
+    re-executed the base scan O(P^depth) times); the half-space tests
+    are map-side expressions in the scan, top-k is TakeOrdered."""
+    from ..functions import distance as D
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def vec_of(vid, name):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias(name)))
+
+    ctx = (vec_of(CTX_PAIRS[0][0], "p1")
+           .crossJoin(F.broadcast(vec_of(CTX_PAIRS[0][1], "n1")))
+           .crossJoin(F.broadcast(vec_of(CTX_PAIRS[1][0], "p2")))
+           .crossJoin(F.broadcast(vec_of(CTX_PAIRS[1][1], "n2"))))
+    corpus = (emb.where(~F.col("vec_id").isin(*_CTX_IDS))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec")))
+    cos = D.METRICS["cosine"]
+    n_sat = (F.when(cos("vec", "p1") > cos("vec", "n1"), 1).otherwise(0)
+             + F.when(cos("vec", "p2") > cos("vec", "n2"), 1).otherwise(0))
+    return (corpus.crossJoin(F.broadcast(ctx))
+                  .select("vec_id", "label",
+                          n_sat.cast("int").alias("n_satisfied"))
+                  .where(F.col("n_satisfied") > 0)
+                  .orderBy(F.desc("n_satisfied"), "vec_id")
+                  .limit(15))
+
+
+# ------------------------------------------------------ where_document knn
+
+WHERE_DOC_SUBSTR = "fast table"
+
+
+@register("knn_where_document", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+hits AS (
+  SELECT doc_id FROM documents
+  WHERE contains(text, '{WHERE_DOC_SUBSTR}'))
+SELECT e.vec_id,
+       {_CTX_COS.format(q="qvec")} AS score
+FROM embeddings e JOIN hits h ON e.vec_id = h.doc_id, q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id LIMIT 10
+""")
+def knn_where_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma `where_document={"$contains": ...}`: vector search
+    restricted to records whose DOCUMENT text contains a substring —
+    the text predicate and the vector score live on the same logical
+    record. The test layout stores text and vectors in two parquet
+    tables sharing the id space, so the predicate becomes a co-keyed
+    equi-join; a production collection stores them as columns of ONE
+    table (Chroma's own layout) and the predicate stays in the scan
+    with zero joins. Substring match is `contains` on both engines."""
+    from ..functions import distance as D
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    hits = (docs.where(F.contains(F.col("text"), F.lit(WHERE_DOC_SUBSTR)))
+                .select(F.col("doc_id").alias("vec_id")))
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.join(hits, "vec_id")
+                 .where(F.col("vec_id") != 0)
+                 .select("vec_id", D.vec_double("embedding").alias("vec")))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    cos = D.METRICS["cosine"]
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", cos("vec", "qvec").alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))
+
+
+# -------------------------------------------------------- edge_ngram index
+
+EDGE_NGRAM_MIN = 2
+EDGE_NGRAM_MAX = 4
+EDGE_NGRAM_TOP = 15
+
+
+@register("edge_ngram_index", oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents),
+g AS (
+  SELECT doc_id, substr(term, 1, n) AS prefix
+  FROM tok, (SELECT unnest(range({EDGE_NGRAM_MIN}, {EDGE_NGRAM_MAX + 1})) AS n)
+  WHERE length(term) >= n)
+SELECT prefix, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY 1
+ORDER BY n_docs DESC, prefix LIMIT {EDGE_NGRAM_TOP}
+""")
+def edge_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `edge_ngram` analyzer surface: the autocomplete index —
+    every term indexed under its {EDGE_NGRAM_MIN}..{EDGE_NGRAM_MAX}
+    character prefixes, ranked by document frequency. Per-doc DISTINCT
+    terms first (map-side array_distinct BEFORE the explode cuts the
+    exploded volume to unique terms), then the prefix fan-out is a
+    bounded 3x, then one partial-agg distinct count. At scale this IS
+    the index build for T11's prefix suggester — vocabulary-bounded
+    output, TakeOrdered page."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    g = None
+    for n in range(EDGE_NGRAM_MIN, EDGE_NGRAM_MAX + 1):
+        part = (tok.where(F.length("term") >= n)
+                   .select("doc_id", F.substring("term", 1, n).alias("prefix")))
+        g = part if g is None else g.unionByName(part)
+    return (g.groupBy("prefix")
+             .agg(F.countDistinct("doc_id").alias("n_docs"))
+             .orderBy(F.desc("n_docs"), "prefix")
+             .limit(EDGE_NGRAM_TOP))

@@ -53,7 +53,7 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
-        analytics, arrow_knn, cleanup, dedup, esagg, evaluation, geo,
+        analytics, arrow_knn, cleanup, dedup, esagg, esagg2, evaluation, geo,
         hybrid, index, inference, inverted, jpeg,
         knn, lm, matrix, multimodal, percolate, quality, rerank, sampling,
         search_extras, search_more, simhash, simjoin,
