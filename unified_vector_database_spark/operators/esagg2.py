@@ -114,19 +114,27 @@ ORDER BY rnk
 def bucket_sort_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `bucket_sort` pipeline agg: order sibling buckets by a
     metric, then from/size-page them (days 3..7 by total value). The
-    rank window is constant-partition BUT runs on a frame already
-    TakeOrdered-cut to offset+size rows — the full bucket set never
-    sorts globally, and raw events never enter a window."""
+    bucket frame is TakeOrdered-cut to offset+size rows FIRST; the
+    page ranks via the repo's window-free bounded shape
+    (collect/array_sort/posexplode — hybrid.bounded_ranks rationale:
+    a constant-partition row_number window is an UNPARTITIONED
+    WindowExec after Catalyst folds the literal key, which the plan
+    gate in test_plans.py rightly rejects)."""
     ev = tables.load(spark, sf_dir, "events")
     d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
            .agg(F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("total")))
     page = (d.orderBy(F.desc("total"), "day")
              .limit(BSORT_OFFSET + BSORT_SIZE))
-    w = W.orderBy(F.desc("total"), "day")
-    return (page.withColumn("rnk", F.row_number().over(w).cast("int"))
-                .where(F.col("rnk") > BSORT_OFFSET)
-                .orderBy("rnk"))
+    arr = page.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("total")).alias("_nt"), F.col("day").alias("day"),
+        F.col("total").alias("total")))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+               .select(F.col("_s.day").alias("day"),
+                       F.col("_s.total").alias("total"),
+                       (F.col("_pos") + 1).cast("int").alias("rnk"))
+               .where(F.col("rnk") > BSORT_OFFSET)
+               .orderBy("rnk"))
 
 
 # ---------------------------------------------------- cumulative_cardinality
@@ -159,10 +167,32 @@ def cumulative_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("first_day")))
     h = fs.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_users"))
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (h.withColumn("cum_users",
-                         F.sum("new_users").over(w).cast("bigint"))
-             .orderBy("day"))
+    # running sum WITHOUT a window (constant-partition windows fold to
+    # UNPARTITIONED WindowExec — rejected by the plan gate): fold the
+    # ≤|days| sorted bucket array with an accumulator that appends
+    # (day, new, running) structs, then posexplode.
+    arr = h.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("day").alias("day"),
+                 F.col("new_users").alias("new_users")))).alias("a"))
+    folded = arr.select(F.aggregate(
+        "a",
+        F.lit(None).cast(
+            "array<struct<day:date,new_users:bigint,cum_users:bigint>>"),
+        lambda acc, x: F.concat(
+            F.coalesce(acc, F.array()),
+            F.array(F.struct(
+                x.getField("day").alias("day"),
+                x.getField("new_users").alias("new_users"),
+                (F.coalesce(F.try_element_at(acc, F.lit(-1))
+                             .getField("cum_users"), F.lit(0))
+                 + x.getField("new_users")).alias("cum_users"))))
+    ).alias("c"))
+    return (folded.select(F.explode("c").alias("_s"))
+                  .select(F.col("_s.day").alias("day"),
+                          F.col("_s.new_users").alias("new_users"),
+                          F.col("_s.cum_users").cast("bigint")
+                           .alias("cum_users"))
+                  .orderBy("day"))
 
 
 # --------------------------------------------------------------- geo_bounds

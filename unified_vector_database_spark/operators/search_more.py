@@ -416,22 +416,15 @@ def knn_where_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables sharing the id space, so the predicate becomes a co-keyed
     equi-join; a production collection stores them as columns of ONE
     table (Chroma's own layout) and the predicate stays in the scan
-    with zero joins. Substring match is `contains` on both engines."""
-    from ..functions import distance as D
+    with zero joins. Substring match is `contains` on both engines.
+    Reuses the knn()/precomputed-norm helpers (one dot per pair, not
+    three) exactly as knn_by_id does."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     hits = (docs.where(F.contains(F.col("text"), F.lit(WHERE_DOC_SUBSTR)))
                 .select(F.col("doc_id").alias("vec_id")))
-    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    corpus = (emb.join(hits, "vec_id")
-                 .where(F.col("vec_id") != 0)
-                 .select("vec_id", D.vec_double("embedding").alias("vec")))
-    q = (emb.where(F.col("vec_id") == 0)
-            .select(D.vec_double("embedding").alias("qvec")))
-    cos = D.METRICS["cosine"]
-    return (corpus.crossJoin(F.broadcast(q))
-                  .select("vec_id", cos("vec", "qvec").alias("score"))
-                  .orderBy(F.desc("score"), "vec_id")
-                  .limit(10))
+    corpus, q = corpus_with_query(spark, sf_dir, query_vec_id=0)
+    restricted = corpus.join(hits, "vec_id").where(F.col("vec_id") != 0)
+    return knn(restricted, q, k=10, metric="cosine", score=cosine_score())
 
 
 # -------------------------------------------------------- edge_ngram index
@@ -464,12 +457,19 @@ def edge_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     toks = F.array_distinct(
         F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+    # ONE corpus pass: a union of per-length selects would re-scan and
+    # re-tokenize the corpus once per branch (Spark does not dedupe
+    # shared lineage across union arms). Explode terms once, then
+    # fan out the 2..4-char prefixes map-side on the exploded frame;
+    # the length >= MIN guard keeps sequence() ascending.
     tok = docs.select("doc_id", F.explode(toks).alias("term"))
-    g = None
-    for n in range(EDGE_NGRAM_MIN, EDGE_NGRAM_MAX + 1):
-        part = (tok.where(F.length("term") >= n)
-                   .select("doc_id", F.substring("term", 1, n).alias("prefix")))
-        g = part if g is None else g.unionByName(part)
+    g = (tok.where(F.length("term") >= EDGE_NGRAM_MIN)
+            .select("doc_id", F.explode(F.transform(
+                F.sequence(F.lit(EDGE_NGRAM_MIN),
+                           F.least(F.lit(EDGE_NGRAM_MAX),
+                                   F.length("term"))),
+                lambda n: F.substring(F.col("term"), F.lit(1), n)))
+                .alias("prefix")))
     return (g.groupBy("prefix")
              .agg(F.countDistinct("doc_id").alias("n_docs"))
              .orderBy(F.desc("n_docs"), "prefix")

@@ -281,7 +281,13 @@ def auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min("ts").alias("tmin"), F.max("ts").alias("tmax"))
-    span_h = (F.unix_timestamp("tmax") - F.unix_timestamp("tmin")) / 3600
+    # span = HOUR-BOUNDARY CROSSINGS, not fractional elapsed hours:
+    # DuckDB's date_diff('hour', ...) counts crossings, so the Spark
+    # side truncates both endpoints to the hour first — otherwise a
+    # corpus spanning 40h + 1s lands on different sides of the ladder
+    # threshold in the two engines.
+    span_h = (F.unix_timestamp(F.date_trunc("hour", "tmax"))
+              - F.unix_timestamp(F.date_trunc("hour", "tmin"))) / 3600
     lad = bounds.select(
         F.when(span_h <= AUTO_HIST_TARGET_BUCKETS, F.lit("hour"))
          .when(span_h <= AUTO_HIST_TARGET_BUCKETS * 24, F.lit("day"))
