@@ -62,6 +62,7 @@ HEADLINE = [
     "knn_by_id", "nested_payload_filter",
     "dsir_importance", "t_test_agg", "geo_line_agg",
     "cumulative_cardinality_agg", "context_search", "edge_ngram_index",
+    "percentile_histogram_sketch",
 ]
 
 

@@ -378,3 +378,32 @@ def test_edge_ngram_prefix_lengths(spark):
         assert SMO.EDGE_NGRAM_MIN <= len(r.prefix) <= SMO.EDGE_NGRAM_MAX
     counts = [r.n_docs for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# ----------------------------------------- W8 + sketch percentile accuracy
+
+
+def test_stream_first_seen_matches_batch(spark):
+    from unified_vector_database_spark.operators import esagg2 as E2
+    from unified_vector_database_spark.streaming import ingest as SI
+    batch = E2.cumulative_cardinality_agg(spark, SF).collect()
+    stream = SI.stream_first_seen_users(spark, SF).collect()
+    assert [(r.day, r.new_users, r.cum_users) for r in batch] == \
+           [(r.day, r.new_users, r.cum_users) for r in stream]
+
+
+def test_percentile_sketch_within_bin_width(spark):
+    from unified_vector_database_spark.operators import stats_more as SM2
+    ev = tables.load(spark, SF, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    width = (hi - lo) / SM2.PSKETCH_BINS
+    est = {r.event_type: r for r in
+           SM2.percentile_histogram_sketch(spark, SF).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        p50 = np.percentile(v, 50, method="linear")
+        p90 = np.percentile(v, 90, method="linear")
+        assert abs(est[et].p50_est - p50) <= width + 1e-9
+        assert abs(est[et].p90_est - p90) <= width + 1e-9
+        assert est[et].n == len(v)

@@ -165,12 +165,18 @@ def cumulative_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = (ev.groupBy("user_id")
             .agg(F.min(F.date_trunc("day", "ts").cast("date"))
                   .alias("first_day")))
+    return cumulate_first_seen(fs)
+
+
+def cumulate_first_seen(fs: DataFrame) -> DataFrame:
+    """(user_id, first_day) -> (day, new_users, cum_users). Running
+    sum WITHOUT a window (constant-partition windows fold to
+    UNPARTITIONED WindowExec — rejected by the plan gate): fold the
+    ≤|days| sorted bucket array with an accumulator that appends
+    (day, new, running) structs, then explode. Shared with the W8
+    streaming twin (streaming/ingest.stream_first_seen_users)."""
     h = fs.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_users"))
-    # running sum WITHOUT a window (constant-partition windows fold to
-    # UNPARTITIONED WindowExec — rejected by the plan gate): fold the
-    # ≤|days| sorted bucket array with an accumulator that appends
-    # (day, new, running) structs, then posexplode.
     arr = h.agg(F.array_sort(F.collect_list(
         F.struct(F.col("day").alias("day"),
                  F.col("new_users").alias("new_users")))).alias("a"))

@@ -232,3 +232,92 @@ def geo_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           1, GEO_LINE_POINTS),
                       ";").alias("line")))
     return g.orderBy("c_mktsegment")
+
+
+# ------------------------------------------------- histogram percentile sketch
+
+PSKETCH_BINS = 200
+PSKETCH_QS = (0.5, 0.9)
+
+
+@register("percentile_histogram_sketch", oracle=f"""
+WITH b AS (
+  SELECT min(value) AS gmin, max(value) AS gmax,
+         (max(value) - min(value)) / {PSKETCH_BINS} AS width
+  FROM events),
+c AS (
+  SELECT event_type,
+         CAST(least(floor((value - gmin) / width), {PSKETCH_BINS - 1})
+              AS INT) AS bin,
+         count(*) AS cnt
+  FROM events, b GROUP BY 1, 2),
+n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+cu AS (
+  SELECT c.event_type, bin, cnt, n.n,
+         sum(cnt) OVER (PARTITION BY c.event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM c JOIN n USING (event_type)),
+pick AS (
+  SELECT event_type, n,
+         min(CASE WHEN cum >= 0.5 * n AND cum - cnt < 0.5 * n THEN
+             bin + (0.5 * n - (cum - cnt)) / cnt END) AS b50,
+         min(CASE WHEN cum >= 0.9 * n AND cum - cnt < 0.9 * n THEN
+             bin + (0.9 * n - (cum - cnt)) / cnt END) AS b90
+  FROM cu GROUP BY 1, 2)
+SELECT event_type, n,
+       round(gmin + b50 * width, 6) AS p50_est,
+       round(gmin + b90 * width, 6) AS p90_est
+FROM pick, b ORDER BY event_type
+""")
+def percentile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram percentile sketch — the 100 TB path that
+    every exact-percentile op in this repo points at (`mad_value`,
+    `boxplot_value`, `events_percentiles` docstrings all defer to a
+    mergeable sketch at scale; this op IS that sketch, with a
+    deterministic equi-width histogram instead of t-digest so the
+    DuckDB oracle can replay it bit-for-bit). Shape: one 1-row
+    min/max agg broadcast into the binning scan; bin counts are a
+    partial aggregate — each executor's 200-bin histogram merges by
+    ADDITION, the property approx_percentile's t-digest shares and
+    exact percentile lacks (exact shuffles every VALUE; this shuffles
+    at most groups x 200 bin rows regardless of corpus size). The
+    quantile estimate interpolates inside the covering bin; error is
+    bounded by one bin width, pinned against the exact percentile in
+    tests."""
+    ev = tables.load(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("gmin"), F.max("value").alias("gmax"))
+    b = b.withColumn("width",
+                     (F.col("gmax") - F.col("gmin")) / PSKETCH_BINS)
+    binned = (ev.crossJoin(F.broadcast(b))
+                .select("event_type", "gmin", "width",
+                        F.least(F.floor((F.col("value") - F.col("gmin"))
+                                        / F.col("width")),
+                                F.lit(PSKETCH_BINS - 1))
+                         .cast("int").alias("bin")))
+    c = (binned.groupBy("event_type", "bin")
+               .agg(F.count("*").alias("cnt")))
+    n = c.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = (W.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cu = (c.join(F.broadcast(n), "event_type")
+           .withColumn("cum", F.sum("cnt").over(w)))
+    picks = []
+    for q in PSKETCH_QS:
+        t = F.lit(q) * F.col("n")
+        # ONLY the covering bin (cum-cnt < t <= cum) interpolates —
+        # later qualifying bins would contribute bin + NEGATIVE frac
+        # and a bare min() would pick one of those instead.
+        picks.append(F.min(F.when(
+            (F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t),
+            F.col("bin") + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )).alias(f"b{int(q * 100)}"))
+    pick = cu.groupBy("event_type", "n").agg(*picks)
+    out = pick.crossJoin(F.broadcast(b))
+    return (out.select(
+        "event_type", "n",
+        F.round(F.col("gmin") + F.col("b50") * F.col("width"), 6)
+         .alias("p50_est"),
+        F.round(F.col("gmin") + F.col("b90") * F.col("width"), 6)
+         .alias("p90_est"))
+        .orderBy("event_type"))

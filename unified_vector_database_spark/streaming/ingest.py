@@ -307,3 +307,39 @@ def stream_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hll_estimate(out)
             .select(F.col("grp").alias("event_type"), "hll_s", "hll_est")
             .orderBy("event_type"))
+
+
+@register("stream_first_seen_users", oracle="""
+WITH fs AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY 1),
+h AS (
+  SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1),
+c AS (
+  SELECT day, new_users,
+         CAST(sum(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+  FROM h)
+SELECT day, new_users, cum_users FROM c ORDER BY day
+""")
+def stream_first_seen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: streaming cumulative user cardinality — the streaming twin
+    of R63 (cumulative_cardinality_agg). A streaming groupBy(user)
+    min(day) aggregation maintains each user's FIRST-seen day as
+    state; complete-mode emission converges to the batch fixpoint
+    regardless of file/batch arrival order (min is merge-order-free,
+    which is exactly why first-SEEN-by-arrival would NOT be a valid
+    streaming contract — replay order is not event-time order). The
+    materialized first-seen table then rolls up through the shared
+    window-free cumulate fold. State is O(users), the same bound the
+    batch rewrite's shuffle carries; the sketch alternative for
+    unbounded user spaces is W7's HLL registers."""
+    from ..operators.esagg2 import cumulate_first_seen
+    stream = _replay_events(spark, sf_dir, "firstseen") \
+        .select("user_id", "ts")
+    fs = (stream.groupBy("user_id")
+                .agg(F.min(F.date_trunc("day", "ts").cast("date"))
+                      .alias("first_day")))
+    out = _run_to_memory(fs, "complete")
+    return cumulate_first_seen(out)
