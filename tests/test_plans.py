@@ -244,3 +244,56 @@ def test_r4_ops_plan_shapes(spark, sf_dir):
     assert "partial_count" in plan_text(
         value_histogram(spark, sf_dir)).lower() or \
         "HashAggregate" in plan_text(value_histogram(spark, sf_dir))
+
+
+def test_r4b_ops_plan_shapes(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg2 import (
+        range_agg, top_metrics_agg,
+    )
+    from unified_vector_database_spark.operators.quality import (
+        gopher_quality_rules,
+    )
+    from unified_vector_database_spark.operators.search_more import (
+        knn_by_id, knn_where_document, match_phrase_prefix_search,
+        rank_feature_search, span_near_search,
+    )
+    from unified_vector_database_spark.operators.stats import (
+        extended_stats_agg, string_stats_agg,
+    )
+    from unified_vector_database_spark.operators.stats_more import (
+        percentile_histogram_sketch, t_test_agg,
+    )
+    from unified_vector_database_spark.plans.asserts import (
+        assert_broadcast_join, assert_no_shuffle, assert_take_ordered,
+        plan_text,
+    )
+
+    # map-side text ops: ONE corpus pass, zero hash shuffle, top-N page
+    for op in (match_phrase_prefix_search, span_near_search):
+        df = op(spark, sf_dir)
+        assert_no_shuffle(df)
+        assert_take_ordered(df)
+    # knn by id / where_document: broadcast 1-row query + TakeOrdered
+    for op in (knn_by_id, knn_where_document):
+        df = op(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert_take_ordered(df)
+    # rank_feature: BM25 stats broadcast + payload join above it
+    assert_broadcast_join(rank_feature_search(spark, sf_dir))
+    # stats aggs: single partial-agg pass (exactly one hash exchange,
+    # of bucket rows), no join, no window
+    for op in (extended_stats_agg, string_stats_agg, t_test_agg,
+               range_agg):
+        text = plan_text(op(spark, sf_dir))
+        assert text.count("Exchange hashpartitioning") <= 1, text
+        assert "partial" in text  # map-side combine before the shuffle
+    # gopher census: bucket-key shuffle only (lang, keep)
+    text = plan_text(gopher_quality_rules(spark, sf_dir))
+    assert text.count("Exchange hashpartitioning") <= 1, text
+    # top_metrics: WindowGroupLimit pushes the rank-1 cut map-side
+    assert "WindowGroupLimit" in plan_text(top_metrics_agg(spark, sf_dir))
+    # percentile sketch: bounds broadcast into the binning scan, and
+    # the value column never crosses a shuffle (only bin rows do)
+    df = percentile_histogram_sketch(spark, sf_dir)
+    t = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in t or "BroadcastHashJoin" in t, t
