@@ -193,21 +193,31 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (docs.select("doc_id", "lang",
                        F.explode(F.filter(F.split(F.trim("text"), " "),
                                           lambda t: t != "")).alias("term")))
-    b = tok.select("doc_id", "lang",
-                   (md5_int32("term") % DSIR_BUCKETS).alias("bucket"))
-    cnt = b.groupBy("bucket").agg(
-        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("ct"),
-        F.count("*").alias("cr"))
+    # Materialize per-doc bucket counts ONCE: both downstream consumers
+    # (the model counts AND the scoring join) previously re-executed
+    # the explode+md5 token pass each — the 64x probe flagged the
+    # recompute (ratio 40). bc is tiny relative to the token stream
+    # (≤ min(|tokens|, buckets) rows per doc), so the checkpoint is
+    # cheap; at 100 TB these counts are computed once at ingest and
+    # stored, as the docstring's scale path says.
+    bc = (tok.groupBy("doc_id", "lang",
+                      (md5_int32("term") % DSIR_BUCKETS).alias("bucket"))
+             .agg(F.count("*").alias("c"))
+             .localCheckpoint())
+    cnt = bc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c"))
+               .otherwise(F.lit(0))).alias("ct"),
+        F.sum("c").alias("cr"))
     tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     lw = F.round(
         F.log(((F.col("ct") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS))
               / ((F.col("cr") + 1).cast("double")
                  / (F.col("tr") + DSIR_BUCKETS))), 6).cast("decimal(14,6)")
     w = cnt.crossJoin(F.broadcast(tot)).select("bucket", lw.alias("lw"))
-    s = (b.join(F.broadcast(w), "bucket")
-          .groupBy("doc_id")
-          .agg(F.sum("lw").cast("double").alias("score"),
-               F.count("*").alias("n_tokens")))
+    s = (bc.join(F.broadcast(w), "bucket")
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("lw") * F.col("c")).cast("double").alias("score"),
+                F.sum("c").alias("n_tokens")))
     return (s.join(docs.select("doc_id", "lang"), "doc_id")
              .select("doc_id", "lang", "n_tokens",
                      F.round(F.col("score") / F.col("n_tokens"), 6)
