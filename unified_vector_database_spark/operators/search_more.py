@@ -474,3 +474,42 @@ def edge_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.countDistinct("doc_id").alias("n_docs"))
              .orderBy(F.desc("n_docs"), "prefix")
              .limit(EDGE_NGRAM_TOP))
+
+
+# ------------------------------------------------------ values_count filter
+
+VC_MIN = 30
+VC_MAX = 70
+
+
+@register("values_count_filter", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, len({_TOK}) AS n_values
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(min(n_values) AS BIGINT) AS min_values,
+       CAST(max(n_values) AS BIGINT) AS max_values,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM t WHERE n_values BETWEEN {VC_MIN} AND {VC_MAX}
+GROUP BY 1 ORDER BY 1
+""")
+def values_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `values_count` payload condition: filter records by the
+    NUMBER of values in an array payload field (here: the token array
+    — the corpus' only array-shaped payload), then roll up per
+    language. The count is map-side array math in the scan; at scale
+    the cardinality would be materialized as a typed column at ingest
+    (like C14's JSON field) so the range predicate pushes into the
+    parquet scan."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    t = docs.select("lang", "n_chars", F.size(toks).alias("n_values"))
+    return (t.where(F.col("n_values").between(VC_MIN, VC_MAX))
+             .groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.min("n_values").cast("bigint").alias("min_values"),
+                  F.max("n_values").cast("bigint").alias("max_values"),
+                  F.sum(F.col("n_chars").cast("bigint")).cast("bigint")
+                   .alias("total_chars"))
+             .orderBy("lang"))
