@@ -402,8 +402,8 @@ def test_percentile_sketch_within_bin_width(spark):
            SM2.percentile_histogram_sketch(spark, SF).collect()}
     for et, grp in pdf.groupby("event_type"):
         v = grp["value"].to_numpy()
-        p50 = np.percentile(v, 50, method="linear")
-        p90 = np.percentile(v, 90, method="linear")
+        p50 = np.percentile(v, 50, method="inverted_cdf")
+        p90 = np.percentile(v, 90, method="inverted_cdf")
         assert abs(est[et].p50_est - p50) <= width + 1e-9
         assert abs(est[et].p90_est - p90) <= width + 1e-9
         assert est[et].n == len(v)

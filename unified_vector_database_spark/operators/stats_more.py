@@ -247,7 +247,9 @@ WITH b AS (
   FROM events),
 c AS (
   SELECT event_type,
-         CAST(least(floor((value - gmin) / width), {PSKETCH_BINS - 1})
+         CAST(CASE WHEN width = 0 THEN 0
+              ELSE least(floor((value - gmin) / width),
+                         {PSKETCH_BINS - 1}) END
               AS INT) AS bin,
          count(*) AS cnt
   FROM events, b GROUP BY 1, 2),
@@ -282,18 +284,27 @@ def percentile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADDITION, the property approx_percentile's t-digest shares and
     exact percentile lacks (exact shuffles every VALUE; this shuffles
     at most groups x 200 bin rows regardless of corpus size). The
-    quantile estimate interpolates inside the covering bin; error is
-    bounded by one bin width, pinned against the exact percentile in
-    tests."""
+    quantile estimate interpolates inside the covering bin; the
+    estimate sits in the same bin as the nearest-rank percentile, so
+    its error vs THAT definition is bounded by one bin width (pinned
+    property-wise in tests; vs linear interpolation the bound only
+    holds when adjacent ranks share a bin — an empty-gap corpus can
+    legitimately diverge, which is inherent to every histogram/
+    t-digest sketch, not a defect of this one)."""
     ev = tables.load(spark, sf_dir, "events")
     b = ev.agg(F.min("value").alias("gmin"), F.max("value").alias("gmax"))
     b = b.withColumn("width",
                      (F.col("gmax") - F.col("gmin")) / PSKETCH_BINS)
+    # width = 0 (every value equal) would be an ANSI divide-by-zero;
+    # the whole corpus lands in bin 0 and the estimate degenerates to
+    # gmin exactly, which is the right answer.
     binned = (ev.crossJoin(F.broadcast(b))
                 .select("event_type", "gmin", "width",
-                        F.least(F.floor((F.col("value") - F.col("gmin"))
-                                        / F.col("width")),
-                                F.lit(PSKETCH_BINS - 1))
+                        F.when(F.col("width") == 0, F.lit(0))
+                         .otherwise(
+                             F.least(F.floor((F.col("value") - F.col("gmin"))
+                                             / F.col("width")),
+                                     F.lit(PSKETCH_BINS - 1)))
                          .cast("int").alias("bin")))
     c = (binned.groupBy("event_type", "bin")
                .agg(F.count("*").alias("cnt")))
