@@ -223,3 +223,62 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("score") / F.col("n_tokens"), 6)
                       .alias("importance"))
              .orderBy(F.desc("importance"), "doc_id").limit(DSIR_TOP))
+
+
+# -------------------------------------------------- hard-negative mining
+
+# Contrastive-retrieval training data prep (DPR, Karpukhin et al.
+# 2020; Contriever): for each anchor, the highest-scoring corpus items
+# of a DIFFERENT class are the "hard negatives" — similar enough to
+# be confusable, labeled different.
+HN_K = 5
+
+
+@register("hard_negative_mining", oracle=f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                  embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
+s AS (SELECT qid, qlabel, vec_id, label,
+             list_dot_product(embedding::DOUBLE[], qvec)
+             / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q
+      WHERE label <> qlabel),
+r AS (SELECT qid, vec_id AS neg_id, label AS neg_label, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, neg_id, neg_label, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {HN_K}
+""")
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    anchor, the top-k most similar corpus vectors with a DIFFERENT
+    label. Same plan as batch knn (anchors broadcast, one corpus
+    pass, per-anchor WindowGroupLimit top-k) with the label-mismatch
+    predicate fused into the scoring scan — the filter costs nothing
+    extra and the negatives are exactly the confusable items a
+    contrastive loss needs. At 100 TB this runs through the IVF probe
+    (ivf_batch_knn) with the label filter applied per cell."""
+    from ..functions import distance as D
+    from .knn import batch_knn, cosine_score
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    anchors = (emb.where((F.col("vec_id") % 100 == 0)
+                         & (F.col("vec_id") < 2000))
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("label").alias("qlabel"),
+                          D.vec_double("embedding").alias("qvec"))
+                  .withColumn("nq", D.norm("qvec")))
+    from pyspark.sql import Window as W
+    score = cosine_score().alias("score")
+    pairs = (corpus.crossJoin(F.broadcast(anchors))
+                   .where(F.col("label") != F.col("qlabel"))
+                   .select("qid", F.col("vec_id").alias("neg_id"),
+                           F.col("label").alias("neg_label"), score))
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.col("neg_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+                 .where(F.col("rank") <= HN_K))
