@@ -223,3 +223,42 @@ def test_anomaly_flat_series_no_flags(spark):
         / (F.col("n") - 1)
     flagged = w.where((F.col("n") >= ANOM_WIN) & (var > 0)).count()
     assert flagged == 0
+
+
+def test_r4b_ops_survive_degenerate_corpora(spark, tmp_path):
+    """The r4-continuation ops must not crash on empty or
+    single-short-doc corpora (ANSI mode turns sloppy sequence/fold/
+    division edge cases into runtime errors — each op's array math
+    has to be safe at size 0/1, not just on the shared corpus)."""
+    import os
+    from pyspark.sql import Row
+    from unified_vector_database_spark.operators import (
+        quality as Q, search_more as SM, stats as ST)
+
+    def mk(name, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        return sf
+
+    empty = mk("empty", [])
+    single = mk("single", [Row(doc_id=0, text="a", lang="en",
+                               source="s", n_chars=1)])
+    whitespace = mk("ws", [Row(doc_id=0, text="   ", lang="en",
+                               source="s", n_chars=3)])
+    ops = [SM.match_phrase_prefix_search, SM.regexp_search,
+           SM.span_near_search, SM.combined_fields_search,
+           SM.values_count_filter, SM.edge_ngram_index,
+           Q.gopher_quality_rules, Q.dsir_importance,
+           ST.string_stats_agg]
+    for sf in (empty, single, whitespace):
+        for op in ops:
+            op(spark, sf).collect()  # must not raise
+    # semantics spot-checks on the degenerate shapes
+    assert Q.gopher_quality_rules(spark, empty).collect() == []
+    rows = Q.gopher_quality_rules(spark, single).collect()
+    assert len(rows) == 1 and not rows[0].keep  # too short to keep
+    assert SM.span_near_search(spark, whitespace).collect() == []
