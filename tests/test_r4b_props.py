@@ -22,23 +22,15 @@ DOC = st.lists(WORD, min_size=1, max_size=40)
 
 
 def _dominance_fold(spark, toks_list):
-    """Run quality.py's sorted-run dominance fold on in-memory docs."""
+    """Run the PRODUCTION dominance fold (quality.dominance_count —
+    the very expression gopher ships, not a copy) on in-memory docs."""
+    from unified_vector_database_spark.operators.quality import (
+        dominance_count,
+    )
     df = spark.createDataFrame(
         [Row(i=i, text=" ".join(t)) for i, t in enumerate(toks_list)])
     toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
-
-    def _run_fold(acc, x):
-        run = (F.when(x == acc.getField("prev"), acc.getField("run") + 1)
-                .otherwise(F.lit(1)))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc.getField("best"), run).alias("best"))
-
-    dom = F.aggregate(
-        F.array_sort(toks),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        _run_fold,
-        lambda acc: acc.getField("best"))
+    dom = dominance_count(toks)
     return {r.i: r.d for r in df.select("i", dom.alias("d")).collect()}
 
 

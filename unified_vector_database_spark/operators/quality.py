@@ -39,6 +39,30 @@ GOPHER_STOP_MIN = 2
 GOPHER_DOM_MAX = 0.20  # most frequent token <= 20% of the doc
 
 
+def dominance_count(toks: F.Column) -> F.Column:
+    """Most-frequent-token count of a token array, without exploding
+    AND without the O(n_tokens x n_distinct) distinct-scan: sort the
+    array and fold it ONCE with a (prev, run, best) accumulator — the
+    longest run of equal adjacent tokens IS the max frequency.
+    O(n log n) per document regardless of vocabulary size, and a
+    single expression tree (a nested-lambda form that re-referenced
+    the boundary array re-evaluated it per element: 13.7 s -> 0.9 s
+    at sf0.1). Module-level so the property test exercises the SAME
+    expression the operator ships."""
+    def _run_fold(acc, x):
+        run = (F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+                .otherwise(F.lit(1)))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.getField("best"), run).alias("best"))
+
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        _run_fold,
+        lambda acc: acc.getField("best"))
+
+
 @register("gopher_quality_rules", oracle=f"""
 WITH t AS (
   SELECT doc_id, lang, {_TOK} AS toks,
@@ -81,8 +105,8 @@ FROM f GROUP BY 1, 2 ORDER BY 1, 2
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule gate census: per (lang, keep) — how many documents
     pass all five rules and how many words they carry. Every rule is
-    map-side array math; the token-dominance rule uses
-    aggregate-over-distinct-tokens INSIDE the row (no explode). The
+    map-side array math; the token-dominance rule is the sorted-run
+    fold (dominance_count above — no explode). The
     production form returns the per-doc keep column; the census shape
     is the driver-checkable rollup of exactly that column."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
@@ -90,26 +114,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sym = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
              + F.length("text")
              - F.length(F.replace(F.col("text"), F.lit("..."))))
-    # Most-frequent-token count without exploding AND without the
-    # O(n_tokens x n_distinct) distinct-scan: sort the token array and
-    # fold it ONCE with a (prev, run, best) accumulator — the longest
-    # run of equal adjacent tokens IS the max frequency. O(n log n)
-    # per document regardless of vocabulary size, and a single
-    # expression tree (a nested-lambda form that re-referenced the
-    # boundary array re-evaluated it per element: 13.7 s -> 0.9 s at
-    # sf0.1 for this op).
-    def _run_fold(acc, x):
-        run = (F.when(x == acc.getField("prev"), acc.getField("run") + 1)
-                .otherwise(F.lit(1)))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc.getField("best"), run).alias("best"))
-
-    dom_cnt = F.aggregate(
-        F.array_sort(toks),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        _run_fold,
-        lambda acc: acc.getField("best"))
+    dom_cnt = dominance_count(toks)
     m = docs.select(
         "doc_id", "lang",
         F.size(toks).alias("n_words"),
@@ -181,13 +186,14 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scoring (Xie et al. 2023): per-token
     log-likelihood ratio of the target-domain hashed-unigram model vs
     the raw-corpus model, length-normalized; the resampling step
-    admits documents proportionally to this score. Plan: one explode
-    pass builds BOTH models' bucket counts (a {DSIR_BUCKETS}-row
-    frame), the weight table broadcasts back onto the token stream,
-    and per-doc scores sum the per-bucket log weights as exact
-    DECIMAL(14,6) — order-independent under any partitioning, unlike
-    a raw double sum. Two bounded shuffles total (bucket agg, doc
-    agg), both linear in corpus tokens."""
+    admits documents proportionally to this score. Plan: ONE explode
+    pass materializes per-doc bucket counts (bc, checkpointed — see
+    the inline comment); both the model counts and the weighted doc
+    scores derive from bc, so the token stream is hashed exactly
+    once. Scores sum lw*c as exact DECIMAL — order-independent under
+    any partitioning, unlike a raw double sum. The only token-volume
+    shuffle is bc's groupBy; everything after runs on the bucket-count
+    frame."""
     from ..functions.hashing import md5_int32
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = (docs.select("doc_id", "lang",
@@ -262,7 +268,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrastive loss needs. At 100 TB this runs through the IVF probe
     (ivf_batch_knn) with the label filter applied per cell."""
     from ..functions import distance as D
-    from .knn import batch_knn, cosine_score
+    from .knn import cosine_score
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = (emb.select("vec_id", "label",
                          D.vec_double("embedding").alias("vec"))
