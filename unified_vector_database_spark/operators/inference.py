@@ -163,3 +163,99 @@ def rerank_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross_encode_batches, schema="doc_id long, ce_score double")
     return (scored.select("doc_id", F.round("ce_score", 6).alias("ce_score"))
                   .orderBy(F.desc("ce_score"), "doc_id").limit(10))
+
+
+# ---------------------------------------------------- RAG ingest + search
+
+RAG_QUERY_KEY = "q0"
+RAG_TOP = 10
+
+
+def _load_stub_chunk_embedder():
+    """Per-partition 'model load' for the chunk-level encoder: one
+    md5-derived EMBED_DIM vector per chunk KEY (string) — the same
+    swap-in point contract as _load_stub_embedder, keyed by text
+    identity instead of row id so the query side can embed through
+    the identical function."""
+    def embed(key: str) -> list[float]:
+        return [_stub_frac(f"{key}|{j}") for j in range(1, EMBED_DIM + 1)]
+    return embed
+
+
+def chunk_embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    model = _load_stub_chunk_embedder()     # once per partition
+    for pdf in it:
+        embs = [model(k) for k in pdf["key"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "chunk_idx": pdf["chunk_idx"],
+            "emb": embs,
+        })
+
+
+def _emb_sql(key_expr: str) -> str:
+    return (f"list_transform(range(1, {EMBED_DIM} + 1), "
+            f"j -> ('0x' || substr(md5({key_expr} || '|' || j), 1, 15))"
+            f"::BIGINT / {_POW60!r})")
+
+
+def _rag_oracle() -> str:
+    from .textops import CHUNK_SIZE, CHUNK_STRIDE
+    cos = ("list_dot_product(emb, qemb)"
+           "/(sqrt(list_dot_product(emb, emb))"
+           "*sqrt(list_dot_product(qemb, qemb)))")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(ceil((length(text) - {CHUNK_SIZE})
+                               / {CHUNK_STRIDE}.0) AS BIGINT) + 1) AS k
+  FROM documents),
+c AS (SELECT doc_id, CAST(unnest(range(0, k)) AS INT) AS chunk_idx FROM s),
+e AS (
+  SELECT doc_id, chunk_idx,
+         {_emb_sql("doc_id || ':' || chunk_idx")} AS emb
+  FROM c),
+q AS (SELECT {_emb_sql(f"'{RAG_QUERY_KEY}'")} AS qemb)
+SELECT doc_id, chunk_idx, round({cos}, 6) AS score
+FROM e, q
+ORDER BY score DESC, doc_id, chunk_idx LIMIT {RAG_TOP}
+"""
+
+
+@register("rag_ingest_search", oracle=_rag_oracle)
+def rag_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingestion pipeline as ONE plan — the composition
+    every reference-stack user actually runs: sliding-window chunking
+    (X5's operator form) -> chunk-level embedding through the
+    Arrow-batched inference kernel (model loaded once per partition,
+    M5's contract, keyed by chunk identity) -> brute-force cosine
+    top-k against a query embedded through the SAME encoder. The
+    embedding array exists only INSIDE the plan (the final output is
+    scalar, per the no-array output rule); scoring is the JVM-side
+    aggregate fold on the kernel's Arrow output. One corpus pass to
+    chunk+embed, one broadcast 1-row query frame, TakeOrdered page —
+    at scale the knn step swaps for the IVF probe exactly as
+    ivf_batch_knn does."""
+    from ..functions import distance as D
+    from .textops import chunk_sliding_t
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    chunks = (chunk_sliding_t(docs)
+              .select("doc_id", "chunk_idx",
+                      F.concat_ws(":", "doc_id", "chunk_idx").alias("key")))
+    embedded = chunks.mapInPandas(
+        chunk_embed_batches,
+        schema="doc_id long, chunk_idx int, emb array<double>")
+    q = (spark.range(1)
+              .select(F.lit(RAG_QUERY_KEY).alias("key"),
+                      F.lit(0).alias("doc_id"), F.lit(0).alias("chunk_idx"))
+              .select("doc_id", "chunk_idx", "key")
+              .mapInPandas(chunk_embed_batches,
+                           schema="doc_id long, chunk_idx int, "
+                                  "emb array<double>")
+              .select(F.col("emb").alias("qemb")))
+    scored = (embedded.crossJoin(F.broadcast(q))
+              .select("doc_id", "chunk_idx",
+                      F.round(D.safe_div(
+                          D.dot("emb", "qemb"),
+                          D.norm("emb") * D.norm("qemb")), 6).alias("score")))
+    return (scored.orderBy(F.desc("score"), "doc_id", "chunk_idx")
+                  .limit(RAG_TOP))
