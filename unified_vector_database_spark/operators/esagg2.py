@@ -228,3 +228,104 @@ def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min("lat").alias("south"), F.max("lat").alias("north"),
                     F.min("lon").alias("west"), F.max("lon").alias("east"))
                .orderBy("c_mktsegment"))
+
+
+# ------------------------------------------------------ frequent_item_sets
+
+FIS_MIN_SUPPORT = 0.25  # pair must appear in >= 25% of docs
+FIS_TOP = 15
+
+
+@register("frequent_item_sets", oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
+  FROM documents),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+p AS (
+  SELECT a.term AS item_a, b.term AS item_b, count(*) AS support_count
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2),
+f AS (
+  SELECT item_a, item_b, support_count,
+         round(CAST(support_count AS DOUBLE) / n.n_docs, 6) AS support
+  FROM p, n
+  WHERE support_count >= {FIS_MIN_SUPPORT!r} * n.n_docs)
+SELECT item_a, item_b, CAST(support_count AS BIGINT) AS support_count,
+       support
+FROM f ORDER BY support_count DESC, item_a, item_b LIMIT {FIS_TOP}
+""")
+def frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `frequent_item_sets` agg (market-basket mining): token
+    pairs co-occurring in >= min_support of documents. Per-doc
+    DISTINCT items first (array_distinct BEFORE the explode), then
+    the pair generation is a doc-keyed self-join — co-partitioned on
+    doc_id, so each task pairs only its own docs' items; candidate
+    volume is Σ_doc (distinct_items choose 2), which the distinct cut
+    and (at scale) a frequent-1-itemset pre-filter (the Apriori
+    property: a pair can't be frequent unless both items are) keep
+    far below corpus x vocab². Support filter on the aggregated
+    counts, TakeOrdered page."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    # doc count as a broadcast 1-row frame, not a driver-side action —
+    # the support threshold stays inside the plan
+    n = docs.agg(F.count("*").alias("n_docs"))
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    pairs = (tok.alias("a").join(
+        tok.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("item_a"),
+                 F.col("b.term").alias("item_b"))
+        .agg(F.count("*").alias("support_count")))
+    return (pairs.crossJoin(F.broadcast(n))
+                 .where(F.col("support_count")
+                        >= FIS_MIN_SUPPORT * F.col("n_docs"))
+                 .select("item_a", "item_b",
+                         F.col("support_count").cast("bigint")
+                          .alias("support_count"),
+                         F.round(F.col("support_count").cast("double")
+                                 / F.col("n_docs"), 6).alias("support"))
+                 .orderBy(F.desc("support_count"), "item_a", "item_b")
+                 .limit(FIS_TOP))
+
+
+# -------------------------------------------------------- normalize agg
+
+
+@register("normalize_agg", oracle="""
+WITH h AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS tv
+      FROM h)
+SELECT event_type, n, total,
+       round(CAST(n AS DOUBLE) / t.tn, 6) AS pct_of_docs,
+       round(total / t.tv, 6) AS pct_of_value
+FROM h, t ORDER BY event_type
+""")
+def normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `normalize` pipeline agg (percent_of_sum method): each
+    bucket's metric as a share of the total. The grand total is a
+    1-row agg over the bucket frame, broadcast back — bucket rows
+    only, never raw events twice."""
+    ev = tables.load(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
+    t = h.agg(F.sum("n").cast("bigint").alias("tn"),
+              F.sum(F.col("total").cast("decimal(18,2)"))
+               .cast("double").alias("tv"))
+    return (h.crossJoin(F.broadcast(t))
+             .select("event_type", "n", "total",
+                     F.round(F.col("n").cast("double") / F.col("tn"), 6)
+                      .alias("pct_of_docs"),
+                     F.round(F.col("total") / F.col("tv"), 6)
+                      .alias("pct_of_value"))
+             .orderBy("event_type"))
