@@ -63,6 +63,7 @@ HEADLINE = [
     "dsir_importance", "t_test_agg", "geo_line_agg",
     "cumulative_cardinality_agg", "context_search", "edge_ngram_index",
     "percentile_histogram_sketch",
+    "rag_ingest_search", "hard_negative_mining", "frequent_item_sets",
 ]
 
 
