@@ -407,3 +407,23 @@ def test_percentile_sketch_within_bin_width(spark):
         assert abs(est[et].p50_est - p50) <= width + 1e-9
         assert abs(est[et].p90_est - p90) <= width + 1e-9
         assert est[et].n == len(v)
+
+
+def test_change_point_is_true_argmax(spark):
+    from unified_vector_database_spark.operators import stats_more as SM2
+    r = SM2.change_point_agg(spark, SF).collect()[0]
+    d = sorted((x.day, x.total) for x in SM2._daily(spark, SF).collect())
+    totals = [t for _, t in d]
+    n = len(totals)
+    best = None
+    for s in range(2, n + 1):  # 1-based split: before = [0, s-1)
+        mb = sum(totals[:s - 1]) / (s - 1)
+        ma = sum(totals[s - 1:]) / (n - s + 1)
+        delta = abs(mb - ma)
+        if best is None or delta > best[1]:
+            best = (s, delta, mb, ma)
+    assert r.n_days == n
+    assert r.change_day == d[best[0] - 1][0]
+    assert abs(r.delta - best[1]) < 1e-5
+    assert abs(r.mean_before - best[2]) < 1e-5
+    assert abs(r.mean_after - best[3]) < 1e-5

@@ -332,3 +332,91 @@ def percentile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("gmin") + F.col("b90") * F.col("width"), 6)
          .alias("p90_est"))
         .orderBy("event_type"))
+
+
+# ------------------------------------------------------------- change_point
+
+
+@register("change_point_agg", oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+arr AS (
+  SELECT list(total ORDER BY day) AS t, list(day ORDER BY day) AS days,
+         count(*) AS n
+  FROM d),
+sp AS (
+  SELECT n, days, t,
+         list_transform(range(2, n + 1), s -> struct_pack(
+             s := s,
+             delta := abs(list_sum(t[1:s - 1]) / (s - 1)
+                          - list_sum(t[s:]) / (n - s + 1)))) AS cands
+  FROM arr),
+best AS (
+  SELECT n, days, t,
+         (SELECT max_by(c, c.delta) FROM unnest(cands) AS u(c)) AS b
+  FROM sp)
+SELECT CAST(n AS BIGINT) AS n_days,
+       days[b.s] AS change_day,
+       round(list_sum(t[1:b.s - 1]) / (b.s - 1), 6) AS mean_before,
+       round(list_sum(t[b.s:]) / (n - b.s + 1), 6) AS mean_after,
+       round(b.delta, 6) AS delta
+FROM best
+""")
+def change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `change_point` agg (step-change detection on a metric
+    series): the split of the daily-total series maximizing the
+    |mean-before − mean-after| gap. The series collapses to ONE row
+    holding the ≤|days| bucket array (the raw scan aggregated first,
+    as every pipeline agg here does); candidate splits evaluate as
+    map-side array math over that row — O(days²) on ≤31 values, not
+    a corpus operation. Ties break toward the earliest split on both
+    engines (strict > in the fold; DuckDB max_by keeps the first max
+    under stable unnest order)."""
+    d = _daily(spark, sf_dir)
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("day").alias("day"), F.col("total").alias("total"))))
+         .alias("a"))
+    arr = arr.select(
+        F.transform("a", lambda x: x.getField("total")).alias("t"),
+        F.transform("a", lambda x: x.getField("day")).alias("days"),
+        F.size("a").alias("n"))
+
+    # evaluate every split via one transform, then fold for the argmax
+    # (strict > keeps the EARLIEST max split — DuckDB's max_by under
+    # ordered unnest matches)
+    cands = F.transform(
+        F.sequence(F.lit(2), F.col("n")),
+        lambda s: F.struct(
+            s.alias("s"),
+            F.abs(
+                (F.aggregate(F.slice("t", 1, (s - 1).cast("int")),
+                             F.lit(0.0), lambda acc, x: acc + x) / (s - 1))
+                - (F.aggregate(
+                    F.slice("t", s.cast("int"),
+                            (F.col("n") - s + 1).cast("int")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                   / (F.col("n") - s + 1))).alias("delta")))
+    best = F.aggregate(
+        cands,
+        F.lit(None).cast("struct<s:int,delta:double>"),
+        lambda acc, c: F.when(
+            acc.isNull() | (c.getField("delta") > acc.getField("delta")),
+            F.struct(c.getField("s").cast("int").alias("s"),
+                     c.getField("delta").alias("delta"))).otherwise(acc))
+    out = arr.select("t", "days", "n", best.alias("b"))
+    s = F.col("b.s")
+    mb = (F.aggregate(F.slice("t", 1, (s - 1).cast("int")),
+                      F.lit(0.0), lambda acc, x: acc + x) / (s - 1))
+    ma = (F.aggregate(F.slice("t", s.cast("int"),
+                              (F.col("n") - s + 1).cast("int")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+          / (F.col("n") - s + 1))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.element_at("days", s).alias("change_day"),
+        F.round(mb, 6).alias("mean_before"),
+        F.round(ma, 6).alias("mean_after"),
+        F.round(F.col("b.delta"), 6).alias("delta"))
