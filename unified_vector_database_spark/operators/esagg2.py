@@ -241,7 +241,7 @@ WITH tok AS (
   SELECT DISTINCT doc_id, unnest(
     list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
   FROM documents),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
 p AS (
   SELECT a.term AS item_a, b.term AS item_b, count(*) AS support_count
   FROM tok a JOIN tok b
@@ -326,6 +326,6 @@ def normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("event_type", "n", "total",
                      F.round(F.col("n").cast("double") / F.col("tn"), 6)
                       .alias("pct_of_docs"),
-                     F.round(F.col("total") / F.col("tv"), 6)
+                     F.round(F.try_divide(F.col("total"), F.col("tv")), 6)
                       .alias("pct_of_value"))
              .orderBy("event_type"))

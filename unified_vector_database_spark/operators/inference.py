@@ -167,25 +167,25 @@ def rerank_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- RAG ingest + search
 
-RAG_QUERY_KEY = "q0"
+RAG_QUERY_TEXT = "fast table scan"
 RAG_TOP = 10
 
 
 def _load_stub_chunk_embedder():
-    """Per-partition 'model load' for the chunk-level encoder: one
-    md5-derived EMBED_DIM vector per chunk KEY (string) — the same
-    swap-in point contract as _load_stub_embedder, keyed by text
-    identity instead of row id so the query side can embed through
-    the identical function."""
-    def embed(key: str) -> list[float]:
-        return [_stub_frac(f"{key}|{j}") for j in range(1, EMBED_DIM + 1)]
+    """Per-partition 'model load' for the chunk-level text encoder:
+    one md5-derived EMBED_DIM vector per chunk TEXT — the function
+    receives the actual chunk CONTENT (not a row id), so swapping in
+    a real sentence encoder changes nothing else in the plan, and two
+    chunks with identical text get identical embeddings."""
+    def embed(text: str) -> list[float]:
+        return [_stub_frac(f"{text}|{j}") for j in range(1, EMBED_DIM + 1)]
     return embed
 
 
 def chunk_embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     model = _load_stub_chunk_embedder()     # once per partition
     for pdf in it:
-        embs = [model(k) for k in pdf["key"]]
+        embs = [model(t) for t in pdf["chunk"]]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"], "chunk_idx": pdf["chunk_idx"],
             "emb": embs,
@@ -203,18 +203,20 @@ def _rag_oracle() -> str:
     cos = ("list_dot_product(emb, qemb)"
            "/(sqrt(list_dot_product(emb, emb))"
            "*sqrt(list_dot_product(qemb, qemb)))")
+    chunk = (f"substr(text, CAST(ci * {CHUNK_STRIDE} + 1 AS INT), "
+             f"{CHUNK_SIZE})")
     return f"""
 WITH s AS (
   SELECT doc_id, text,
          GREATEST(1, CAST(ceil((length(text) - {CHUNK_SIZE})
                                / {CHUNK_STRIDE}.0) AS BIGINT) + 1) AS k
   FROM documents),
-c AS (SELECT doc_id, CAST(unnest(range(0, k)) AS INT) AS chunk_idx FROM s),
+c AS (SELECT doc_id, text, unnest(range(0, k)) AS ci FROM s),
 e AS (
-  SELECT doc_id, chunk_idx,
-         {_emb_sql("doc_id || ':' || chunk_idx")} AS emb
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         {_emb_sql(chunk)} AS emb
   FROM c),
-q AS (SELECT {_emb_sql(f"'{RAG_QUERY_KEY}'")} AS qemb)
+q AS (SELECT {_emb_sql(f"'{RAG_QUERY_TEXT}'")} AS qemb)
 SELECT doc_id, chunk_idx, round({cos}, 6) AS score
 FROM e, q
 ORDER BY score DESC, doc_id, chunk_idx LIMIT {RAG_TOP}
@@ -238,16 +240,13 @@ def rag_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import distance as D
     from .textops import chunk_sliding_t
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    chunks = (chunk_sliding_t(docs)
-              .select("doc_id", "chunk_idx",
-                      F.concat_ws(":", "doc_id", "chunk_idx").alias("key")))
+    chunks = chunk_sliding_t(docs).select("doc_id", "chunk_idx", "chunk")
     embedded = chunks.mapInPandas(
         chunk_embed_batches,
         schema="doc_id long, chunk_idx int, emb array<double>")
     q = (spark.range(1)
-              .select(F.lit(RAG_QUERY_KEY).alias("key"),
-                      F.lit(0).alias("doc_id"), F.lit(0).alias("chunk_idx"))
-              .select("doc_id", "chunk_idx", "key")
+              .select(F.lit(0).alias("doc_id"), F.lit(0).alias("chunk_idx"),
+                      F.lit(RAG_QUERY_TEXT).alias("chunk"))
               .mapInPandas(chunk_embed_batches,
                            schema="doc_id long, chunk_idx int, "
                                   "emb array<double>")

@@ -35,8 +35,10 @@ STORED_QUERIES = [
 _VALUES_SQL = ", ".join(f"({q}, '{t}', {lo}, {hi})"
                         for q, t, lo, hi in STORED_QUERIES)
 
-
-@register("percolate", oracle=f"""
+# Shared by the batch registration and W9's streaming twin
+# (streaming/ingest.stream_percolate): ONE definition of the
+# saved-search semantics on each side of the engine boundary.
+PERCOLATE_ORACLE = f"""
 WITH sq(query_id, term, lo, hi) AS (VALUES {_VALUES_SQL}),
 tok AS (
   SELECT doc_id, n_chars,
@@ -52,9 +54,14 @@ SELECT query_id,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM m GROUP BY query_id
 ORDER BY query_id
-""")
-def percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+"""
+
+
+def percolate_rollup(docs: DataFrame) -> DataFrame:
+    """Operator form (works on a batch frame OR a streaming frame —
+    W9 reuses it): broadcast the stored queries, match map-side,
+    roll up per query. Unordered; callers sort."""
+    spark = docs.sparkSession
     sq = spark.createDataFrame(
         STORED_QUERIES, "query_id int, term string, lo int, hi int")
     d = docs.select("doc_id", "n_chars", tokens("text").alias("tok"))
@@ -66,5 +73,10 @@ def percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (m.groupBy("query_id")
              .agg(F.count("*").alias("n_matches"),
                   F.min("doc_id").alias("first_doc"),
-                  F.max("doc_id").alias("last_doc"))
-             .orderBy("query_id"))
+                  F.max("doc_id").alias("last_doc")))
+
+
+@register("percolate", oracle=PERCOLATE_ORACLE)
+def percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return percolate_rollup(docs).orderBy("query_id")

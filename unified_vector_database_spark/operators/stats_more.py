@@ -356,7 +356,7 @@ sp AS (
 best AS (
   SELECT n, days, t,
          (SELECT max_by(c, c.delta) FROM unnest(cands) AS u(c)) AS b
-  FROM sp)
+  FROM sp WHERE n >= 2)
 SELECT CAST(n AS BIGINT) AS n_days,
        days[b.s] AS change_day,
        round(list_sum(t[1:b.s - 1]) / (b.s - 1), 6) AS mean_before,
@@ -383,6 +383,10 @@ def change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("a", lambda x: x.getField("total")).alias("t"),
         F.transform("a", lambda x: x.getField("day")).alias("days"),
         F.size("a").alias("n"))
+    # fewer than 2 buckets -> no split exists; BOTH engines emit zero
+    # rows (Spark's sequence(2, 1) is DESCENDING [2,1] and would
+    # divide by zero; DuckDB's range(2, 2) is empty)
+    arr = arr.where(F.col("n") >= 2)
 
     # evaluate every split via one transform, then fold for the argmax
     # (strict > keeps the EARLIEST max split — DuckDB's max_by under

@@ -175,23 +175,28 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("click_id", "purchase_id"))
 
 
-def _replay_events(spark: SparkSession, sf_dir: str, tag: str,
-                   n_files: int = 4) -> DataFrame:
-    """Events rewritten once as an n-file parquet dir and opened as a
-    maxFilesPerTrigger=1 file stream — the standard replay harness
-    shared by the streaming oracle queries."""
+def _replay(spark: SparkSession, df: DataFrame, sf_dir: str, tag: str,
+            schema: str, n_files: int = 4) -> DataFrame:
+    """A frame rewritten once as an n-file parquet dir and opened as
+    a maxFilesPerTrigger=1 file stream — the replay harness every
+    streaming oracle query shares (events and documents alike)."""
     import os
     import tempfile
 
-    ev = tables.load_events(spark, sf_dir) \
-        .select("event_id", "ts", "user_id", "event_type", "value")
     src = os.path.join(tempfile.gettempdir(),
                        f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
-    ev.repartition(n_files).write.mode("overwrite").parquet(src)
-    sch = ("event_id bigint, ts timestamp, user_id bigint, "
-           "event_type string, value double")
-    return (spark.readStream.schema(sch)
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+def _replay_events(spark: SparkSession, sf_dir: str, tag: str,
+                   n_files: int = 4) -> DataFrame:
+    ev = tables.load_events(spark, sf_dir) \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    return _replay(spark, ev, sf_dir, tag,
+                   "event_id bigint, ts timestamp, user_id bigint, "
+                   "event_type string, value double", n_files)
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -347,41 +352,16 @@ def stream_first_seen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _replay_docs(spark: SparkSession, sf_dir: str, tag: str,
                  n_files: int = 4) -> DataFrame:
-    """Documents twin of _replay_events: the corpus rewritten as an
-    n-file parquet dir and opened maxFilesPerTrigger=1."""
-    import os
-    import tempfile
-
     docs = tables.load(spark, sf_dir, "documents") \
         .select("doc_id", "text", "lang", "source", "n_chars")
-    src = os.path.join(tempfile.gettempdir(),
-                       f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
-    docs.repartition(n_files).write.mode("overwrite").parquet(src)
-    sch = ("doc_id bigint, text string, lang string, source string, "
-           "n_chars bigint")
-    return (spark.readStream.schema(sch)
-            .option("maxFilesPerTrigger", 1).parquet(src))
+    return _replay(spark, docs, sf_dir, tag,
+                   "doc_id bigint, text string, lang string, "
+                   "source string, n_chars bigint", n_files)
 
 
 def _stream_percolate_oracle() -> str:
-    from ..operators.percolate import _VALUES_SQL
-    return f"""
-WITH sq(query_id, term, lo, hi) AS (VALUES {_VALUES_SQL}),
-tok AS (
-  SELECT doc_id, n_chars,
-         list_filter(string_split(trim(text), ' '), t -> t <> '') AS tok
-  FROM documents),
-m AS (
-  SELECT sq.query_id, tok.doc_id
-  FROM tok JOIN sq
-    ON list_contains(tok.tok, sq.term)
-   AND tok.n_chars >= sq.lo AND tok.n_chars < sq.hi)
-SELECT query_id,
-       CAST(count(*) AS BIGINT) AS n_matches,
-       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM m GROUP BY query_id
-ORDER BY query_id
-"""
+    from ..operators.percolate import PERCOLATE_ORACLE
+    return PERCOLATE_ORACLE
 
 
 @register("stream_percolate", oracle=_stream_percolate_oracle)
@@ -396,20 +376,8 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint across the 4-file replay is hash-checked against the
     batch percolate oracle — count/min/max all merge order-free, so
     arrival order cannot change the result."""
-    from ..functions.text import tokens as tok_fn
-    from ..operators.percolate import STORED_QUERIES
+    from ..operators.percolate import percolate_rollup
     stream = _replay_docs(spark, sf_dir, "percolate")
-    sq = spark.createDataFrame(
-        STORED_QUERIES, "query_id int, term string, lo int, hi int")
-    d = stream.select("doc_id", "n_chars", tok_fn("text").alias("tok"))
-    m = d.join(
-        F.broadcast(sq),
-        F.array_contains(F.col("tok"), F.col("term"))
-        & (F.col("n_chars") >= F.col("lo"))
-        & (F.col("n_chars") < F.col("hi")))
-    agg = (m.groupBy("query_id")
-            .agg(F.count("*").alias("n_matches"),
-                 F.min("doc_id").alias("first_doc"),
-                 F.max("doc_id").alias("last_doc")))
+    agg = percolate_rollup(stream)  # the batch operator form, streamed
     out = _run_to_memory(agg, "complete")
     return out.orderBy("query_id")
