@@ -262,3 +262,55 @@ def test_r4b_ops_survive_degenerate_corpora(spark, tmp_path):
     rows = Q.gopher_quality_rules(spark, single).collect()
     assert len(rows) == 1 and not rows[0].keep  # too short to keep
     assert SM.span_near_search(spark, whitespace).collect() == []
+
+
+def test_r4b_event_aggs_survive_degenerate_corpora(spark, tmp_path):
+    """Events-side twin of the documents gate above (the review found
+    change_point crashing on a 1-day corpus because Spark's
+    sequence(2, 1) is DESCENDING — every events-based agg must
+    survive empty / single-row / single-day corpora)."""
+    import datetime
+    import os
+    from pyspark.sql import Row
+    from unified_vector_database_spark.operators import (
+        esagg2 as E2, stats as ST, stats_more as SM2)
+
+    def mk(name, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        return sf
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    empty = mk("ev_empty", [])
+    single = mk("ev_single", [Row(event_id=0, ts=t0, user_id=1,
+                                  event_type="click", value=5.0,
+                                  props='{"k": 1}')])
+    one_day = mk("ev_oneday", [
+        Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i), user_id=i,
+            event_type="click", value=float(i), props='{"k": 1}')
+        for i in range(5)])
+    zero_vals = mk("ev_zero", [
+        Row(event_id=i, ts=t0 + datetime.timedelta(days=i), user_id=i,
+            event_type="click", value=0.0, props='{"k": 1}')
+        for i in range(3)])
+    ops = [SM2.change_point_agg, SM2.stats_bucket_agg,
+           SM2.percentiles_bucket_agg, SM2.serial_diff_agg,
+           SM2.t_test_agg, SM2.percentile_histogram_sketch,
+           ST.extended_stats_agg, ST.mad_value, ST.boxplot_value,
+           ST.top_hits_agg, ST.auto_date_histogram,
+           E2.range_agg, E2.normalize_agg, E2.top_metrics_agg,
+           E2.cumulative_cardinality_agg, E2.bucket_sort_agg]
+    for sf in (empty, single, one_day, zero_vals):
+        for op in ops:
+            op(spark, sf).collect()  # must not raise
+    # the review's exact crash class: < 2 days -> zero rows, not a
+    # divide-by-zero
+    assert SM2.change_point_agg(spark, one_day).collect() == []
+    assert SM2.change_point_agg(spark, empty).collect() == []
+    # zero grand total -> NULL share, matching the oracle
+    rows = E2.normalize_agg(spark, zero_vals).collect()
+    assert rows and all(r.pct_of_value is None for r in rows)

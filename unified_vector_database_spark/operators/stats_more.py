@@ -180,11 +180,19 @@ def t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(b, dec)).cast("double").alias("s2"),
         F.sum(F.when(a, dec2)).cast("double").alias("q1"),
         F.sum(F.when(b, dec2)).cast("double").alias("q2"))
+    # try_divide throughout: DuckDB's `/` yields NULL on a zero
+    # divisor (empty or singleton group), Spark's plain `/` throws
+    # under ANSI — try_divide is the exact DuckDB twin
+    # (functions/distance.safe_div rationale)
     n1, n2 = F.col("n1"), F.col("n2")
-    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
-    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
-    var2 = (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
-    t = (m1 - m2) / F.sqrt(var1 / n1 + var2 / n2)
+    m1 = F.try_divide(F.col("s1"), n1)
+    m2 = F.try_divide(F.col("s2"), n2)
+    var1 = F.try_divide(
+        F.col("q1") - F.try_divide(F.col("s1") * F.col("s1"), n1), n1 - 1)
+    var2 = F.try_divide(
+        F.col("q2") - F.try_divide(F.col("s2") * F.col("s2"), n2), n2 - 1)
+    t = F.try_divide(m1 - m2,
+                     F.sqrt(F.try_divide(var1, n1) + F.try_divide(var2, n2)))
     return s.select(
         "n1", "n2",
         F.round(m1, 6).alias("mean_a"),
