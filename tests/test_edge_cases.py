@@ -314,3 +314,33 @@ def test_r4b_event_aggs_survive_degenerate_corpora(spark, tmp_path):
     # zero grand total -> NULL share, matching the oracle
     rows = E2.normalize_agg(spark, zero_vals).collect()
     assert rows and all(r.pct_of_value is None for r in rows)
+
+
+def test_r4b_vector_ops_survive_degenerate_corpora(spark, tmp_path):
+    """Embeddings-side twin: the by-id/context/negative-mining ops
+    must not crash when the corpus is empty, tiny, or missing the
+    referenced example ids (lookup frames come back empty -> the
+    broadcast joins yield zero rows, not errors)."""
+    import os
+    from pyspark.sql import Row
+    from unified_vector_database_spark.operators import search_more as SM
+    from unified_vector_database_spark.operators.quality import (
+        hard_negative_mining,
+    )
+
+    def mk(name, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+        return sf
+
+    empty = mk("emb_empty", [])
+    tiny = mk("emb_tiny", [  # no referenced example/anchor ids exist
+        Row(vec_id=901 + i, embedding=[float(i + 1), 1.0, 0.5, 2.0],
+            label=i % 2) for i in range(3)])
+    for sf in (empty, tiny):
+        assert SM.knn_by_id(spark, sf).collect() == []
+        assert SM.context_search(spark, sf).collect() == []
+        assert hard_negative_mining(spark, sf).collect() == []
