@@ -297,3 +297,21 @@ def test_r4b_ops_plan_shapes(spark, sf_dir):
     df = percentile_histogram_sketch(spark, sf_dir)
     t = plan_text(df)
     assert "BroadcastNestedLoopJoin" in t or "BroadcastHashJoin" in t, t
+
+
+def test_output_schema_policy_no_arrays_or_decimals(spark, sf_dir):
+    """Driver-canonicalizer policy as a standing gate: no final output
+    may carry an ARRAY column (pandas sort_values throws 'unhashable
+    type: list' — the r3 stateful_topk failure) or a DECIMAL column
+    (duckdb's pandas conversion widens HUGEINT/DECIMAL to float64
+    while Spark emits exact types — the r1/q12 hash class). Schema
+    analysis only; nothing executes."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+    from unified_vector_database_spark import registry
+    registry.load_all()
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, DecimalType, MapType)):
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, offenders
