@@ -89,7 +89,7 @@ _PRIORITY = [
     "stream_first_seen_users", "percentile_histogram_sketch",
     "values_count_filter", "hard_negative_mining", "rag_ingest_search",
     "stream_percolate", "frequent_item_sets", "normalize_agg",
-    "change_point_agg",
+    "change_point_agg", "variable_width_histogram",
     # ---- everything below re-proves stable greens if budget allows --
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",

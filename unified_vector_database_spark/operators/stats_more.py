@@ -432,3 +432,56 @@ def change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mb, 6).alias("mean_before"),
         F.round(ma, 6).alias("mean_after"),
         F.round(F.col("b.delta"), 6).alias("delta"))
+
+
+# -------------------------------------------------- variable-width histogram
+
+VWH_BUCKETS = 8
+
+
+@register("variable_width_histogram", oracle=f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(value,
+      [{', '.join(repr(i / VWH_BUCKETS) for i in range(1, VWH_BUCKETS))}]),
+      x -> round(x, 6)) AS bnds
+  FROM events),
+a AS (
+  SELECT CAST(len(list_filter(bnds, x -> value > x)) AS INT) AS bucket,
+         value
+  FROM events, b)
+SELECT bucket, count(*) AS n,
+       min(value) AS vmin, max(value) AS vmax,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM a GROUP BY 1 ORDER BY 1
+""")
+def variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `variable_width_histogram`: buckets whose widths adapt to
+    data density. Re-expressed as the classic EQUI-DEPTH histogram
+    (the same structure query optimizers keep as column statistics):
+    boundaries = exact quantiles at i/B, assignment = count of
+    boundaries strictly below the value (map-side comparisons against
+    a broadcast 1-row boundary array). The exact quantile pass is the
+    oracle-parity cost; the 100 TB path computes boundaries with
+    approx_percentile's mergeable t-digest and the assignment scan is
+    unchanged."""
+    ev = tables.load(spark, sf_dir, "events")
+    # boundaries rounded to 6 dp on BOTH sides: Spark's percentile
+    # and DuckDB's quantile_cont interpolate with different float
+    # orderings, and an unrounded boundary within an ulp of a data
+    # value flips that value's bucket between engines
+    bnds = ev.agg(F.array(*[
+        F.round(F.expr(f"percentile(value, {i / VWH_BUCKETS!r})"), 6)
+        for i in range(1, VWH_BUCKETS)]).alias("bnds"))
+    a = (ev.crossJoin(F.broadcast(bnds))
+           .select(F.size(F.filter(
+               "bnds", lambda x: F.col("value") > x)).cast("int")
+               .alias("bucket"), "value"))
+    return (a.groupBy("bucket")
+             .agg(F.count("*").alias("n"),
+                  F.min("value").alias("vmin"),
+                  F.max("value").alias("vmax"),
+                  F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                           .cast("double") / F.count("*"), 6)
+                   .alias("avg_value"))
+             .orderBy("bucket"))
