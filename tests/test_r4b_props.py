@@ -103,3 +103,82 @@ def test_sketch_percentile_error_bound(spark, tmp_path_factory, values):
             assert abs(est - v[0]) < 1e-6
         else:
             assert abs(est - exact) <= width + 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=5))
+def test_span_near_equals_python_model(spark, docs):
+    from unified_vector_database_spark.operators import search_more as SM
+    import os
+    import tempfile
+    import uuid
+    sf = os.path.join(tempfile.gettempdir(), "prop_" + uuid.uuid4().hex[:8])
+    os.makedirs(sf, exist_ok=True)
+    rows = [Row(doc_id=i, text=" ".join(t), lang="en", source="s",
+                n_chars=len(" ".join(t))) for i, t in enumerate(docs)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.n_pairs, r.min_gap)
+           for r in SM.span_near_search(spark, sf).collect()}
+    for i, toks in enumerate(docs):
+        p1 = [j for j, t in enumerate(toks) if t == SM.SPAN_T1]
+        p2 = [j for j, t in enumerate(toks) if t == SM.SPAN_T2]
+        gaps = [abs(a - b) for a in p1 for b in p2
+                if abs(a - b) <= SM.SPAN_SLOP]
+        if gaps:
+            assert got[i] == (len(gaps), min(gaps))
+        else:
+            assert i not in got
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=5))
+def test_edge_ngram_equals_python_model(spark, docs):
+    from unified_vector_database_spark.operators import search_more as SM
+    import os
+    import tempfile
+    import uuid
+    sf = os.path.join(tempfile.gettempdir(), "prop_" + uuid.uuid4().hex[:8])
+    os.makedirs(sf, exist_ok=True)
+    rows = [Row(doc_id=i, text=" ".join(t), lang="en", source="s",
+                n_chars=1) for i, t in enumerate(docs)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    got = {r.prefix: r.n_docs
+           for r in SM.edge_ngram_index(spark, sf).collect()}
+    model = {}
+    for i, toks in enumerate(docs):
+        for term in set(toks):
+            for n in range(SM.EDGE_NGRAM_MIN,
+                           min(SM.EDGE_NGRAM_MAX, len(term)) + 1):
+                model.setdefault(term[:n], set()).add(i)
+    expect = sorted(((len(v), p) for p, v in model.items()),
+                    key=lambda x: (-x[0], x[1]))[:SM.EDGE_NGRAM_TOP]
+    assert got == {p: n for n, p in expect}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=6))
+def test_frequent_item_sets_equals_python_model(spark, docs):
+    from itertools import combinations
+    from unified_vector_database_spark.operators import esagg2 as E2
+    import os
+    import tempfile
+    import uuid
+    sf = os.path.join(tempfile.gettempdir(), "prop_" + uuid.uuid4().hex[:8])
+    os.makedirs(sf, exist_ok=True)
+    rows = [Row(doc_id=i, text=" ".join(t), lang="en", source="s",
+                n_chars=1) for i, t in enumerate(docs)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    got = {(r.item_a, r.item_b): r.support_count
+           for r in E2.frequent_item_sets(spark, sf).collect()}
+    counts = Counter()
+    for toks in docs:
+        for a, b in combinations(sorted(set(toks)), 2):
+            counts[(a, b)] += 1
+    thresh = E2.FIS_MIN_SUPPORT * len(docs)
+    expect = {k: c for k, c in counts.items() if c >= thresh}
+    top = dict(sorted(expect.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:E2.FIS_TOP])
+    assert got == top
