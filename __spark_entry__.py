@@ -32,50 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() in dict order each round; entries still lacking a
 # hash-green CORRECTNESS row come first, then entries whose code or
 # oracle changed this round (their old rows describe old outputs),
-# then new r4 operators, then stable flagships. 128/134 oracle
-# queries already have a lifetime green row (r1+r2+r3) — those rows
-# remain the evidence of record for everything past the budget line.
+# then new r5 operators, then stable flagships. After r4, 176/216
+# registered queries have a lifetime hash-green driver row — those
+# rows remain the evidence of record past the budget line.
 _PRIORITY = [
-    # (a) registered in r3 but one past the driver's ~50-entry budget
-    # line — never driver-checked (all MATCH under driver_sim)
-    "stream_windowed_counts", "stream_dedup_counts",
-    "stream_session_windows", "events_percentile_ranks",
-    "video_frame_sample",
-    # (b) the two r3 red rows, fixed this round: q12's oracle now
-    # CASTs its HUGEINT sums to BIGINT; stateful topk posexplodes its
-    # array column into (key, rank, topv) rows
-    "q12_priority_by_returnflag", "stateful_topk_stream",
-    # (c) queued in r3 to re-prove the rewritten NTZ events loader via
-    # its exact-microsecond oracle but sat at slot 51 (ADVICE r3:
-    # budget off-by-one)
-    "asof_click_attribution",
-    # (d) code/oracle changed this round: n_relevant=0 guard on both
-    # engines (ADVICE r3)
-    "search_quality_eval",
-    # (e) new r4: rows-only queries upgraded to full oracles
-    # (centroid/codebook plan literals), new operators
-    "ivf_knn", "pq_adc_knn", "ivfpq_knn", "knn_cosine_arrow",
-    "jpeg_image_features",
-    # (f) new r4 surface: sketch aggs, fusion/rescore/collapse/rare/
-    # adjacency search extras, training-mix sampling, annulus +
-    # group-lookup search (all MATCH under the hardened driver_sim)
-    "cardinality_hll", "distinct_kmv", "hybrid_relative_score",
-    "rescore_topn", "collapse_search", "rare_terms",
-    "adjacency_matrix", "quality_weighted_sample", "domain_mix_sample",
-    "range_annulus_search", "knn_group_lookup",
-    "weighted_avg_price", "value_histogram", "multi_terms_agg",
-    "bucket_selector_having", "events_pipeline_aggs",
-    "span_first_search", "wildcard_search", "score_explain",
-    "autocut_search", "diversified_sample", "stream_cardinality_hll",
-    "embed_documents", "rerank_inference", "geo_distance_rings",
-    "events_anomaly", "update_semantics", "ivf_batch_knn",
-    "boosting_search", "dis_max_search", "dedup_incremental",
-    "pinned_search", "terms_lookup_filter", "field_value_factor_search",
-    "random_score_search", "mlt_unlike",
-    # (g) r4 continuation surface (slots 51+ — past this round's
-    # budget line by design; they queue first for the r5 rotation;
-    # all MATCH under the hardened driver_sim): ES stats aggs,
-    # query-DSL completions, Gopher quality gate
+    # (a) slots 1-40: the r4-continuation surface — registered in r4
+    # past the driver's 50-entry budget by design, never
+    # driver-checked (all 40 MATCH under the hardened driver_sim;
+    # judge re-verified in VERDICT r4). Rotating them in makes every
+    # registered query lifetime-green.
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",
     "mad_value", "boxplot_value", "match_phrase_prefix_search",
@@ -90,7 +55,35 @@ _PRIORITY = [
     "values_count_filter", "hard_negative_mining", "rag_ingest_search",
     "stream_percolate", "frequent_item_sets", "normalize_agg",
     "change_point_agg", "variable_width_histogram",
+    # (b) slots 41-50: new r5 operators (phrase suggester, ES
+    # bucket-agg stragglers, catalog lifecycle census, PQ artifact
+    # path re-proof after the driver-collect fix)
+    "suggest_phrase", "missing_bucket_agg", "global_bucket_agg",
+    "date_range_agg", "ip_range_agg", "catalog_semantics",
+    "pq_adc_knn", "ivfpq_knn", "significant_text_agg",
+    "nested_payload_typed",
+    # (c) r5 continuation surface (slots 51+, queue first for r6)
+    # -- appended below as implemented --
     # ---- everything below re-proves stable greens if budget allows --
+    "stream_windowed_counts", "stream_dedup_counts",
+    "stream_session_windows", "events_percentile_ranks",
+    "video_frame_sample",
+    "q12_priority_by_returnflag", "stateful_topk_stream",
+    "asof_click_attribution", "search_quality_eval",
+    "ivf_knn", "knn_cosine_arrow", "jpeg_image_features",
+    "cardinality_hll", "distinct_kmv", "hybrid_relative_score",
+    "rescore_topn", "collapse_search", "rare_terms",
+    "adjacency_matrix", "quality_weighted_sample", "domain_mix_sample",
+    "range_annulus_search", "knn_group_lookup",
+    "weighted_avg_price", "value_histogram", "multi_terms_agg",
+    "bucket_selector_having", "events_pipeline_aggs",
+    "span_first_search", "wildcard_search", "score_explain",
+    "autocut_search", "diversified_sample", "stream_cardinality_hll",
+    "embed_documents", "rerank_inference", "geo_distance_rings",
+    "events_anomaly", "update_semantics", "ivf_batch_knn",
+    "boosting_search", "dis_max_search", "dedup_incremental",
+    "pinned_search", "terms_lookup_filter", "field_value_factor_search",
+    "random_score_search", "mlt_unlike",
     "events_percentiles", "range_join_attribution", "events_funnel",
     "knn_cosine", "bm25_search", "dedup_minhash",
     "knn_sparse", "hybrid_sparse_dense", "bq_hamming_knn",

@@ -96,12 +96,18 @@ def main() -> None:
     times = {k: round(v, 3) for k, v in times.items()}
 
     total = round(sum(times.values()), 3)
+    # Key order matters: the driver's tail capture has truncated the
+    # HEAD of this line before (BENCH_r04 lost its total), so the
+    # per-query dict goes first and the headline total/metric fields
+    # go LAST — tail truncation then costs individual samples, never
+    # the summary (VERDICT r4 "What's wrong" #3).
     print(json.dumps({
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
 

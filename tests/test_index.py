@@ -192,3 +192,23 @@ def test_ivfpq_recall_vs_flat_l2(spark, sf_dir):
     assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall}"
     scores = [r.score for r in got]
     assert scores == sorted(scores)
+
+
+def test_pq_entry_scans_parquet_artifact(spark, sf_dir):
+    """r5 (VERDICT r4 #1): the registered pq/ivfpq entries must read
+    their codes from the persisted parquet artifact — never a
+    driver-collected localtable — and the ivfpq probe's cell filter
+    must prune the artifact at the file listing."""
+    from unified_vector_database_spark.operators.index import (
+        artifact_path, ivfpq_knn, pq_adc_knn,
+    )
+    from unified_vector_database_spark.plans.asserts import plan_text
+
+    t = plan_text(pq_adc_knn(spark, sf_dir))
+    assert artifact_path("pq_codes", sf_dir).rsplit("/", 1)[-1] in t, t
+    assert "LocalTableScan" not in t.replace(
+        "LocalTableScan <empty>", "")  # codes never driver-side
+
+    t2 = plan_text(ivfpq_knn(spark, sf_dir))
+    assert artifact_path("ivfpq_codes", sf_dir).rsplit("/", 1)[-1] in t2, t2
+    assert "PartitionFilters" in t2 and "cid" in t2  # pruned at listing

@@ -304,14 +304,20 @@ def test_output_schema_policy_no_arrays_or_decimals(spark, sf_dir):
     may carry an ARRAY column (pandas sort_values throws 'unhashable
     type: list' — the r3 stateful_topk failure) or a DECIMAL column
     (duckdb's pandas conversion widens HUGEINT/DECIMAL to float64
-    while Spark emits exact types — the r1/q12 hash class). Schema
-    analysis only; nothing executes."""
+    while Spark emits exact types — the r1/q12 hash class).
+
+    flags.schema_only() keeps this cheap: the stream_* queries thread
+    an empty batch frame with the real schema instead of running a
+    full micro-batch replay, and dsir's checkpoint is lazy
+    (eager=False), so constructing every DataFrame here runs no jobs
+    (ADVICE r4)."""
     from pyspark.sql.types import ArrayType, DecimalType, MapType
-    from unified_vector_database_spark import registry
+    from unified_vector_database_spark import flags, registry
     registry.load_all()
     offenders = []
-    for name, fn in registry.QUERIES.items():
-        for f in fn(spark, sf_dir).schema.fields:
-            if isinstance(f.dataType, (ArrayType, DecimalType, MapType)):
-                offenders.append((name, f.name, str(f.dataType)))
+    with flags.schema_only():
+        for name, fn in registry.QUERIES.items():
+            for f in fn(spark, sf_dir).schema.fields:
+                if isinstance(f.dataType, (ArrayType, DecimalType, MapType)):
+                    offenders.append((name, f.name, str(f.dataType)))
     assert not offenders, offenders

@@ -126,8 +126,13 @@ def bucket_sort_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("total")))
     page = (d.orderBy(F.desc("total"), "day")
              .limit(BSORT_OFFSET + BSORT_SIZE))
+    # Coalesce before negating: a NULL total (all-NULL day) would sort
+    # FIRST in Spark's struct comparison but LAST under the oracle's
+    # ORDER BY total DESC (NULLS LAST); -inf -> +inf pins NULL buckets
+    # last on both engines (ADVICE r4; latent — corpus is non-null).
     arr = page.agg(F.array_sort(F.collect_list(F.struct(
-        (-F.col("total")).alias("_nt"), F.col("day").alias("day"),
+        (-F.coalesce(F.col("total"), F.lit(float("-inf")))).alias("_nt"),
+        F.col("day").alias("day"),
         F.col("total").alias("total")))).alias("a"))
     return (arr.select(F.posexplode("a").alias("_pos", "_s"))
                .select(F.col("_s.day").alias("day"),

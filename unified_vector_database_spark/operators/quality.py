@@ -206,10 +206,14 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≤ min(|tokens|, buckets) rows per doc), so the checkpoint is
     # cheap; at 100 TB these counts are computed once at ingest and
     # stored, as the docstring's scale path says.
+    # eager=False keeps DataFrame *construction* lazy (schema/plan-only
+    # consumers like the output-schema gate pay nothing); the
+    # checkpoint still materializes once at the first action and is
+    # shared by both downstream consumers (ADVICE r4).
     bc = (tok.groupBy("doc_id", "lang",
                       (md5_int32("term") % DSIR_BUCKETS).alias("bucket"))
              .agg(F.count("*").alias("c"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     cnt = bc.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c"))
                .otherwise(F.lit(0))).alias("ct"),

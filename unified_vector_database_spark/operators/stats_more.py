@@ -362,8 +362,12 @@ sp AS (
                           - list_sum(t[s:]) / (n - s + 1)))) AS cands
   FROM arr),
 best AS (
+  -- tie-break EXPLICIT: max delta, then earliest split — mirrors the
+  -- Spark fold's strict-> earliest-split rule instead of relying on
+  -- max_by unnest stability (ADVICE r4)
   SELECT n, days, t,
-         (SELECT max_by(c, c.delta) FROM unnest(cands) AS u(c)) AS b
+         (SELECT c FROM unnest(cands) AS u(c)
+          ORDER BY c.delta DESC, c.s LIMIT 1) AS b
   FROM sp WHERE n >= 2)
 SELECT CAST(n AS BIGINT) AS n_days,
        days[b.s] AS change_day,
@@ -380,8 +384,8 @@ def change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     as every pipeline agg here does); candidate splits evaluate as
     map-side array math over that row — O(days²) on ≤31 values, not
     a corpus operation. Ties break toward the earliest split on both
-    engines (strict > in the fold; DuckDB max_by keeps the first max
-    under stable unnest order)."""
+    engines (strict > in the fold; the oracle's ordered scalar
+    subquery — delta DESC, s ASC — makes the same rule explicit)."""
     d = _daily(spark, sf_dir)
     arr = d.agg(
         F.array_sort(F.collect_list(F.struct(

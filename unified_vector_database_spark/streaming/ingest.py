@@ -150,8 +150,19 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from .. import flags
+
     ev = tables.load_events(spark, sf_dir) \
         .select("event_id", "ts", "user_id", "event_type")
+    if flags.SCHEMA_ONLY:
+        e0 = ev.limit(0)
+        joined = click_purchase_join(
+            e0.where(F.col("event_type") == "click"),
+            e0.where(F.col("event_type") == "purchase"),
+            horizon="1 hour", watermark="90 days")
+        return (joined.select("click_id", "purchase_id", "c_ts",
+                              F.col("p_ts").alias("p_ts"))
+                      .orderBy("click_id", "purchase_id"))
     base = os.path.join(tempfile.gettempdir(),
                         f"uvdb_sjoin_src_{abs(hash(sf_dir)) % 10 ** 8}")
     for etype in ("click", "purchase"):
@@ -179,10 +190,18 @@ def _replay(spark: SparkSession, df: DataFrame, sf_dir: str, tag: str,
             schema: str, n_files: int = 4) -> DataFrame:
     """A frame rewritten once as an n-file parquet dir and opened as
     a maxFilesPerTrigger=1 file stream — the replay harness every
-    streaming oracle query shares (events and documents alike)."""
+    streaming oracle query shares (events and documents alike).
+
+    Under flags.SCHEMA_ONLY the parquet rewrite is skipped and an
+    empty BATCH frame with the same schema is returned instead; the
+    downstream transformations are batch-compatible, so schema-only
+    consumers pay nothing (ADVICE r4)."""
     import os
     import tempfile
 
+    from .. import flags
+    if flags.SCHEMA_ONLY:
+        return df.limit(0)
     src = os.path.join(tempfile.gettempdir(),
                        f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
     df.repartition(n_files).write.mode("overwrite").parquet(src)
@@ -202,6 +221,10 @@ def _replay_events(spark: SparkSession, sf_dir: str, tag: str,
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     import uuid
 
+    if not stream_df.isStreaming:
+        # SCHEMA_ONLY path: _replay handed back an empty batch frame;
+        # the plan is already the (empty) result with the real schema.
+        return stream_df
     name = "uvdb_mem_" + uuid.uuid4().hex[:8]
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())

@@ -94,18 +94,28 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    ev = tables.load_events(spark, sf_dir).select("event_type", "value")
-    src = os.path.join(tempfile.gettempdir(),
-                       f"uvdb_topk_src_{abs(hash(sf_dir)) % 10 ** 8}")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (spark.readStream.schema("event_type string, value double")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    name = "uvdb_topk_" + uuid.uuid4().hex[:8]
-    q = (running_topk(stream).writeStream.format("memory")
-         .queryName(name).outputMode("update")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    final = (spark.table(name)
+    from .. import flags
+
+    if flags.SCHEMA_ONLY:
+        # applyInPandasWithState requires a streaming source; for
+        # schema-only consumers, thread an empty frame with the
+        # operator's declared OUTPUT_SCHEMA through the same
+        # post-stream reduction so the final schema is the real one.
+        emissions = spark.createDataFrame([], OUTPUT_SCHEMA)
+    else:
+        ev = tables.load_events(spark, sf_dir).select("event_type", "value")
+        src = os.path.join(tempfile.gettempdir(),
+                           f"uvdb_topk_src_{abs(hash(sf_dir)) % 10 ** 8}")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema("event_type string, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        name = "uvdb_topk_" + uuid.uuid4().hex[:8]
+        q = (running_topk(stream).writeStream.format("memory")
+             .queryName(name).outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        emissions = spark.table(name)
+    final = (emissions
              .groupBy("key")
              .agg(F.max_by("topk", "n_seen").alias("topk"),
                   F.max("n_seen").alias("n_seen")))
