@@ -62,8 +62,13 @@ _PRIORITY = [
     "date_range_agg", "ip_range_agg", "catalog_semantics",
     "pq_adc_knn", "ivfpq_knn", "significant_text_agg",
     "nested_payload_typed",
-    # (c) r5 continuation surface (slots 51+, queue first for r6)
-    # -- appended below as implemented --
+    # (c) r5 continuation surface (slots 51+, queue first for r6):
+    # ES filters/significant_terms/ip_prefix/geohash_grid aggs,
+    # intervals + multi_match most_fields query DSL, multi-tenant
+    # partition-pruned scan (all MATCH under driver_sim this round)
+    "filters_agg", "significant_terms_agg", "ip_prefix_agg",
+    "geohash_grid_agg", "intervals_search", "multi_match_most_fields",
+    "tenant_scoped_scan",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

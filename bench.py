@@ -64,6 +64,11 @@ HEADLINE = [
     "cumulative_cardinality_agg", "context_search", "edge_ngram_index",
     "percentile_histogram_sketch",
     "rag_ingest_search", "hard_negative_mining", "frequent_item_sets",
+    # r5: phrase suggester, ES agg stragglers, typed-payload +
+    # tenant partition-pruned scans, catalog lifecycle census
+    "suggest_phrase", "significant_text_agg", "missing_bucket_agg",
+    "global_bucket_agg", "geohash_grid_agg", "intervals_search",
+    "nested_payload_typed", "tenant_scoped_scan", "catalog_semantics",
 ]
 
 

@@ -54,6 +54,14 @@ DOC_OPS = [
     # payload parse, and the by-id lookup knn
     "string_stats_agg", "gopher_quality_rules", "span_near_search",
     "mad_value", "nested_payload_filter", "knn_by_id",
+    # r5 standing-panel additions (VERDICT r4 #10): the heaviest
+    # continuation ops — all linear-in-tokens, floors on record —
+    # plus the new r5 surface worth watching (double token explode
+    # + bigram aggs in the phrase suggester; distinct doc-token
+    # explode in significant_text)
+    "combined_fields_search", "match_phrase_prefix_search",
+    "context_search", "edge_ngram_index",
+    "suggest_phrase", "significant_text_agg",
 ]
 
 

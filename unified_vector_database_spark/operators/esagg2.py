@@ -334,3 +334,230 @@ def normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.try_divide(F.col("total"), F.col("tv")), 6)
                       .alias("pct_of_value"))
              .orderBy("event_type"))
+
+
+# ---------------------------------------------- r5: bucket-agg stragglers
+#
+# The last ES bucket-agg family members (VERDICT r4 "What's missing"
+# #2): `missing`-value bucket, `global` bucket, and the `date_range` /
+# `ip_range` variants of the range agg. All are one map-side CASE /
+# rollup away from range_agg's shape — bucket label computed in the
+# scan, one partial-agg groupBy, bucket-count-sized output.
+
+
+@register("missing_bucket_agg", oracle="""
+SELECT coalesce(c.c_mktsegment, '__missing__') AS segment,
+       count(*) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+  ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""")
+def missing_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `missing` agg composed with a terms agg: events enriched
+    from a dimension that genuinely lacks 1/3 of the keys (users with
+    no CRM record); rows whose field is absent land in an explicit
+    `__missing__` bucket instead of silently dropping. The dim side is
+    broadcast (it's customer-sized); the missing-bucket labeling is a
+    map-side coalesce after the join — no extra pass."""
+    ev = tables.load(spark, sf_dir, "events")
+    cust = (tables.load(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 3 != 0)
+            .select("c_custkey", "c_mktsegment"))
+    return (ev.join(F.broadcast(cust),
+                    ev.user_id == cust.c_custkey, "left")
+              .groupBy(F.coalesce("c_mktsegment", F.lit("__missing__"))
+                        .alias("segment"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value"))
+              .orderBy("segment"))
+
+
+GLOBAL_VALUE_MIN = 50.0
+
+
+@register("global_bucket_agg", oracle=f"""
+WITH q AS (
+  SELECT CASE WHEN value > {GLOBAL_VALUE_MIN!r} THEN event_type END AS b,
+         value
+  FROM events)
+SELECT CASE WHEN grouping(b) = 1 THEN '__global__' ELSE b END AS bucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM q GROUP BY ROLLUP (b)
+HAVING grouping(b) = 1 OR b IS NOT NULL
+ORDER BY bucket
+""")
+def global_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `global` bucket: aggregations that ignore the query filter,
+    side-by-side with the filtered buckets — per-type stats over
+    events matching `value > min`, plus a `__global__` row over ALL
+    events. ONE scan: the filter folds into the bucket label (NULL =
+    non-matching) and ROLLUP's grand-total row covers every event, so
+    the global bucket costs no second pass; non-matching rows are
+    dropped from the per-type output by the grouping() HAVING."""
+    ev = tables.load(spark, sf_dir, "events")
+    q = ev.select(
+        F.when(F.col("value") > GLOBAL_VALUE_MIN, F.col("event_type"))
+         .alias("b"), "value")
+    agg = (q.rollup("b")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value"),
+                 F.grouping("b").alias("_g")))
+    return (agg.where((F.col("_g") == 1) | F.col("b").isNotNull())
+               .select(F.when(F.col("_g") == 1, "__global__")
+                        .otherwise(F.col("b")).alias("bucket"),
+                       "n", "avg_value")
+               .orderBy("bucket"))
+
+
+DATE_RANGE_BOUNDS = ("2024-01-08", "2024-01-20")
+
+
+@register("date_range_agg", oracle=f"""
+SELECT CASE WHEN ts < TIMESTAMP '{DATE_RANGE_BOUNDS[0]}'
+            THEN 'a_until_{DATE_RANGE_BOUNDS[0]}'
+            WHEN ts < TIMESTAMP '{DATE_RANGE_BOUNDS[1]}'
+            THEN 'b_{DATE_RANGE_BOUNDS[0]}_{DATE_RANGE_BOUNDS[1]}'
+            ELSE 'c_from_{DATE_RANGE_BOUNDS[1]}' END AS bucket,
+       count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `date_range` agg: explicit timestamp boundaries (from
+    inclusive, to exclusive — ES's convention), open-ended first/last
+    buckets. Same scan shape as range_agg; the CASE over ts is
+    map-side and the timestamp literals fold at plan time."""
+    ev = tables.load(spark, sf_dir, "events")
+    lo, hi = DATE_RANGE_BOUNDS
+    bucket = (F.when(F.col("ts") < F.lit(lo).cast("timestamp"),
+                     f"a_until_{lo}")
+               .when(F.col("ts") < F.lit(hi).cast("timestamp"),
+                     f"b_{lo}_{hi}")
+               .otherwise(f"c_from_{hi}"))
+    return (ev.groupBy(bucket.alias("bucket"))
+              .agg(F.count("*").alias("n"),
+                   F.countDistinct("user_id").cast("long").alias("n_users"))
+              .orderBy("bucket"))
+
+
+# ip_range: the corpus has no IP column, so the op derives one
+# deterministically from user_id (10.x.y.z octets) — the point under
+# test is the dotted-quad PARSE (string -> numeric) + CIDR-style range
+# bucketing, which both engines recompute from the same string.
+IP_RANGE_BOUNDS = (64, 512)  # numeric offsets from 10.0.0.0
+
+
+def _ip_sql() -> str:
+    return ("concat('10.', CAST(user_id // 65536 % 256 AS VARCHAR), '.', "
+            "CAST(user_id // 256 % 256 AS VARCHAR), '.', "
+            "CAST(user_id % 256 AS VARCHAR))")
+
+
+@register("ip_range_agg", oracle=f"""
+WITH ips AS (SELECT {_ip_sql()} AS ip, user_id FROM events),
+parsed AS (
+  SELECT ip, user_id,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+       + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+       + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+       + CAST(string_split(ip, '.')[4] AS BIGINT) AS addr
+  FROM ips)
+SELECT CASE WHEN addr < 167772160 + {IP_RANGE_BOUNDS[0]} THEN 'a_low'
+            WHEN addr < 167772160 + {IP_RANGE_BOUNDS[1]} THEN 'b_mid'
+            ELSE 'c_high' END AS bucket,
+       count(*) AS n,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips
+FROM parsed GROUP BY 1 ORDER BY 1
+""")
+def ip_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `ip_range` agg: dotted-quad strings parsed to numeric
+    addresses (split + octet weights — all JVM string/arith builtins,
+    map-side), bucketed by explicit address boundaries (the CIDR
+    masks of ES's ip_range reduce to exactly such numeric ranges).
+    10.0.0.0 = 167772160."""
+    ev = tables.load(spark, sf_dir, "events")
+    ip = F.concat(F.lit("10."),
+                  (F.col("user_id") / 65536).cast("long") % 256, F.lit("."),
+                  (F.col("user_id") / 256).cast("long") % 256, F.lit("."),
+                  F.col("user_id") % 256)
+    parts = F.split("ip", r"\.")
+    addr = (F.element_at(parts, 1).cast("long") * 16777216
+            + F.element_at(parts, 2).cast("long") * 65536
+            + F.element_at(parts, 3).cast("long") * 256
+            + F.element_at(parts, 4).cast("long"))
+    base = 167772160
+    lo, hi = IP_RANGE_BOUNDS
+    p = ev.select(ip.alias("ip")).withColumn("addr", addr)
+    bucket = (F.when(F.col("addr") < base + lo, "a_low")
+               .when(F.col("addr") < base + hi, "b_mid")
+               .otherwise("c_high"))
+    return (p.groupBy(bucket.alias("bucket"))
+             .agg(F.count("*").alias("n"),
+                  F.countDistinct("ip").cast("long").alias("n_ips"))
+             .orderBy("bucket"))
+
+
+# ------------------------------------------------------- significant_text
+
+SIGTEXT_LANG = "en"
+SIGTEXT_TOP = 10
+
+
+@register("significant_text_agg", oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang = '{SIGTEXT_LANG}' AS fg,
+         unnest(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+           AS token
+  FROM documents),
+tot AS (
+  SELECT count(DISTINCT CASE WHEN lang = '{SIGTEXT_LANG}' THEN doc_id END)
+           AS nfg,
+         count(DISTINCT doc_id) AS nall
+  FROM documents),
+tc AS (
+  SELECT token,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_docs,
+         count(*) AS all_docs
+  FROM dt GROUP BY token)
+SELECT token, CAST(fg_docs AS BIGINT) AS fg_docs,
+       CAST(all_docs AS BIGINT) AS all_docs,
+       round((fg_docs * 1.0 / nfg - all_docs * 1.0 / nall)
+             * (fg_docs * 1.0 / nfg) / (all_docs * 1.0 / nall), 6)
+         AS jlh_score
+FROM tc CROSS JOIN tot
+WHERE fg_docs > 0
+ORDER BY jlh_score DESC, token LIMIT {SIGTEXT_TOP}
+""")
+def significant_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_text` agg: terms over-represented in the
+    foreground set (docs matching the query — here lang='en') vs the
+    whole corpus, ranked by the JLH score ES uses
+    ((fg% - bg%) * fg%/bg%). One distinct-(doc, token) explode feeds
+    conditional doc-frequency sums — foreground membership is a
+    map-side flag, not a join — and the 2-value totals frame
+    broadcasts into the vocabulary-sized score computation."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    from ..functions.text import tokens
+    dt = (docs.select("doc_id",
+                      (F.col("lang") == SIGTEXT_LANG).alias("fg"),
+                      F.explode(tokens("text")).alias("token"))
+              .distinct())
+    tot = docs.agg(
+        F.countDistinct(F.when(F.col("lang") == SIGTEXT_LANG,
+                               F.col("doc_id"))).alias("nfg"),
+        F.countDistinct("doc_id").alias("nall"))
+    tc = (dt.groupBy("token")
+            .agg(F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_docs"),
+                 F.count("*").alias("all_docs")))
+    fgp = F.col("fg_docs") / F.col("nfg")
+    bgp = F.col("all_docs") / F.col("nall")
+    return (tc.crossJoin(F.broadcast(tot))
+              .where(F.col("fg_docs") > 0)
+              .select("token",
+                      F.col("fg_docs").cast("long").alias("fg_docs"),
+                      F.col("all_docs").cast("long").alias("all_docs"),
+                      F.round((fgp - bgp) * fgp / bgp, 6).alias("jlh_score"))
+              .orderBy(F.desc("jlh_score"), "token").limit(SIGTEXT_TOP))

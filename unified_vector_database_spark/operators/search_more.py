@@ -513,3 +513,132 @@ def values_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("n_chars").cast("bigint")).cast("bigint")
                    .alias("total_chars"))
              .orderBy("lang"))
+
+
+# -------------------------------------------------------- intervals query
+
+IV_T1 = "vector"
+IV_T2 = "merge"
+IV_MAX_GAPS = 4
+
+
+@register("intervals_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{IV_T1}') AS p1,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{IV_T2}') AS p2
+  FROM t),
+g AS (
+  SELECT doc_id,
+         flatten(list_transform(p1,
+             x -> list_transform(p2, y -> y - x - 1))) AS gaps
+  FROM p),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(gaps, d -> d >= 0 AND d <= {IV_MAX_GAPS}))
+              AS BIGINT) AS n_matches,
+         CAST(list_min(list_filter(gaps, d -> d >= 0 AND d <= {IV_MAX_GAPS}))
+              AS INT) AS min_gap
+  FROM g)
+SELECT doc_id, n_matches, min_gap FROM m WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id LIMIT 20
+""")
+def intervals_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `intervals` query, `ordered` + `max_gaps`: '{IV_T1}' must
+    precede '{IV_T2}' with at most {IV_MAX_GAPS} tokens between them
+    (the ORDERED counterpart of span_near_search's unordered window —
+    gap = y - x - 1 must be in [0, max_gaps], so order is part of the
+    predicate, not just proximity). Same zero-shuffle shape: per-doc
+    position lists and the gap cross product are map-side array math;
+    only the top-N page moves."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+
+    def positions(term):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i + 1)
+                        .otherwise(F.lit(-1))),
+            lambda x: x >= 0)
+
+    gaps = F.flatten(F.transform(
+        positions(IV_T1),
+        lambda x: F.transform(positions(IV_T2), lambda y: y - x - 1)))
+    ok = F.filter(gaps, lambda d: (d >= 0) & (d <= IV_MAX_GAPS))
+    out = docs.select(
+        "doc_id",
+        F.size(ok).cast("long").alias("n_matches"),
+        F.array_min(ok).cast("int").alias("min_gap"))
+    return (out.where(F.col("n_matches") > 0)
+               .orderBy(F.desc("n_matches"), "doc_id").limit(20))
+
+
+# ------------------------------------------------- multi_match most_fields
+
+MM_TERMS = ("vector", "query")
+MM_TITLE_LEN = 8
+MM_TITLE_BOOST = 2.0
+
+
+@register("multi_match_most_fields", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         toks[1:{MM_TITLE_LEN}] AS title,
+         toks[{MM_TITLE_LEN + 1}:] AS body
+  FROM t),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(title) > 0 THEN
+           {MM_TITLE_BOOST!r} * ({' + '.join(
+               f"len(list_filter(title, x -> x = '{w}'))"
+               for w in MM_TERMS)}) / sqrt(len(title))
+         ELSE 0.0 END
+       + CASE WHEN len(body) > 0 THEN
+           1.0 * ({' + '.join(
+               f"len(list_filter(body, x -> x = '{w}'))"
+               for w in MM_TERMS)}) / sqrt(len(body))
+         ELSE 0.0 END AS score
+  FROM f)
+SELECT doc_id, round(score, 6) AS score
+FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 15
+""")
+def multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `multi_match` type `most_fields`: each field scores
+    INDEPENDENTLY (per-field tf with that field's own length norm,
+    times the field boost) and the scores ADD — vs combined_fields'
+    single blended field statistics (T38) and dis_max's winner-take-
+    most (T29); the three are distinct named scoring semantics in the
+    ES DSL. Title = first {MM_TITLE_LEN} tokens (single-field corpus
+    stand-in, same split as T38). All map-side array math, one
+    TakeOrdered page."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    f = docs.select(
+        "doc_id",
+        F.slice(toks, 1, MM_TITLE_LEN).alias("title"),
+        F.expr(f"slice({_spark_toks()}, {MM_TITLE_LEN + 1}, "
+               f"greatest(size({_spark_toks()}) - {MM_TITLE_LEN}, 0))")
+         .alias("body"))
+
+    def eq(term):  # 2-arg lambdas become (elem, idx) lambdas
+        return lambda x: x == F.lit(term)
+
+    def field_score(col, boost):
+        tf = None
+        for w in MM_TERMS:
+            part = F.size(F.filter(col, eq(w)))
+            tf = part if tf is None else tf + part
+        return F.when(F.size(col) > 0,
+                      F.lit(boost) * tf / F.sqrt(F.size(col))) \
+                .otherwise(F.lit(0.0))
+
+    score = field_score(F.col("title"), MM_TITLE_BOOST) \
+        + field_score(F.col("body"), 1.0)
+    s = f.select("doc_id", score.alias("score"))
+    return (s.where(F.col("score") > 0)
+             .select("doc_id", F.round("score", 6).alias("score"))
+             .orderBy(F.desc("score"), "doc_id").limit(15))

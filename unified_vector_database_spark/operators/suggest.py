@@ -12,7 +12,7 @@ builder plus the lookup fused.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .. import tables
 from ..functions.text import exploded_tokens
@@ -71,3 +71,138 @@ def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     _HL_PAD * 2 + len(_HL_TERM)).alias("snippet"))
                 .orderBy("doc_id")
                 .limit(25))
+
+
+# ------------------------------------------------------- phrase suggester
+
+# ES phrase suggester ("did you mean"): per-term candidate corrections
+# from the corpus vocabulary (bounded edit distance — T8's fuzzy
+# expansion), then candidate PHRASES reranked by a corpus bigram
+# confusion model (stupid-backoff-style add-one bigram logprob) minus
+# an edit-cost penalty. VERDICT r4 "What's missing" #1.
+_SP_TERMS = ("tble", "jine", "smal")   # user typed: "tble jine smal"
+_SP_MAXD = 2
+_SP_CAND = 3
+_SP_EDIT_PENALTY = 0.5
+_SP_TOP = 5
+
+
+def _sp_oracle() -> str:
+    from .lm import _TOK_CTE
+    vals = ", ".join(f"({i + 1}, '{t}')" for i, t in enumerate(_SP_TERMS))
+    return f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+nv AS (SELECT count(*) AS nvocab FROM vocab),
+terms(pos, term) AS (VALUES {vals}),
+cand AS (
+  SELECT pos, token, levenshtein(token, term) AS dist, freq,
+         row_number() OVER (PARTITION BY pos
+             ORDER BY levenshtein(token, term), freq DESC, token) AS rnk
+  FROM vocab, terms WHERE levenshtein(token, term) <= {_SP_MAXD}),
+c1 AS (SELECT token AS w1, dist AS d1 FROM cand WHERE pos = 1 AND rnk <= {_SP_CAND}),
+c2 AS (SELECT token AS w2, dist AS d2 FROM cand WHERE pos = 2 AND rnk <= {_SP_CAND}),
+c3 AS (SELECT token AS w3, dist AS d3 FROM cand WHERE pos = 3 AND rnk <= {_SP_CAND}),
+combos AS (SELECT w1, w2, w3, d1 + d2 + d3 AS td FROM c1, c2, c3),
+bc AS (SELECT w1 AS a, w2 AS b, count(*) AS c12 FROM b GROUP BY 1, 2),
+uc AS (SELECT w1 AS a, count(*) AS c1 FROM b GROUP BY 1)
+SELECT concat(w1, ' ', w2, ' ', w3) AS suggestion,
+       CAST(td AS INT) AS total_dist,
+       round(ln((coalesce(b1.c12, 0) + 1.0) / (coalesce(u1.c1, 0) + nvocab))
+           + ln((coalesce(b2.c12, 0) + 1.0) / (coalesce(u2.c1, 0) + nvocab))
+           - {_SP_EDIT_PENALTY} * td, 6) AS score
+FROM combos CROSS JOIN nv
+LEFT JOIN bc b1 ON b1.a = w1 AND b1.b = w2
+LEFT JOIN bc b2 ON b2.a = w2 AND b2.b = w3
+LEFT JOIN uc u1 ON u1.a = w1
+LEFT JOIN uc u2 ON u2.a = w2
+ORDER BY score DESC, suggestion LIMIT {_SP_TOP}
+"""
+
+
+@register("suggest_phrase", oracle=_sp_oracle)
+def suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester ("did you mean"): each query term expands
+    to its top edit-distance-{_SP_MAXD} vocabulary corrections (ranked
+    dist asc, corpus freq desc — one vocab pass with the 3-term frame
+    broadcast, T8's fuzzy shape); the ≤{_SP_CAND}^3 candidate phrases
+    are then scored by an add-one corpus bigram model minus an
+    edit-cost penalty. Scale shape: the corpus touches only two
+    vocabulary-sized aggs (bigram + unigram counts) and ONE vocab scan
+    for candidates; the bigram/unigram tables are pruned by a
+    broadcast semi-join on the ≤2·{_SP_CAND}² candidate pairs before
+    the (tiny × tiny) scoring joins — no corpus-sized shuffle carries
+    phrase state. Reference surface: ES suggesters via the
+    elasticsearch client (reference README.md:93-96)."""
+    from .lm import doc_bigrams
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = exploded_tokens(docs, "doc_id", "text")
+    # Checkpoint the two vocabulary-sized model tables (lazily — dsir
+    # precedent): WITHOUT this, every broadcast subtree below re-runs
+    # its own corpus token explode (~6 full passes; the 64x probe
+    # measured 13.7 s at sf0.1 for what is one explode of work). At
+    # 100 TB these tables are computed once at ingest and stored.
+    vocab = (tok.groupBy("token").agg(F.count("*").alias("freq"))
+                .localCheckpoint(eager=False))
+    nv = vocab.agg(F.count("*").alias("nvocab"))
+    terms = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(_SP_TERMS)], "pos int, term string")
+    dist = F.levenshtein("token", "term")
+    cand = (vocab.crossJoin(F.broadcast(terms))
+                 .where(dist <= _SP_MAXD)
+                 .select("pos", "token", dist.alias("dist"), "freq"))
+    rnk = F.row_number().over(
+        W.partitionBy("pos").orderBy("dist", F.desc("freq"), "token"))
+    cand = (cand.withColumn("rnk", rnk).where(F.col("rnk") <= _SP_CAND)
+                .localCheckpoint(eager=False))  # ≤3·CAND rows, read 3x
+    c1 = cand.where(F.col("pos") == 1).select(
+        F.col("token").alias("w1"), F.col("dist").alias("d1"))
+    c2 = cand.where(F.col("pos") == 2).select(
+        F.col("token").alias("w2"), F.col("dist").alias("d2"))
+    c3 = cand.where(F.col("pos") == 3).select(
+        F.col("token").alias("w3"), F.col("dist").alias("d3"))
+    combos = (c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+                .select("w1", "w2", "w3",
+                        (F.col("d1") + F.col("d2") + F.col("d3")).alias("td")))
+
+    b = doc_bigrams(docs)
+    bc = (b.groupBy(F.col("w1").alias("a"), F.col("w2").alias("b"))
+           .agg(F.count("*").alias("c12"))
+           .localCheckpoint(eager=False))  # ONE bigram pass, read twice
+    # prune the vocabulary-sized count tables down to the candidate
+    # pairs/tokens BEFORE the scoring joins (broadcast semi-joins) —
+    # the scoring joins then run tiny x tiny. Unigram counts derive
+    # FROM the checkpointed bigram table (c1(a) = Σ_b c12(a,b) — same
+    # w1-occurrence count), not from a second corpus pass.
+    pairs = (combos.select(F.col("w1").alias("a"), F.col("w2").alias("b"))
+             .union(combos.select(F.col("w2").alias("a"),
+                                  F.col("w3").alias("b"))).distinct())
+    toks = (combos.select(F.col("w1").alias("a"))
+            .union(combos.select(F.col("w2").alias("a"))).distinct())
+    bcf = bc.join(F.broadcast(pairs), ["a", "b"])
+    ucf = (bc.join(F.broadcast(toks), ["a"])
+             .groupBy("a").agg(F.sum("c12").alias("c1")))
+
+    def lp(c12, c1):
+        return F.log((F.coalesce(c12, F.lit(0)) + 1.0)
+                     / (F.coalesce(c1, F.lit(0)) + F.col("nvocab")))
+
+    b1 = bcf.select(F.col("a").alias("w1"), F.col("b").alias("w2"),
+                    F.col("c12").alias("c12_1"))
+    b2 = bcf.select(F.col("a").alias("w2"), F.col("b").alias("w3"),
+                    F.col("c12").alias("c12_2"))
+    u1 = ucf.select(F.col("a").alias("w1"), F.col("c1").alias("c1_1"))
+    u2 = ucf.select(F.col("a").alias("w2"), F.col("c1").alias("c1_2"))
+    scored = (combos.crossJoin(F.broadcast(nv))
+              .join(F.broadcast(b1), ["w1", "w2"], "left")
+              .join(F.broadcast(b2), ["w2", "w3"], "left")
+              .join(F.broadcast(u1), ["w1"], "left")
+              .join(F.broadcast(u2), ["w2"], "left"))
+    score = F.round(lp(F.col("c12_1"), F.col("c1_1"))
+                    + lp(F.col("c12_2"), F.col("c1_2"))
+                    - _SP_EDIT_PENALTY * F.col("td"), 6)
+    return (scored.select(
+                F.concat_ws(" ", "w1", "w2", "w3").alias("suggestion"),
+                F.col("td").cast("int").alias("total_dist"),
+                score.alias("score"))
+            .orderBy(F.desc("score"), "suggestion").limit(_SP_TOP))

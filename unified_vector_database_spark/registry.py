@@ -53,10 +53,10 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
-        analytics, arrow_knn, cleanup, dedup, esagg, esagg2, evaluation, geo,
-        hybrid, index, inference, inverted, jpeg,
-        knn, lm, matrix, multimodal, percolate, quality, rerank, sampling,
-        search_extras, search_more, simhash, simjoin,
+        analytics, arrow_knn, cleanup, dedup, esagg, esagg2, esagg3,
+        evaluation, geo, hybrid, index, inference, inverted, jpeg,
+        knn, lifecycle, lm, matrix, multimodal, percolate, quality, rerank,
+        sampling, search_extras, search_more, simhash, simjoin,
         sketches, spans, sparse, stats, stats_more, suggest, textops,
         timeseries, tpch_extra, tpch_more,
     )
