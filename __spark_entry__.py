@@ -68,7 +68,7 @@ _PRIORITY = [
     # partition-pruned scan (all MATCH under driver_sim this round)
     "filters_agg", "significant_terms_agg", "ip_prefix_agg",
     "geohash_grid_agg", "intervals_search", "multi_match_most_fields",
-    "tenant_scoped_scan",
+    "tenant_scoped_scan", "token_count_bpe",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

@@ -532,13 +532,17 @@ WHERE fg_docs > 0
 ORDER BY jlh_score DESC, token LIMIT {SIGTEXT_TOP}
 """)
 def significant_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES `significant_text` agg: terms over-represented in the
-    foreground set (docs matching the query — here lang='en') vs the
-    whole corpus, ranked by the JLH score ES uses
-    ((fg% - bg%) * fg%/bg%). One distinct-(doc, token) explode feeds
-    conditional doc-frequency sums — foreground membership is a
-    map-side flag, not a join — and the 2-value totals frame
-    broadcasts into the vocabulary-sized score computation."""
+    """ES `significant_text` agg under the JLH heuristic
+    ((fg% - bg%) * fg%/bg% — ES's default significance score; the
+    LIFT-scored form is T10 `significant_terms` in hybrid.py, and the
+    keyword-field form is `significant_terms_agg` in esagg3.py — ES
+    exposes these as separately selectable heuristics/field types):
+    terms over-represented in the foreground set (docs matching the
+    query — here lang='en') vs the whole corpus. One
+    distinct-(doc, token) explode feeds conditional doc-frequency
+    sums — foreground membership is a map-side flag, not a join —
+    and the 2-value totals frame broadcasts into the
+    vocabulary-sized score computation."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     from ..functions.text import tokens
     dt = (docs.select("doc_id",

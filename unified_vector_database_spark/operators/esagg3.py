@@ -98,11 +98,13 @@ WHERE fg_docs > 0
 ORDER BY jlh_score DESC, source LIMIT 10
 """)
 def significant_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES `significant_terms` on a KEYWORD field (the structured twin
-    of significant_text's free-text form): sources over-represented
-    in the foreground set (lang='{SIGTERMS_LANG}') vs the corpus,
-    JLH-scored. No tokenize/explode at all — one groupBy(source) with
-    a conditional foreground count, totals broadcast."""
+    """ES `significant_terms` on a KEYWORD field — distinct from the
+    free-text forms (T10 `significant_terms`: token lift; T41
+    `significant_text_agg`: token JLH): the bucket key is a
+    structured field value, so there is no tokenize/explode at all —
+    one groupBy(source) with a conditional foreground count, totals
+    broadcast. Foreground = lang='{SIGTERMS_LANG}' docs, JLH-scored
+    (ES's default significance heuristic)."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     fg = F.col("lang") == SIGTERMS_LANG
     tot = docs.agg(F.count(F.when(fg, 1)).alias("nfg"),

@@ -38,13 +38,24 @@ b AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL)
 
 def doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) one row per bigram OCCURRENCE (not distinct —
-    LM counts need multiplicity, unlike the dedup shingle sets)."""
-    tok = exploded_tokens(docs, "doc_id", "text")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    return (tok.select("doc_id",
-                       F.col("token").alias("w1"),
-                       F.lead("token").over(w).alias("w2"))
-               .where(F.col("w2").isNotNull()))
+    LM counts need multiplicity, unlike the dedup shingle sets).
+
+    r5: built MAP-SIDE from the token array (adjacent-pair transform
+    + one explode) — the r1 window form (partitionBy doc_id, lead)
+    shuffled AND sorted the entire token stream before producing a
+    single bigram; now the corpus never shuffles until the counts'
+    partial agg. The slice's `greatest(…, 0)` makes <2-token docs an
+    EMPTY pair array (vs sequence(1, 0), which is DESCENDING)."""
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    t = docs.select("doc_id", toks.alias("toks"))
+    # pair i of the slice toks[2..n] (0-based w, index i):
+    # (w1, w2) = (toks[i+1], w) — adjacent pairs, no window
+    pairs = F.expr(
+        "transform(slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(w, i) -> named_struct('w1', element_at(toks, i + 1), 'w2', w))")
+    return (t.select("doc_id", F.explode(pairs).alias("p"))
+             .select("doc_id", F.col("p.w1").alias("w1"),
+                     F.col("p.w2").alias("w2")))
 
 
 @register("lm_bigram_quality", oracle=f"""

@@ -422,3 +422,46 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "(acc, s) -> acc + s.n)") * 1.0
                            / F.col("total"), 6).alias("cum_share"))
                .orderBy("rank"))
+
+
+# ------------------------------------------------------ BPE-ish token count
+
+# A GPT-2-class pre-tokenizer split (letter runs | digit runs |
+# punctuation singletons) — the regex family every BPE tokenizer
+# applies before merges. Token COUNTS from this split are the
+# standard cheap estimator for LLM training-data budgeting ("how many
+# tokens is this corpus?") without shipping a tokenizer model.
+BPE_SPLIT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register("token_count_bpe", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(regexp_extract_all(lower(text), '{BPE_SPLIT}')) AS n_tok
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(sum(n_tok) * 1.0 / count(*), 6) AS avg_tokens,
+       round(sum(n_chars) * 1.0 / sum(n_tok), 6) AS chars_per_token
+FROM t GROUP BY lang ORDER BY lang
+""")
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer token counting (the brief's 'whitespace + a
+    BPE-ish regex' pair with X2's whitespace stats): per-doc token
+    count = |regexp_extract_all| of the letter/digit/punct split, no
+    explode — the array materializes and collapses INSIDE the scan
+    stage projection; the only shuffle is the |langs|-row rollup.
+    chars_per_token is the budgeting ratio (≈4 for English prose)."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    n_tok = F.size(F.expr(
+        f"regexp_extract_all(lower(text), '{BPE_SPLIT}', 0)"))
+    t = docs.select("lang", "n_chars", n_tok.alias("n_tok"))
+    return (t.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tok").cast("long").alias("total_tokens"),
+                  F.round(F.sum("n_tok") / F.count("*"), 6)
+                   .alias("avg_tokens"),
+                  F.round(F.sum("n_chars") / F.sum("n_tok"), 6)
+                   .alias("chars_per_token"))
+             .orderBy("lang"))
