@@ -257,3 +257,33 @@ def geohash_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (h.select(gh.alias("geohash"))
              .groupBy("geohash").agg(F.count("*").alias("n"))
              .orderBy(F.desc("n"), "geohash").limit(20))
+
+
+# ------------------------------------------------------------------ rate
+
+RATE_UNIT_HOURS = 24.0  # day buckets normalized to a per-hour rate
+
+
+@register("rate_agg", oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n,
+       round(count(*) / {RATE_UNIT_HOURS!r}, 6) AS events_per_hour,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / {RATE_UNIT_HOURS!r}, 6) AS value_per_hour
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rate` agg inside a date_histogram: bucket sums normalized
+    to a smaller calendar unit (day buckets → per-hour rate; ES
+    divides by the bucket-to-unit ratio exactly like this). The
+    normalization is constant column math over the bucket frame —
+    same single-scan shape as every sibling pipeline agg."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.count("*") / RATE_UNIT_HOURS, 6)
+                    .alias("events_per_hour"),
+                   F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                            .cast("double") / RATE_UNIT_HOURS, 6)
+                    .alias("value_per_hour"))
+              .orderBy("day"))

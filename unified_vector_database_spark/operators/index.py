@@ -1004,3 +1004,30 @@ def ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("rank", F.row_number().over(wr))
                 .where(F.col("rank") <= BATCH_IVF_K)
                 .orderBy("qid", "rank"))
+
+
+@register("ivf_partitioned_knn", oracle=_ivf_oracle)
+def ivf_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 driven end-to-end for the correctness gate: the IVF index
+    materialized as the CELL-PARTITIONED parquet layout
+    (ivf_write_partitioned, `cid=<n>/…`), probed by filtering the
+    probe cells so the scan PRUNES AT THE FILE LISTING — identical
+    results to ivf_knn (same centroids, same nprobe cells, same exact
+    rerank), so it shares _ivf_oracle; what this row adds is the hash
+    proof that the partitioned LAYOUT path returns the same answer
+    the in-memory assignment path does. The layout is an offline
+    artifact per sf_dir (the 100 TB form: cells written once at
+    ingest, every probe reads nprobe/k of the files)."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    from .. import flags
+    if flags.SCHEMA_ONLY:
+        from .knn import knn
+        return knn(corpus.limit(0), q, k=10)
+    cents = centroids_for(spark, sf_dir, corpus)
+    path = artifact_path("ivf_cells", sf_dir)
+    _build_if_absent(path,
+                     lambda p: ivf_write_partitioned(corpus, cents, p))
+    return ivf_probe_partitioned(spark, path, cents, q, k=10)

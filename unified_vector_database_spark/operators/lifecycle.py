@@ -183,3 +183,53 @@ def tenant_scoped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("double").alias("total_value"),
                   F.min("k").cast("int").alias("min_k"),
                   F.max("k").cast("int").alias("max_k")))
+
+
+TT_MAX_ID = 300
+
+
+@register("snapshot_time_travel", oracle=f"""
+WITH v1 AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id < {TT_MAX_ID}),
+v2 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0 THEN label + 50 ELSE label END AS label
+  FROM v1),
+j AS (
+  SELECT v1.label AS old_label, v2.label AS new_label
+  FROM v1 JOIN v2 USING (vec_id))
+SELECT old_label, new_label, count(*) AS n
+FROM j GROUP BY old_label, new_label ORDER BY old_label, new_label
+""")
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 driven end-to-end: ingest v1, pin snapshot tag, update to
+    v2, then read the PINNED TAG and the CURRENT version side by side
+    and join them — the time-travel read must see pre-update labels
+    while the current read sees post-update ones, with the manifest
+    pointer untouched (read(tag=…) never mutates). The (old, new)
+    label census hash-matches the relational composition; a drifted
+    snapshot (tag following the head, the classic pointer bug) would
+    collapse old_label onto new_label and break the hash."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", "label").where(F.col("vec_id") < TT_MAX_ID))
+    upd_label = F.when(F.col("vec_id") % 5 == 0, F.col("label") + 50) \
+                 .otherwise(F.col("label"))
+    if flags.SCHEMA_ONLY:
+        v1 = emb.limit(0)
+        v2 = v1.select("vec_id", upd_label.alias("label"))
+    else:
+        base = artifact_path("catalog_tt", sf_dir)
+        if os.path.exists(base):
+            shutil.rmtree(base)  # deterministic rebuild per call
+        c = Collection.create(spark, base, "tt", id_col="vec_id")
+        c.upsert(emb)
+        c.snapshot("pinned")
+        c.update(F.col("vec_id") % 5 == 0, label=F.col("label") + 50)
+        v1 = c.read(tag="pinned")
+        v2 = c.read()
+    j = (v1.select("vec_id", F.col("label").alias("old_label"))
+           .join(v2.select("vec_id", F.col("label").alias("new_label")),
+                 "vec_id"))
+    return (j.groupBy("old_label", "new_label")
+             .agg(F.count("*").alias("n"))
+             .orderBy("old_label", "new_label"))

@@ -642,3 +642,64 @@ def multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.where(F.col("score") > 0)
              .select("doc_id", F.round("score", 6).alias("score"))
              .orderBy(F.desc("score"), "doc_id").limit(15))
+
+
+# ----------------------------------------------- recommend (best_score)
+
+RBS_POS = (17, 42)      # positive example ids
+RBS_NEG = (225,)        # negative example ids
+_RBS_IDS = RBS_POS + RBS_NEG
+
+
+@register("recommend_best_score", oracle=f"""
+WITH p1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {RBS_POS[0]}),
+p2 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {RBS_POS[1]}),
+n1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {RBS_NEG[0]}),
+s AS (
+  SELECT vec_id, label,
+         greatest({_CTX_COS.format(q="p1.v")},
+                  {_CTX_COS.format(q="p2.v")}) AS best_pos,
+         {_CTX_COS.format(q="n1.v")} AS best_neg
+  FROM embeddings, p1, p2, n1
+  WHERE vec_id NOT IN {_RBS_IDS!r}),
+sc AS (
+  SELECT vec_id, label,
+         CASE WHEN best_pos > best_neg THEN best_pos
+              ELSE -(best_neg * best_neg) END AS score
+  FROM s)
+SELECT vec_id, label, round(score, 6) AS score
+FROM sc ORDER BY score DESC, vec_id LIMIT 10
+""")
+def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `recommend` with `strategy=best_score` (the OTHER
+    recommend strategy — `average_vector` is the r2 `recommend` op,
+    and `context`/discovery is context_search): each point scores as
+    its BEST positive-example similarity, unless some negative is
+    closer, in which case the score collapses to -(best_neg²) —
+    Qdrant's published formula, which ranks negative-dominated points
+    strictly below every positive-dominated one. All example vectors
+    ride ONE broadcast row; greatest()/CASE are map-side in the scan;
+    TakeOrdered page. Round-6 absorbs libm ulps."""
+    from ..functions import distance as D
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def vec_of(vid, name):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias(name)))
+
+    ex = (vec_of(RBS_POS[0], "p1")
+          .crossJoin(F.broadcast(vec_of(RBS_POS[1], "p2")))
+          .crossJoin(F.broadcast(vec_of(RBS_NEG[0], "n1"))))
+    corpus = (emb.where(~F.col("vec_id").isin(*_RBS_IDS))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec")))
+    cos = D.METRICS["cosine"]
+    best_pos = F.greatest(cos("vec", "p1"), cos("vec", "p2"))
+    best_neg = cos("vec", "n1")
+    score = F.when(best_pos > best_neg, best_pos) \
+             .otherwise(-(best_neg * best_neg))
+    return (corpus.crossJoin(F.broadcast(ex))
+                  .select("vec_id", "label",
+                          F.round(score, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))
