@@ -69,6 +69,8 @@ HEADLINE = [
     "suggest_phrase", "significant_text_agg", "missing_bucket_agg",
     "global_bucket_agg", "geohash_grid_agg", "intervals_search",
     "nested_payload_typed", "tenant_scoped_scan", "catalog_semantics",
+    "token_count_bpe", "ivf_partitioned_knn", "snapshot_time_travel",
+    "recommend_best_score", "rate_agg", "moving_percentiles",
 ]
 
 

@@ -489,3 +489,55 @@ def variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .cast("double") / F.count("*"), 6)
                    .alias("avg_value"))
              .orderBy("bucket"))
+
+
+# ------------------------------------------------------ moving_percentiles
+
+MP_WINDOW = 7   # trailing days, current inclusive
+MP_Q = 0.5
+
+
+@register("moving_percentiles", oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1)
+SELECT day, total,
+       round(quantile_cont(total, {MP_Q!r}) OVER (
+           ORDER BY day ROWS BETWEEN {MP_WINDOW - 1} PRECEDING
+           AND CURRENT ROW), 6) AS p50_trailing
+FROM d ORDER BY day
+""")
+def moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_percentiles` pipeline agg: an exact trailing-window
+    quantile over the daily series (p50 of the last {MP_WINDOW}
+    days). The raw scan aggregates FIRST; the moving quantile then
+    evaluates as map-side array math over ONE collected bucket-array
+    row — sort each trailing slice, linear-interpolate at (n−1)·q —
+    the repo's window-free bounded shape (a running quantile window
+    over a constant partition would be an UNPARTITIONED WindowExec,
+    which the plan gate rejects). The ORACLE recomputes it through
+    DuckDB's windowed quantile_cont — an independent formulation of
+    the same linear-interpolated quantile, so a slicing or
+    interpolation bug on either side breaks the hash."""
+    d = _daily(spark, sf_dir)
+    arr = d.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("day").alias("day"), F.col("total").alias("total"))))
+        .alias("a"))
+    # per index i (1-based): slice of the last MP_WINDOW totals ending
+    # at i, sorted; exact linear-interpolated quantile at (n-1)*q
+    n = f"least(i, {MP_WINDOW})"
+    lo = f"greatest(i - {MP_WINDOW} + 1, 1)"
+    sl = f"array_sort(transform(slice(a, {lo}, {n}), x -> x.total))"
+    idx = f"(({n}) - 1) * {MP_Q!r}"
+    q = (f"element_at({sl}, cast(floor({idx}) as int) + 1) "
+         f"* (1.0 - ({idx} - floor({idx}))) "
+         f"+ element_at({sl}, cast(ceil({idx}) as int) + 1) "
+         f"* ({idx} - floor({idx}))")
+    out = arr.select(F.explode(F.expr(f"""
+        transform(sequence(1, size(a)), i -> named_struct(
+          'day', element_at(a, i).day,
+          'total', element_at(a, i).total,
+          'p50_trailing', round({q}, 6)))""")).alias("s"))
+    return (out.select("s.day", "s.total", "s.p50_trailing")
+               .orderBy("day"))
