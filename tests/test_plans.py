@@ -147,19 +147,22 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
     # partition keys (W.partitionBy(F.lit(0)) still compiles to an
     # UNPARTITIONED window), so bounded sets must rank via
     # collect/array_sort/posexplode instead (hybrid.bounded_ranks).
-    # Guard every registered query's optimized plan.
+    # Guard every registered query's optimized plan. schema_only()
+    # keeps construction cheap for the streaming replays and the
+    # side-effectful lifecycle ops (same as the output-schema gate).
     import re
-    from unified_vector_database_spark import registry
+    from unified_vector_database_spark import flags, registry
     registry.load_all()
     offenders = []
-    for name, fn in registry.QUERIES.items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution() \
-                                     .optimizedPlan().toString()
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            first = m.group(1).split(",")[0]
-            if " ASC" in first or " DESC" in first:
-                offenders.append(name)
-                break
+    with flags.schema_only():
+        for name, fn in registry.QUERIES.items():
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                                         .optimizedPlan().toString()
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+                first = m.group(1).split(",")[0]
+                if " ASC" in first or " DESC" in first:
+                    offenders.append(name)
+                    break
     assert not offenders, offenders
 
 

@@ -188,3 +188,28 @@ def test_catalog_census_deterministic_across_runs(spark, sf_dir):
     a = [(r.label, r.n) for r in catalog_semantics(spark, sf_dir).collect()]
     b = [(r.label, r.n) for r in catalog_semantics(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_moving_percentiles_matches_python_model(spark, sf_dir):
+    """Third independent formulation: numpy-free pure-Python trailing
+    quantile (sort the slice, interpolate at (n-1)*q) vs the Spark
+    array fold — the DuckDB oracle is the second (windowed
+    quantile_cont); all three must agree."""
+    from unified_vector_database_spark.operators.stats_more import (
+        MP_Q, MP_WINDOW, _daily, moving_percentiles,
+    )
+
+    daily = sorted((r.day, r.total)
+                   for r in _daily(spark, sf_dir).collect())
+    totals = [t for _, t in daily]
+    expect = []
+    for i in range(len(totals)):
+        sl = sorted(totals[max(0, i - MP_WINDOW + 1):i + 1])
+        idx = (len(sl) - 1) * MP_Q
+        lo, hi = int(idx // 1), -(-idx // 1)
+        frac = idx - lo
+        q = sl[int(lo)] * (1 - frac) + sl[int(hi)] * frac
+        expect.append((daily[i][0], totals[i], round(q, 6)))
+    got = [(r.day, r.total, r.p50_trailing)
+           for r in moving_percentiles(spark, sf_dir).collect()]
+    assert got == expect

@@ -79,7 +79,12 @@ def stream_into_indexed_collection(stream: DataFrame, collection,
 
 def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact-dedup on the event key within the watermark
-    horizon (reference: idempotent upsert on id)."""
+    horizon (reference: idempotent upsert on id). On a batch frame
+    (the SCHEMA_ONLY path) the batch equivalent is a plain
+    dropDuplicates — dropDuplicatesWithinWatermark analyzes but fails
+    Catalyst optimization on batch inputs."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(["event_id"])
     return (stream
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["event_id"]))
