@@ -541,3 +541,57 @@ def moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
           'p50_trailing', round({q}, 6)))""")).alias("s"))
     return (out.select("s.day", "s.total", "s.p50_trailing")
                .orderBy("day"))
+
+
+# ------------------------------------------------------------ moving_fn ewma
+
+EWMA_ALPHA = 0.3
+
+
+@register("ewma_smoothing", oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+arr AS (
+  SELECT list(total ORDER BY day) AS t, list(day ORDER BY day) AS days,
+         count(*) AS n
+  FROM d),
+r AS (
+  SELECT 1 AS i, t[1] AS s FROM arr
+  UNION ALL
+  SELECT i + 1, {EWMA_ALPHA!r} * t[i + 1] + {1 - EWMA_ALPHA!r} * s
+  FROM r, arr WHERE i < n)
+SELECT days[i] AS day, t[i] AS total, round(s, 6) AS ewma
+FROM r, arr ORDER BY day
+""")
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` with the ewma model (MovingFunctions.ewma):
+    s_i = α·x_i + (1−α)·s_{i−1}, seeded s_1 = x_1, over the daily
+    series. The recurrence is SEQUENTIAL by definition, so both
+    engines evaluate it as the same ordered chain of FP ops — Spark
+    as an array fold over the one sorted bucket-array row (the
+    window-free shape), DuckDB as a recursive CTE (the MMR
+    precedent) — making the result bit-identical, not just
+    close. Raw scan aggregates first; the fold touches ≤|days|
+    values."""
+    d = _daily(spark, sf_dir)
+    arr = d.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("day").alias("day"), F.col("total").alias("total"))))
+        .alias("a"))
+    folded = arr.select(F.aggregate(
+        "a",
+        F.expr("cast(array() as array<struct<day:date,total:double,"
+               "s:double>>)"),
+        lambda acc, x: F.concat(acc, F.array(F.struct(
+            x.getField("day").alias("day"),
+            x.getField("total").alias("total"),
+            F.when(F.size(acc) == 0, x.getField("total"))
+             .otherwise(F.lit(EWMA_ALPHA) * x.getField("total")
+                        + F.lit(1 - EWMA_ALPHA)
+                        * F.element_at(acc, -1).getField("s"))
+             .alias("s"))))).alias("o"))
+    out = folded.select(F.explode("o").alias("s"))
+    return (out.select("s.day", "s.total",
+                       F.round(F.col("s.s"), 6).alias("ewma"))
+               .orderBy("day"))
