@@ -349,3 +349,32 @@ def test_tenant_scan_prunes_at_file_listing(spark, sf_dir):
     )
     t = plan_text(tenant_scoped_scan(spark, sf_dir))
     assert "PartitionFilters" in t and "event_type" in t, t
+
+
+def test_r5_agg_plan_shapes(spark, sf_dir):
+    """r5 aggs keep their claimed shapes: filters_agg is ONE scan
+    (single aggregate, no union re-scan), geohash_grid stays pure JVM
+    (no Python eval in the plan), significant_terms broadcasts its
+    totals, ewma/moving_percentiles never use a window operator."""
+    from unified_vector_database_spark.operators.esagg3 import (
+        filters_agg, geohash_grid_agg, significant_terms_agg,
+    )
+    from unified_vector_database_spark.operators.stats_more import (
+        ewma_smoothing, moving_percentiles,
+    )
+
+    t = plan_text(filters_agg(spark, sf_dir))
+    # one scan NODE (each scan prints one Location detail), unpivoted
+    # via stack — never a 3-branch union of re-scans
+    assert t.count("Location:") == 1, t
+    assert "Union" not in t, t
+
+    t = plan_text(geohash_grid_agg(spark, sf_dir))
+    assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, t
+
+    t = plan_text(significant_terms_agg(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in t or "BroadcastExchange" in t, t
+
+    for df in (ewma_smoothing(spark, sf_dir),
+               moving_percentiles(spark, sf_dir)):
+        assert "Window" not in plan_text(df)
