@@ -70,7 +70,8 @@ _PRIORITY = [
     "geohash_grid_agg", "intervals_search", "multi_match_most_fields",
     "tenant_scoped_scan", "token_count_bpe", "ivf_partitioned_knn",
     "snapshot_time_travel", "recommend_best_score", "rate_agg",
-    "moving_percentiles", "ewma_smoothing",
+    "moving_percentiles", "ewma_smoothing", "holt_smoothing",
+    "bucket_ks_test",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

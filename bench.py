@@ -71,7 +71,7 @@ HEADLINE = [
     "nested_payload_typed", "tenant_scoped_scan", "catalog_semantics",
     "token_count_bpe", "ivf_partitioned_knn", "snapshot_time_travel",
     "recommend_best_score", "rate_agg", "moving_percentiles",
-    "ewma_smoothing",
+    "ewma_smoothing", "holt_smoothing", "bucket_ks_test",
 ]
 
 

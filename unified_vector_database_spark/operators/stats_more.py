@@ -595,3 +595,151 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("s.day", "s.total",
                        F.round(F.col("s.s"), 6).alias("ewma"))
                .orderBy("day"))
+
+
+# ------------------------------------------------------- moving_fn holt
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+@register("holt_smoothing", oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+arr AS (
+  SELECT list(total ORDER BY day) AS t, list(day ORDER BY day) AS days,
+         count(*) AS n
+  FROM d),
+r AS (
+  SELECT 2 AS i, t[2] AS s, t[2] - t[1] AS b FROM arr WHERE n >= 2
+  UNION ALL
+  SELECT i + 1,
+         {HOLT_ALPHA!r} * t[i + 1] + {1 - HOLT_ALPHA!r} * (s + b),
+         {HOLT_BETA!r} * (({HOLT_ALPHA!r} * t[i + 1]
+                           + {1 - HOLT_ALPHA!r} * (s + b)) - s)
+           + {1 - HOLT_BETA!r} * b
+  FROM r, arr WHERE i < n)
+SELECT days[i] AS day, t[i] AS total,
+       round(s, 6) AS level, round(b, 6) AS trend
+FROM r, arr ORDER BY day
+""")
+def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` holt model (MovingFunctions.holt — double
+    exponential smoothing): level s_i = α·x_i + (1−α)(s_{i−1} +
+    b_{i−1}), trend b_i = β(s_i − s_{i−1}) + (1−β)b_{i−1}, seeded
+    s_2 = x_2, b_2 = x_2 − x_1. Like ewma_smoothing, both engines
+    evaluate the recurrence as the SAME ordered FP chain (Spark array
+    fold / DuckDB recursive CTE), so level and trend are
+    bit-identical before the display rounding."""
+    d = _daily(spark, sf_dir)
+    arr = d.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("day").alias("day"), F.col("total").alias("total"))))
+        .alias("a")).where(F.size("a") >= 2)
+    a_, b_ = HOLT_ALPHA, HOLT_BETA
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        first = F.size(acc) == 1
+        s_new = F.when(
+            first, F.lit(0.0) + x.getField("total")).otherwise(
+            F.lit(a_) * x.getField("total")
+            + F.lit(1 - a_) * (prev.getField("s") + prev.getField("b")))
+        b_new = F.when(
+            first,
+            x.getField("total") - prev.getField("total")).otherwise(
+            F.lit(b_) * (s_new - prev.getField("s"))
+            + F.lit(1 - b_) * prev.getField("b"))
+        return F.concat(acc, F.array(F.struct(
+            x.getField("day").alias("day"),
+            x.getField("total").alias("total"),
+            s_new.alias("s"), b_new.alias("b"))))
+
+    # seed row: the fold starts from element 1 (index 0 carried as
+    # the seed context); drop it at the end (output starts at day 2,
+    # exactly like the oracle's anchor row)
+    folded = arr.select(F.aggregate(
+        F.expr("slice(a, 2, size(a) - 1)"),
+        F.expr("transform(slice(a, 1, 1), x -> named_struct("
+               "'day', x.day, 'total', x.total, "
+               "'s', cast(0.0 as double), 'b', cast(0.0 as double)))"),
+        step).alias("o"))
+    out = folded.select(F.explode(F.expr("slice(o, 2, size(o) - 1)"))
+                        .alias("s"))
+    return (out.select("s.day", "s.total",
+                       F.round(F.col("s.s"), 6).alias("level"),
+                       F.round(F.col("s.b"), 6).alias("trend"))
+               .orderBy("day"))
+
+
+# ------------------------------------------------- bucket_count_ks_test
+
+KS_A = "click"
+KS_B = "view"
+
+
+@register("bucket_ks_test", oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = '{KS_A}'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ta,
+         CAST(sum(CASE WHEN event_type = '{KS_B}'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS tb
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(ta) AS sa, sum(tb) AS sb, count(*) AS n FROM d),
+c AS (
+  SELECT day,
+         sum(ta) OVER (ORDER BY day) / sa AS ca,
+         sum(tb) OVER (ORDER BY day) / sb AS cb
+  FROM d, tot)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_buckets,
+       round(max(abs(ca - cb)), 6) AS ks_stat
+FROM c
+""")
+def bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_count_ks_test` pipeline agg shape: the two-sample
+    Kolmogorov–Smirnov statistic between two series' daily-value
+    distributions — max gap between the normalized cumulative curves.
+    The raw scan aggregates both series in ONE conditional pass
+    (|days| rows); the cumulative compare folds over the single
+    sorted bucket array (window-free, like every pipeline agg here).
+    The oracle uses DuckDB's running-sum window — an independent
+    formulation of the same ECDF."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.sum(F.when(F.col("event_type") == KS_A,
+                             F.col("value").cast("decimal(18,2)")))
+                 .cast("double").alias("ta"),
+                F.sum(F.when(F.col("event_type") == KS_B,
+                             F.col("value").cast("decimal(18,2)")))
+                 .cast("double").alias("tb")))
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("day").alias("day"), F.col("ta").alias("ta"),
+            F.col("tb").alias("tb")))).alias("a"),
+        F.sum("ta").alias("sa"), F.sum("tb").alias("sb"),
+        F.count("*").alias("n"))
+    # fold: running (ca, cb, max|ca-cb|) over the sorted bucket array
+    folded = arr.select(
+        F.col("n"),
+        F.aggregate(
+            "a",
+            F.expr("named_struct('ca', cast(0.0 as double), "
+                   "'cb', cast(0.0 as double), "
+                   "'ks', cast(0.0 as double))"),
+            lambda acc, x: F.struct(
+                (acc.getField("ca") + x.getField("ta") / F.col("sa"))
+                .alias("ca"),
+                (acc.getField("cb") + x.getField("tb") / F.col("sb"))
+                .alias("cb"),
+                F.greatest(
+                    acc.getField("ks"),
+                    F.abs((acc.getField("ca")
+                           + x.getField("ta") / F.col("sa"))
+                          - (acc.getField("cb")
+                             + x.getField("tb") / F.col("sb"))))
+                .alias("ks"))).alias("r"))
+    return folded.select(
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(F.col("r.ks"), 6).alias("ks_stat"))
