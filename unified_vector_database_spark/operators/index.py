@@ -664,17 +664,25 @@ def _pq_codebooks_for(sf_dir: str, corpus: DataFrame):
     return _PQ_CB_CACHE[sf_dir]
 
 
+# Bump when any artifact's SCHEMA or build recipe changes: the path
+# carries the version, so a new build never reads a stale layout left
+# in /tmp by an earlier round.
+ARTIFACT_LAYOUT_V = "v1"
+
+
 def artifact_path(tag: str, sf_dir: str) -> str:
     """Stable per-(tag, sf_dir) artifact dir. md5, not hash(): python
     string hashes are per-process salted, and a stable path is what
     lets the offline build amortize across driver runs. Deterministic
-    fits make staleness a non-issue — the same sf_dir always rebuilds
-    byte-identical artifacts."""
+    fits make content staleness a non-issue (the same sf_dir always
+    rebuilds byte-identical artifacts); LAYOUT changes must bump
+    ARTIFACT_LAYOUT_V."""
     import hashlib
     import tempfile
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"uvdb_{tag}_{h}")
+    return os.path.join(tempfile.gettempdir(),
+                        f"uvdb_{ARTIFACT_LAYOUT_V}_{tag}_{h}")
 
 
 def _build_if_absent(path: str, build) -> None:
