@@ -72,6 +72,13 @@ _PRIORITY = [
     "snapshot_time_travel", "recommend_best_score", "rate_agg",
     "moving_percentiles", "ewma_smoothing", "holt_smoothing",
     "bucket_ks_test",
+    # (d) r6 wave (registered this round, queued behind the r5
+    # continuation — driver slots 17-23 next round): geotile grid,
+    # bucket_script + scripted_metric pipeline aggs, Qdrant DBSF
+    # fusion, collapse inner_hits, span_not, binary Tanimoto knn
+    "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
+    "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
+    "tanimoto_knn",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

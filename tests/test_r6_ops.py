@@ -1,0 +1,219 @@
+"""Independent-model checks for the r6 wave (geotile / bucket_script
+/ scripted_metric / dbsf / inner_hits / span_not / tanimoto): each
+kernel is re-derived in pure Python by a different algorithm and
+compared, so a bug shared by the Spark expression tree and its DuckDB
+oracle twin still gets caught.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from decimal import Decimal
+
+import duckdb
+
+
+def _tile(lat: float, lon: float, zoom: int) -> str:
+    """Textbook OSM slippy-tile formula (the ES geotile spec),
+    computed with Python floats — an engine-independent reference."""
+    n = 1 << zoom
+    lat = max(-85.05112878, min(85.05112878, lat))
+    x = int(math.floor((lon + 180.0) / 360.0 * n))
+    rad = math.radians(lat)
+    y = int(math.floor(
+        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+        / 2.0 * n))
+    x, y = max(0, min(n - 1, x)), max(0, min(n - 1, y))
+    return f"{zoom}/{x}/{y}"
+
+
+def test_geotile_matches_python_reference(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.esagg4 import (
+        GEOTILE_ZOOM, geotile_grid_agg,
+    )
+    from unified_vector_database_spark.operators.geo import with_coords
+
+    got = {r.tile: r.n for r in geotile_grid_agg(spark, sf_dir).collect()}
+    pts = with_coords(tables.load(spark, sf_dir, "customer")) \
+        .select("lat", "lon").collect()
+    ref = Counter(_tile(r.lat, r.lon, GEOTILE_ZOOM) for r in pts)
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == dict(top)
+    assert sum(got.values()) <= len(pts)
+
+
+def _daily_rows(sf_dir):
+    """(event_type, day, Decimal total) rows straight off the parquet
+    — duckdb is only the reader here; the fold below is pure Python."""
+    rows = duckdb.sql(
+        f"SELECT event_type, date_trunc('day', ts)::DATE AS day, value "
+        f"FROM '{sf_dir}/events.parquet'").fetchall()
+    acc: dict = defaultdict(Decimal)
+    for et, day, v in rows:
+        acc[(et, day)] += Decimal(f"{v:.2f}")
+    return acc
+
+
+def test_bucket_script_matches_python_fold(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg4 import (
+        bucket_script_agg,
+    )
+
+    acc = _daily_rows(sf_dir)
+    tot: dict = defaultdict(Decimal)
+    clk: dict = defaultdict(Decimal)
+    for (et, day), s in acc.items():
+        tot[day] += s
+        if et == "click":
+            clk[day] += s
+    got = bucket_script_agg(spark, sf_dir).collect()
+    assert len(got) == len(tot)
+    for r in got:
+        assert r.total_value == float(tot[r.day])
+        assert r.click_value == float(clk.get(r.day, Decimal(0)))
+        want = round(float(clk.get(r.day, Decimal(0))) / float(tot[r.day]), 6)
+        assert abs(r.click_share - want) < 1e-12
+        assert 0.0 <= r.click_share <= 1.0
+
+
+def test_scripted_metric_matches_sequential_fold(spark, sf_dir):
+    """Max drawdown re-derived by the literal one-pass sequential
+    scan a scripted_metric's map script would run."""
+    from unified_vector_database_spark.operators.esagg4 import (
+        scripted_metric_agg,
+    )
+
+    acc = _daily_rows(sf_dir)
+    series: dict = defaultdict(list)
+    for (et, day), s in acc.items():
+        series[et].append((day, s))
+    want = {}
+    for et, pts in series.items():
+        peak = Decimal("-Infinity")
+        dd = Decimal(0)
+        for _, v in sorted(pts):
+            peak = max(peak, v)
+            dd = max(dd, peak - v)
+        want[et] = (len(pts), float(peak), float(dd))
+    got = {r.event_type: (r.n_days, r.peak_value, r.max_drawdown)
+           for r in scripted_metric_agg(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_dbsf_matches_python_normalization(spark, sf_dir):
+    from unified_vector_database_spark.operators.hybrid import (
+        _candidates, _vec_scores, bm25_scores,
+    )
+    from unified_vector_database_spark.operators.search_extras2 import (
+        _DBSF_SIGMAS, hybrid_dbsf,
+    )
+
+    kw = {r.doc_id: round(r.score, 6)
+          for r in _candidates(bm25_scores(spark, sf_dir), "score").collect()}
+    vec = {r.doc_id: round(r.vscore, 6)
+           for r in _candidates(_vec_scores(spark, sf_dir),
+                                "vscore").collect()}
+
+    def norm(scores):
+        n = len(scores)
+        mu = sum(scores) / n
+        sig = math.sqrt(max(sum(s * s for s in scores) / n - mu * mu, 0))
+        lo, span = mu - _DBSF_SIGMAS * sig, 2 * _DBSF_SIGMAS * sig
+        return {s: (1.0 if sig == 0
+                    else min(1.0, max(0.0, (s - lo) / span)))
+                for s in scores}
+
+    kn = norm(list(kw.values()))
+    vn = norm(list(vec.values()))
+    want = {}
+    for d in set(kw) | set(vec):
+        want[d] = round(0.5 * kn.get(kw.get(d), 0.0)
+                        + 0.5 * vn.get(vec.get(d), 0.0), 6)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r.doc_id, r.fused_score)
+           for r in hybrid_dbsf(spark, sf_dir).collect()]
+    for (gd, gs), (wd, ws) in zip(got, top):
+        assert gd == wd
+        assert abs(gs - ws) < 1e-9
+    assert all(0.0 <= s <= 1.0 for _, s in got)
+
+
+def test_collapse_inner_hits_structure(spark, sf_dir):
+    """Inner hits agree with collapse_search's per-group winners:
+    every group's rank-1 hit IS that lang's collapsed hit, ranks are
+    contiguous from 1, and scores are non-increasing within a
+    group."""
+    from unified_vector_database_spark.operators.search_extras import (
+        collapse_search,
+    )
+    from unified_vector_database_spark.operators.search_extras2 import (
+        INNER_GROUPS, INNER_HITS, collapse_inner_hits,
+    )
+
+    rows = collapse_inner_hits(spark, sf_dir).collect()
+    by_lang: dict = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert 0 < len(by_lang) <= INNER_GROUPS
+    winners = {r.lang: (r.doc_id, r.score)
+               for r in collapse_search(spark, sf_dir).collect()}
+    for lang, hits in by_lang.items():
+        hits.sort(key=lambda r: r.hit_rank)
+        assert [h.hit_rank for h in hits] == list(range(1, len(hits) + 1))
+        assert len(hits) <= INNER_HITS
+        scores = [h.score for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        if lang in winners:
+            assert (hits[0].doc_id, hits[0].score) == winners[lang]
+
+
+def test_span_not_matches_positional_scan(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.search_extras2 import (
+        SPAN_NOT_DIST, SPAN_NOT_EXC, SPAN_NOT_INC, span_not_search,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        toks = [t for t in r.text.strip().split(" ") if t]
+        inc = [i for i, t in enumerate(toks) if t == SPAN_NOT_INC]
+        exc = [i for i, t in enumerate(toks) if t == SPAN_NOT_EXC]
+        kept = [x for x in inc
+                if not any(abs(x - y) <= SPAN_NOT_DIST for y in exc)]
+        if kept:
+            want[r.doc_id] = (len(inc), len(kept))
+    got = {r.doc_id: (r.n_matches, r.n_kept)
+           for r in span_not_search(spark, sf_dir).collect()}
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    assert got == dict(ranked)
+    # the exclusion must bite somewhere on this corpus, else the op
+    # degenerates to a plain term query and the test proves nothing
+    assert any(n_kept < n_m for n_m, n_kept in got.values()) or \
+        len(want) < sum(1 for r in docs if SPAN_NOT_INC in r.text.split())
+
+
+def test_tanimoto_matches_set_model(spark, sf_dir):
+    """Tanimoto re-derived with Python SETS of positive-sign indices
+    (popcount(a&b) == |A∩B| when bit i ⇔ index i positive) — no bit
+    packing at all, so a packing bug cannot hide."""
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.index import tanimoto_knn
+
+    emb = {r.vec_id: set(i for i, v in enumerate(r.embedding) if v > 0)
+           for r in tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding").collect()}
+    q = emb[0]
+    want = []
+    for vid, s in emb.items():
+        n_and, n_or = len(s & q), len(s | q)
+        tani = 1.0 if n_or == 0 else round(n_and / n_or, 6)
+        want.append((vid, n_and, n_or, tani))
+    want.sort(key=lambda t: (-t[3], t[0]))
+    got = [(r.vec_id, r.n_and, r.n_or, r.tanimoto)
+           for r in tanimoto_knn(spark, sf_dir).collect()]
+    assert got == want[:10]
+    assert got[0][0] == 0 and got[0][3] == 1.0  # self-match tops

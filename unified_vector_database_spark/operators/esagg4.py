@@ -1,0 +1,186 @@
+"""ES aggregation surface, r6 wave: `geotile_grid` (Web-Mercator
+slippy-map tiles — the OTHER geo grid next to esagg3's geohash),
+`bucket_script` (per-bucket derived metric from sibling aggregates),
+and `scripted_metric` (a custom order-dependent fold, demonstrated as
+max-drawdown over the daily value series).
+
+Reference parity: named aggregation types of the reference stack's
+Elasticsearch backend (README.md:82 `VECTOR_DB=elastic`) —
+`geotile_grid`, `bucket_script`, `scripted_metric`.
+
+Scale shapes:
+- geotile_grid: the tile key is computed map-side in the scan stage
+  (pure column math, no UDF); one partial-agg shuffle of
+  cell-count-sized buckets. Identical posture to geohash_grid.
+- bucket_script: the sibling metrics are conditional aggregates of
+  ONE scan (map-side CASE); the script runs on |days| bucket rows.
+- scripted_metric: the fold is re-expressed as window algebra over
+  the |type × day| bucket frame (running max → drawdown), so the
+  "script" never sees raw events; partitions are bounded by the
+  date span, and the bucket frame comes from one partial-agg scan.
+
+Float determinism: tile x and the synthetic coordinates are pure
+rational IEEE math (bit-identical across engines). Tile y needs
+ln/tan/cos, where engines may legally differ by ~1 ulp — safe here
+because the synthetic coordinate lattice keeps every y at least
+4e-10 from a floor boundary (empirically verified over the full
+lattice; the one exactly-integral case, lat=0 → y=32.0, is IEEE-exact
+on every libm since tan(0)=0 and ln(1)=0 are mandated special
+values). Bucket sums accumulate as exact DECIMAL; ratios divide
+identical doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+from .geo import with_coords
+
+# ------------------------------------------------------------ geotile_grid
+
+GEOTILE_ZOOM = 6
+_GT_N = 1 << GEOTILE_ZOOM
+# ES clamps latitude to the Web-Mercator domain with this constant
+# (elasticsearch GeoTileUtils.LATITUDE_MASK).
+GEOTILE_LAT_LIM = 85.05112878
+
+
+@register("geotile_grid_agg", oracle=f"""
+WITH g AS (
+  SELECT c_custkey,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+c AS (
+  SELECT c_custkey, lon,
+         least(greatest(lat, -{GEOTILE_LAT_LIM!r}), {GEOTILE_LAT_LIM!r})
+           AS latc
+  FROM g),
+t AS (
+  SELECT
+    least(greatest(CAST(floor((lon + 180.0) / 360.0 * {_GT_N}) AS BIGINT),
+                   0), {_GT_N - 1}) AS xt,
+    least(greatest(CAST(floor(
+        (1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc)))
+               / {math.pi!r}) / 2.0 * {_GT_N}) AS BIGINT),
+                   0), {_GT_N - 1}) AS yt
+  FROM c)
+SELECT '{GEOTILE_ZOOM}/' || CAST(xt AS VARCHAR) || '/'
+         || CAST(yt AS VARCHAR) AS tile,
+       count(*) AS n
+FROM t GROUP BY 1
+ORDER BY n DESC, tile LIMIT 20
+""")
+def geotile_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geotile_grid` agg (zoom 6): points bucketed by
+    Web-Mercator slippy-map tile `z/x/y` — the projection-native grid
+    next to geohash_grid's base-32 cells. x is pure rational math;
+    y runs ln∘tan through the scan stage as JVM column math (no UDF)
+    with the ES latitude clamp. Top tiles by population."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    latc = F.least(F.greatest(F.col("lat"), F.lit(-GEOTILE_LAT_LIM)),
+                   F.lit(GEOTILE_LAT_LIM))
+    rad = F.radians(latc)
+    xt = F.least(F.greatest(
+        F.floor((F.col("lon") + 180.0) / 360.0 * _GT_N).cast("long"),
+        F.lit(0)), F.lit(_GT_N - 1))
+    yt = F.least(F.greatest(
+        F.floor((F.lit(1.0)
+                 - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+                 / F.lit(math.pi)) / F.lit(2.0) * _GT_N).cast("long"),
+        F.lit(0)), F.lit(_GT_N - 1))
+    tile = F.concat(F.lit(f"{GEOTILE_ZOOM}/"), xt.cast("string"),
+                    F.lit("/"), yt.cast("string"))
+    return (cust.select(tile.alias("tile"))
+                .groupBy("tile").agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "tile").limit(20))
+
+
+# ----------------------------------------------------------- bucket_script
+
+@register("bucket_script_agg", oracle="""
+WITH b AS (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS click_value
+  FROM events GROUP BY 1)
+SELECT day, total_value,
+       coalesce(click_value, 0.0e0) AS click_value,
+       CASE WHEN total_value = 0 THEN NULL
+            ELSE round(coalesce(click_value, 0.0e0) / total_value, 6)
+       END AS click_share
+FROM b ORDER BY day
+""")
+def bucket_script_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_script` pipeline agg: a per-bucket derived metric
+    computed FROM sibling aggregates (here click_value / total_value
+    per day — the canonical ratio example from the ES docs). Both
+    sibling metrics are conditional aggregates of one scan; the
+    script itself costs |days| rows. Sums accumulate as exact
+    DECIMAL; the ratio divides the identical doubles on both
+    engines."""
+    ev = tables.load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    b = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.sum(dec).cast("double").alias("total_value"),
+                F.sum(F.when(F.col("event_type") == "click", dec))
+                 .cast("double").alias("click_value")))
+    share = F.when(F.col("total_value") == 0, F.lit(None).cast("double")) \
+             .otherwise(F.round(F.coalesce(F.col("click_value"), F.lit(0.0))
+                                / F.col("total_value"), 6))
+    return (b.select("day", "total_value",
+                     F.coalesce(F.col("click_value"), F.lit(0.0))
+                      .alias("click_value"),
+                     share.alias("click_share"))
+             .orderBy("day"))
+
+
+# --------------------------------------------------------- scripted_metric
+
+@register("scripted_metric_agg", oracle="""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, total,
+         max(total) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+  FROM d)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(peak) AS DOUBLE) AS peak_value,
+       CAST(max(peak - total) AS DOUBLE) AS max_drawdown
+FROM r GROUP BY 1 ORDER BY event_type
+""")
+def scripted_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `scripted_metric` agg: a custom ORDER-DEPENDENT fold that no
+    built-in agg expresses — max drawdown of the per-type daily value
+    series (largest peak-to-trough drop). The map/combine/reduce
+    script is re-expressed as window algebra over the bucket frame:
+    running peak per event_type, then one more partial agg. Raw
+    events are touched exactly once (the day-bucket partial agg);
+    the windows run over |types × days| rows with bounded
+    partitions. Daily totals, peaks, and diffs all stay in exact
+    DECIMAL until the final DOUBLE cast, so the fold is
+    merge-order-free on both engines."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.col("event_type"),
+                    F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total")))
+    w = (W.partitionBy("event_type").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    r = d.withColumn("peak", F.max("total").over(w))
+    return (r.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n_days"),
+                  F.max("peak").cast("double").alias("peak_value"),
+                  F.max(F.col("peak") - F.col("total")).cast("double")
+                   .alias("max_drawdown"))
+             .orderBy("event_type"))

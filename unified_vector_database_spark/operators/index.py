@@ -886,6 +886,61 @@ def bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy(F.desc("score"), "vec_id").limit(10))
 
 
+@register("tanimoto_knn", oracle="""
+WITH sig AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN (embedding::DOUBLE[])[j + 1] > 0
+                     THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN (embedding::DOUBLE[])[j + 33] > 0
+                     THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS hi
+  FROM embeddings),
+q AS (SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0),
+tani AS (
+  SELECT vec_id,
+         CAST(bit_count(lo & qlo) + bit_count(hi & qhi) AS INT) AS n_and,
+         CAST(bit_count(lo | qlo) + bit_count(hi | qhi) AS INT) AS n_or
+  FROM sig, q)
+SELECT vec_id, n_and, n_or,
+       round(CASE WHEN n_or = 0 THEN 1.0e0
+                  ELSE CAST(n_and AS DOUBLE) / CAST(n_or AS DOUBLE) END,
+             6) AS tanimoto
+FROM tani ORDER BY tanimoto DESC, vec_id LIMIT 10
+""")
+def tanimoto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-vector Tanimoto/Jaccard similarity search (the Milvus
+    BINARY_VECTOR `JACCARD`/`TANIMOTO` metric; reference stack's
+    Milvus backend, README.md:82 `VECTOR_DB=milvus`): sign-bit
+    signatures (bq_signature's packing, shared with bq_hamming_knn),
+    similarity = popcount(a AND b) / popcount(a OR b). Two empty
+    signatures define similarity 1.
+
+    Scale shape: identical to the Hamming scan — two longs per row,
+    AND/OR/popcount are codegen'd JVM intrinsics in the scan stage,
+    TakeOrdered top-k. Exact integer numerator/denominator make the
+    single double division bit-identical on both engines."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .withColumn("lo", bq_signature("vec", 0))
+                 .withColumn("hi", bq_signature("vec", 1)))
+    q = (corpus.where(F.col("vec_id") == 0)
+               .select(F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))
+    n_and = (F.bit_count(F.col("lo").bitwiseAND(F.col("qlo")))
+             + F.bit_count(F.col("hi").bitwiseAND(F.col("qhi")))).cast("int")
+    n_or = (F.bit_count(F.col("lo").bitwiseOR(F.col("qlo")))
+            + F.bit_count(F.col("hi").bitwiseOR(F.col("qhi")))).cast("int")
+    tani = F.round(
+        F.when(F.col("n_or") == 0, F.lit(1.0))
+         .otherwise(F.col("n_and").cast("double")
+                    / F.col("n_or").cast("double")), 6)
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", n_and.alias("n_and"), n_or.alias("n_or"))
+                  .select("vec_id", "n_and", "n_or",
+                          tani.alias("tanimoto"))
+                  .orderBy(F.desc("tanimoto"), "vec_id").limit(10))
+
+
 # ------------------------------------------- cluster-balanced sampling
 
 DIVERSE_PER_CELL = 3

@@ -1,0 +1,235 @@
+"""Search-surface extensions, r6 wave: distribution-based score
+fusion, collapse with inner hits, and `span_not`.
+
+Reference parity: Qdrant hybrid `fusion: dbsf` (distribution-based
+score fusion — the OTHER fusion next to RRF, normalizing each
+modality by mean ± 3σ over the candidate window), Elasticsearch
+`collapse.inner_hits` (the collapsed group's top-N flattened back
+into the response), and Elasticsearch `span_not` (matches of one
+term except where a second term appears within a window).
+
+Scale shapes:
+- dbsf: both modalities cut to HYBRID_CANDIDATES by TakeOrdered
+  first; mean/σ are 1-row broadcast aggregates of those bounded sets
+  (the normalization window IS the retrieved candidate window, same
+  as relativeScoreFusion). Power sums accumulate as exact DECIMAL so
+  σ is merge-order-free and the hash oracle holds.
+- collapse_inner_hits: one co-keyed doc_id join, one window per
+  collapse-field value with WindowGroupLimit pruning rank ≤ N
+  map-side; group count bounds everything downstream.
+- span_not: per-doc position lists built map-side (index-aware
+  transform); the include × exclude gap product is per-document over
+  two term-position lists — tiny, never a corpus join. Zero corpus
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .. import tables
+from ..registry import register
+from .hybrid import (_BM25_CTE, _CAND_CTE, _TOK, _VEC_CTE, _candidates,
+                     _vec_scores, bm25_scores)
+
+# ------------------------------------------------------------- hybrid_dbsf
+
+_DBSF_SIGMAS = 3.0
+
+
+def _dbsf_norm_sql(cand: str, col: str) -> str:
+    """Mean ± 3σ stats of one candidate set as exact-DECIMAL power
+    sums (σ_pop in closed form — the extended_stats pattern, so both
+    engines derive identical doubles regardless of merge order)."""
+    return f"""
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round({col}, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round({col}, 6) * round({col}, 6)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS s2
+  FROM {cand}"""
+
+
+@register("hybrid_dbsf", oracle=f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+{_CAND_CTE},
+kx AS ({_dbsf_norm_sql('kcand', 'score')}),
+vx AS ({_dbsf_norm_sql('vcand', 'vscore')}),
+fused AS (
+  SELECT coalesce(kcand.doc_id, vcand.doc_id) AS doc_id,
+         round(0.5 * coalesce(least(greatest(
+                 CASE WHEN sqrt(greatest(kx.s2/kx.n - (kx.s1/kx.n)*(kx.s1/kx.n), 0)) = 0
+                      THEN 1.0e0
+                      ELSE (round(kcand.score, 6)
+                            - (kx.s1/kx.n - {_DBSF_SIGMAS!r}
+                               * sqrt(greatest(kx.s2/kx.n - (kx.s1/kx.n)*(kx.s1/kx.n), 0))))
+                           / (2 * {_DBSF_SIGMAS!r}
+                              * sqrt(greatest(kx.s2/kx.n - (kx.s1/kx.n)*(kx.s1/kx.n), 0)))
+                 END, 0.0e0), 1.0e0), 0)
+             + 0.5 * coalesce(least(greatest(
+                 CASE WHEN sqrt(greatest(vx.s2/vx.n - (vx.s1/vx.n)*(vx.s1/vx.n), 0)) = 0
+                      THEN 1.0e0
+                      ELSE (round(vcand.vscore, 6)
+                            - (vx.s1/vx.n - {_DBSF_SIGMAS!r}
+                               * sqrt(greatest(vx.s2/vx.n - (vx.s1/vx.n)*(vx.s1/vx.n), 0))))
+                           / (2 * {_DBSF_SIGMAS!r}
+                              * sqrt(greatest(vx.s2/vx.n - (vx.s1/vx.n)*(vx.s1/vx.n), 0)))
+                 END, 0.0e0), 1.0e0), 0),
+               6) AS fused_score
+  FROM kcand FULL OUTER JOIN vcand ON kcand.doc_id = vcand.doc_id, kx, vx)
+SELECT doc_id, fused_score FROM fused
+ORDER BY fused_score DESC, doc_id LIMIT 15
+""")
+def hybrid_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant distribution-based score fusion (`fusion: dbsf`): each
+    modality's candidate scores normalize by (s - (μ-3σ)) / 6σ,
+    clamped to [0,1], then average — the outlier-robust alternative
+    to min-max relativeScoreFusion. μ/σ_pop derive from exact-DECIMAL
+    power sums of the round-6 candidate scores (one 1-row broadcast
+    aggregate per modality); a degenerate window (σ = 0) normalizes
+    to 1 like relative fusion's max==min case."""
+    # each candidate frame feeds TWO consumers (its stats agg and the
+    # fusion join) — without the lazy checkpoint the broadcast subtree
+    # re-runs the whole BM25/cosine corpus pass per consumer (the
+    # suggest_phrase recompute class; ≤HYBRID_CANDIDATES rows cached)
+    kw = (_candidates(bm25_scores(spark, sf_dir), "score")
+          .localCheckpoint(eager=False))
+    vec = (_candidates(_vec_scores(spark, sf_dir), "vscore")
+           .localCheckpoint(eager=False))
+
+    def stats(df, col, p):
+        r6 = F.round(F.col(col), 6)
+        return df.agg(
+            F.count("*").alias(f"{p}n"),
+            F.sum(r6.cast("decimal(18,6)")).cast("double").alias(f"{p}s1"),
+            F.sum((r6 * r6).cast("decimal(28,12)")).cast("double")
+             .alias(f"{p}s2"))
+
+    kx, vx = stats(kw, "score", "k"), stats(vec, "vscore", "v")
+
+    def norm(s, p):
+        mu = F.col(f"{p}s1") / F.col(f"{p}n")
+        sig = F.sqrt(F.greatest(
+            F.col(f"{p}s2") / F.col(f"{p}n") - mu * mu, F.lit(0.0)))
+        raw = F.when(sig == 0, F.lit(1.0)).otherwise(
+            (F.round(s, 6) - (mu - _DBSF_SIGMAS * sig))
+            / (2 * _DBSF_SIGMAS * sig))
+        return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+    return (kw.join(vec, "doc_id", "full_outer")
+              .crossJoin(F.broadcast(kx)).crossJoin(F.broadcast(vx))
+              .select("doc_id",
+                      F.round(
+                          0.5 * F.coalesce(norm(F.col("score"), "k"),
+                                           F.lit(0.0))
+                          + 0.5 * F.coalesce(norm(F.col("vscore"), "v"),
+                                             F.lit(0.0)),
+                          6).alias("fused_score"))
+              .orderBy(F.desc("fused_score"), "doc_id").limit(15))
+
+
+# ------------------------------------------------------ collapse inner_hits
+
+INNER_HITS = 3
+INNER_GROUPS = 4
+
+
+@register("collapse_inner_hits", oracle=f"""
+WITH {_BM25_CTE},
+j AS (SELECT d.lang, b.doc_id, b.score
+      FROM bm25 b JOIN documents d USING (doc_id)),
+r AS (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS hit_rank,
+             max(score) OVER (PARTITION BY lang) AS group_best
+      FROM j),
+g AS (SELECT DISTINCT lang, group_best FROM r
+      ORDER BY group_best DESC, lang LIMIT {INNER_GROUPS})
+SELECT r.lang, CAST(r.hit_rank AS INT) AS hit_rank, r.doc_id, r.score
+FROM r JOIN g USING (lang)
+WHERE r.hit_rank <= {INNER_HITS}
+ORDER BY g.group_best DESC, r.lang, r.hit_rank
+""")
+def collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `collapse` with `inner_hits`: the top {INNER_GROUPS} collapse
+    groups (by their best BM25 hit), each flattened to its top
+    {INNER_HITS} inner hits with the within-group rank — what
+    collapse_search's one-hit-per-group form hides. One doc_id join,
+    one bounded window per lang value (WindowGroupLimit prunes
+    rank ≤ N map-side); group selection is a TakeOrdered over
+    |distinct langs| rows."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    j = (bm25_scores(spark, sf_dir)
+         .join(docs.select("doc_id", "lang"), "doc_id"))
+    w = W.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    # ONE window pass; WindowGroupLimit prunes rank ≤ N map-side, so
+    # the checkpointed frame is |distinct langs| × N rows — the
+    # group_best column is just each group's rank-1 score, no second
+    # window or second corpus pass needed
+    r = (j.withColumn("hit_rank", F.row_number().over(w))
+          .where(F.col("hit_rank") <= INNER_HITS)
+          .localCheckpoint(eager=False))
+    g = (r.where(F.col("hit_rank") == 1)
+          .select("lang", F.col("score").alias("group_best"))
+          .orderBy(F.desc("group_best"), "lang").limit(INNER_GROUPS))
+    return (r.join(F.broadcast(g), "lang")
+             .select("lang", F.col("hit_rank").cast("int").alias("hit_rank"),
+                     "doc_id", "score", "group_best")
+             .orderBy(F.desc("group_best"), "lang", "hit_rank")
+             .drop("group_best"))
+
+
+# ----------------------------------------------------------------- span_not
+
+SPAN_NOT_INC = "vector"
+SPAN_NOT_EXC = "data"
+SPAN_NOT_DIST = 2
+
+
+@register("span_not_search", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_NOT_INC}') AS inc,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_NOT_EXC}') AS exc
+  FROM t),
+k AS (
+  SELECT doc_id,
+         CAST(len(inc) AS BIGINT) AS n_matches,
+         CAST(len(list_filter(inc,
+             x -> len(list_filter(exc,
+                      y -> abs(x - y) <= {SPAN_NOT_DIST})) = 0))
+           AS BIGINT) AS n_kept
+  FROM p)
+SELECT doc_id, n_matches, n_kept FROM k
+WHERE n_kept > 0
+ORDER BY n_kept DESC, doc_id LIMIT 20
+""")
+def span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_not` with pre/post distance: occurrences of the
+    include term that do NOT have the exclude term within
+    {SPAN_NOT_DIST} tokens on either side (the negative-context span
+    query — e.g. "vector" but not near "data"). A doc matches when
+    at least one occurrence survives; n_matches/n_kept expose the
+    exclusion's effect. Same per-doc position-list shape as
+    span_near: map-side, zero corpus shuffle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+
+    def positions(term):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i + 1)
+                        .otherwise(F.lit(-1))),
+            lambda x: x >= 0)
+
+    inc, exc = positions(SPAN_NOT_INC), positions(SPAN_NOT_EXC)
+    kept = F.filter(inc, lambda x: F.size(
+        F.filter(exc, lambda y: F.abs(x - y) <= SPAN_NOT_DIST)) == 0)
+    out = docs.select(
+        "doc_id",
+        F.size(inc).cast("long").alias("n_matches"),
+        F.size(kept).cast("long").alias("n_kept"))
+    return (out.where(F.col("n_kept") > 0)
+               .orderBy(F.desc("n_kept"), "doc_id").limit(20))

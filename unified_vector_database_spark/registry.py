@@ -54,11 +54,12 @@ def load_all() -> None:
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, esagg, esagg2, esagg3,
-        evaluation, geo, hybrid, index, inference, inverted, jpeg,
-        knn, lifecycle, lm, matrix, multimodal, percolate, quality, rerank,
-        sampling, search_extras, search_more, simhash, simjoin,
-        sketches, spans, sparse, stats, stats_more, suggest, textops,
-        timeseries, tpch_extra, tpch_more,
+        esagg4, evaluation, geo, hybrid, index, inference, inverted,
+        jpeg, knn, lifecycle, lm, matrix, multimodal, percolate,
+        quality, rerank, sampling, search_extras, search_extras2,
+        search_more, simhash, simjoin, sketches, spans, sparse, stats,
+        stats_more, suggest, textops, timeseries, tpch_extra,
+        tpch_more,
     )
     from .streaming import ingest as streaming_ingest  # noqa: F401
     from .streaming import stateful  # noqa: F401
