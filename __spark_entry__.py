@@ -78,7 +78,8 @@ _PRIORITY = [
     # fusion, collapse inner_hits, span_not, binary Tanimoto knn
     "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
     "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
-    "tanimoto_knn",
+    "tanimoto_knn", "semdedup", "temperature_mix_sample",
+    "stream_near_dup",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

@@ -217,3 +217,139 @@ def test_tanimoto_matches_set_model(spark, sf_dir):
            for r in tanimoto_knn(spark, sf_dir).collect()]
     assert got == want[:10]
     assert got[0][0] == 0 and got[0][3] == 1.0  # self-match tops
+
+
+def test_semdedup_matches_numpy_model(spark, sf_dir):
+    """SemDeDup census re-derived with a dense numpy cosine matrix
+    per cell (no join, no banded anything) over the SAME Spark-free
+    centroid refit the oracle embeds."""
+    import numpy as np
+
+    from unified_vector_database_spark.operators.dedup import (
+        SEMDEDUP_TAU, semdedup,
+    )
+    from unified_vector_database_spark.operators.index import (
+        _oracle_artifacts,
+    )
+
+    cents, _, _ = _oracle_artifacts(sf_dir)
+    C = np.array(cents)
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows])
+    cid = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = {}
+    for c in range(len(C)):
+        m = np.where(cid == c)[0]
+        removed = set()
+        for j_pos, j in enumerate(m):
+            for i in m[:j_pos]:
+                if float(Xn[i] @ Xn[j]) >= SEMDEDUP_TAU:
+                    removed.add(int(ids[j]))
+                    break
+        want[c] = (len(m), len(removed), len(m) - len(removed))
+    got = {r.cid: (r.n_members, r.n_removed, r.n_kept)
+           for r in semdedup(spark, sf_dir).collect()}
+    assert got == {c: v for c, v in want.items() if v[0] > 0} or got == want
+    assert sum(v[1] for v in got.values()) > 0  # τ must bite
+    for n, nr, nk in got.values():
+        assert n == nr + nk and nr >= 0
+
+
+def test_temperature_mix_matches_python_model(spark, sf_dir):
+    import hashlib
+    import math as _m
+
+    from unified_vector_database_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{sf_dir}/documents.parquet'").fetchall()
+    n_in = Counter(l for _, l in langs)
+    wgt = {l: round(_m.sqrt(n), 6) for l, n in n_in.items()}
+    wsum = float(sum(wgt.values()))
+    share = {l: w / wsum for l, w in wgt.items()}
+    n_out = min(n_in[l] / share[l] for l in n_in)
+    rate = {l: share[l] * n_out / n_in[l] for l in n_in}
+
+    def frac(doc_id):
+        return int(hashlib.md5(str(doc_id).encode())
+                   .hexdigest()[:15], 16) / float(1 << 60)
+
+    n_sampled = Counter(l for d, l in langs if frac(d) < rate[l])
+    got = {r.lang: (r.n_in, r.share, r.rate, r.n_sampled)
+           for r in temperature_mix_sample(spark, sf_dir).collect()}
+    assert set(got) == set(n_in)
+    for l in n_in:
+        gi, gs, gr, gn = got[l]
+        assert gi == n_in[l]
+        assert abs(gs - round(share[l], 6)) < 1e-12
+        assert abs(gr - round(rate[l], 6)) < 1e-12
+        assert gn == n_sampled.get(l, 0)
+    # temperature upweights rare domains: rarest lang's rate must be
+    # the max (rate ∝ n^-1/2)
+    rare = min(n_in, key=lambda l: (n_in[l], l))
+    assert got[rare][2] == max(v[2] for v in got.values())
+
+
+def test_minhash_signature_arr_equals_groupby_form(spark, sf_dir):
+    """The map-side array signature (the streaming form) must be
+    value-identical to the explode+groupBy signature the batch dedup
+    family uses — same shingles, same md5 base, same permutations."""
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.dedup import (
+        _K, minhash_signature_arr, minhash_signatures,
+    )
+    from unified_vector_database_spark.functions.text import ngram_array
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    import pyspark.sql.functions as F
+    arr = (docs.where(F.size(ngram_array("text", 3)) > 0)
+               .select("doc_id",
+                       minhash_signature_arr("text").alias("sig"))
+               .collect())
+    grp = {r.doc_id: tuple(r[f"m{j}"] for j in range(_K))
+           for r in minhash_signatures(docs).collect()}
+    assert len(arr) == len(grp) > 0
+    for r in arr:
+        assert tuple(r.sig) == grp[r.doc_id]
+
+
+def test_stream_near_dup_matches_python_banding(spark, sf_dir):
+    """Band-collision buckets re-derived in pure Python (hashlib md5,
+    integer permutations) from the raw parquet."""
+    import hashlib
+
+    from unified_vector_database_spark.constants import (
+        LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_P,
+    )
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_near_dup,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    buckets: dict = defaultdict(list)
+    k = len(MINHASH_A)
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().split(" ") if t]
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if not sh:
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        sig = [min((MINHASH_A[j] * h + MINHASH_B[j]) % MINHASH_P
+                   for h in hs) for j in range(k)]
+        for b in range(k // LSH_ROWS):
+            key = "_".join(str(sig[b * LSH_ROWS + r])
+                           for r in range(LSH_ROWS))
+            buckets[(b, key)].append(doc_id)
+    want = {(b, key): (len(ds), min(ds))
+            for (b, key), ds in buckets.items() if len(ds) >= 2}
+    got = {(r.band, r.key): (r.n_docs, r.first_doc)
+           for r in stream_near_dup(spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) > 0

@@ -67,6 +67,40 @@ def minhash_signatures(docs: DataFrame,
           for j in range(_K)])
 
 
+def minhash_signature_arr(text_col) -> F.Column:
+    """The full k-permutation MinHash signature as ONE map-side array
+    column — no explode, no groupBy — built with the same shingle
+    set, md5 base hash, and permutations as minhash_signatures, so
+    the two forms are value-identical (pinned in tests/test_r6_ops).
+    This is the STREAM-friendly form: a stateless per-row expression
+    that lets a readStream pipeline band documents without a
+    pre-aggregation (only the band rollup itself holds state).
+    Docs with no shingles (< n tokens) return the identity signature
+    [P]*k — callers must filter on shingle count, exactly as the
+    groupBy form drops hash-less docs."""
+    from ..functions.text import ngram_array
+    sh = ngram_array(text_col, _SHINGLE_N)
+    hashed = F.transform(sh, lambda s: md5_int32(s))
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(_K)])
+    return F.aggregate(
+        hashed, init,
+        lambda acc, x: F.zip_with(
+            acc, F.array(*[minhash_perm(x, j) for j in range(_K)]),
+            lambda a, b: F.least(a, b)))
+
+
+def band_keys_arr(sig_arr) -> F.Column:
+    """(band, key) structs of an array-form signature — the map-side
+    twin of band_frame's explode source."""
+    n_bands = _K // LSH_ROWS
+    return F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.concat_ws("_", *[
+                     F.element_at(sig_arr, i * LSH_ROWS + r + 1)
+                     for r in range(LSH_ROWS)]).alias("key"))
+        for i in range(n_bands)])
+
+
 def band_frame(sig: DataFrame) -> DataFrame:
     """(doc_id, band, key): the LSH band keys of each signature —
     shared by the full self-join candidate generator and the
@@ -526,3 +560,76 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     - F.col("shared")), 6).alias("jaccard"))
                  .orderBy(F.desc("jaccard"), "old_id", "new_id")
                  .limit(20))
+
+
+# ----------------------------------------------- semantic dedup (SemDeDup)
+
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from .index import _COS_EQ, _ivf_assign_ctes, _oracle_artifacts
+    cents, _, _ = _oracle_artifacts()
+    cos = _COS_EQ.replace("e.vec", "x.vec").replace("q.vec", "y.vec")
+    return f"""
+WITH {_ivf_assign_ctes(cents)},
+m AS (SELECT a.vec_id, a.cid, e.vec
+      FROM assigned a JOIN e USING (vec_id)),
+dup AS (SELECT DISTINCT x.cid, y.vec_id
+        FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE {cos} >= {SEMDEDUP_TAU!r}),
+c1 AS (SELECT cid, count(*) AS n_members FROM assigned GROUP BY 1),
+c2 AS (SELECT cid, count(*) AS n_removed FROM dup GROUP BY 1)
+SELECT CAST(c1.cid AS INT) AS cid,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(n_members - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+FROM c1 LEFT JOIN c2 USING (cid)
+ORDER BY cid
+"""
+
+
+@register("semdedup", oracle=_semdedup_oracle)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
+    k-means cluster cells — embeddings are clustered, and within each
+    cell a point is removed when a lower-id cell-mate sits within
+    cosine ≥ τ (the paper's keep-one-per-ε-ball rule with a
+    deterministic representative). Returns the per-cell census.
+
+    Scale shape: reuses the IVF machinery (centroids broadcast,
+    assignment map-only); the candidate pair join is CO-KEYED ON THE
+    CELL ID — never a corpus-level cross join — so pair work is
+    Σ_c n_c², bounded by the paper's own operating point: k is chosen
+    ∝ corpus size to hold E[n_c] constant (SemDeDup runs k=50k for
+    LAION-440M ≈ 9k points/cell), and the windowed `bucket_cap`
+    guard from lsh_candidate_pairs drops in unchanged if a pathological
+    cell needs a hard bound. Cosines are the exact-twin formula
+    (functions/distance.py), so the τ comparison is bit-identical on
+    both engines."""
+    from ..functions import distance as D
+    from .index import assign_cells, centroids_for
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    cents = centroids_for(spark, sf_dir, corpus)
+    assigned = assign_cells(corpus, cents).localCheckpoint(eager=False)
+    m = assigned.join(corpus, "vec_id")
+    x, y = m.alias("x"), m.alias("y")
+    dup = (x.join(y, (F.col("x.cid") == F.col("y.cid"))
+                  & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .where(D.cosine(F.col("x.vec"), F.col("y.vec"))
+                   >= SEMDEDUP_TAU)
+            .select(F.col("x.cid").alias("cid"),
+                    F.col("y.vec_id").alias("vec_id"))
+            .distinct())
+    c1 = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    c2 = dup.groupBy("cid").agg(F.count("*").alias("n_removed"))
+    return (c1.join(c2, "cid", "left")
+              .select(F.col("cid").cast("int").alias("cid"),
+                      F.col("n_members").cast("long").alias("n_members"),
+                      F.coalesce(F.col("n_removed"), F.lit(0))
+                       .cast("long").alias("n_removed"),
+                      (F.col("n_members")
+                       - F.coalesce(F.col("n_removed"), F.lit(0)))
+                      .cast("long").alias("n_kept"))
+              .orderBy("cid"))

@@ -127,3 +127,69 @@ def domain_mix_t(docs: DataFrame,
                      F.coalesce(F.col("n_sampled"), F.lit(0))
                       .cast("long").alias("n_sampled"))
              .orderBy("lang"))
+
+
+# ------------------------------------------------- temperature mixing
+
+MIX_TEMPERATURE = 2.0  # share_s ∝ n_s^(1/T); T=2 → sqrt scaling
+
+
+@register("temperature_mix_sample", oracle=f"""
+WITH n AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY 1),
+w AS (SELECT lang, n_in,
+             CAST(round(sqrt(CAST(n_in AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS wgt
+      FROM n),
+s AS (SELECT CAST(sum(wgt) AS DOUBLE) AS wsum FROM w),
+t AS (SELECT lang, n_in, CAST(wgt AS DOUBLE) / s.wsum AS share
+      FROM w, s),
+cap AS (SELECT min(n_in / share) AS n_out FROM t),
+r AS (SELECT lang, n_in, share, share * cap.n_out / n_in AS rate
+      FROM t, cap),
+adm AS (SELECT d.lang, count(*) AS n_sampled
+        FROM documents d JOIN r USING (lang)
+        WHERE {_hash_frac_sql('d.doc_id')} < r.rate
+        GROUP BY 1)
+SELECT r.lang, CAST(r.n_in AS BIGINT) AS n_in,
+       round(r.share, 6) AS share, round(r.rate, 6) AS rate,
+       CAST(coalesce(adm.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN adm USING (lang)
+ORDER BY lang
+""")
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LM
+    data-mixing recipe: sampling share ∝ n_s^(1/T), here T=2):
+    upweights rare domains relative to proportional sampling without
+    domain_mix_sample's hand-set targets. Shares derive from the
+    counts themselves — sqrt(n) per domain (correctly-rounded IEEE
+    sqrt, so both engines agree bit-for-bit; the per-domain weights
+    round to 6 dp and sum as exact DECIMAL, making the share
+    denominator merge-order-free) — then the same largest-feasible
+    scaling and deterministic md5 admit coin as domain_mix_sample.
+    Same scale posture: one |domains|-row aggregate broadcast onto a
+    map-only admit pass."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    t = (docs.groupBy("lang").agg(F.count("*").alias("n_in"))
+             .withColumn("wgt", F.round(F.sqrt(F.col("n_in")
+                                               .cast("double")), 6)
+                                 .cast("decimal(18,6)")))
+    s = t.agg(F.sum("wgt").cast("double").alias("wsum"))
+    share = F.col("wgt").cast("double") / F.col("wsum")
+    tt = (t.crossJoin(F.broadcast(s))
+           .select("lang", "n_in", share.alias("share")))
+    cap = tt.agg(F.min(F.col("n_in") / F.col("share")).alias("n_out"))
+    r = (tt.crossJoin(F.broadcast(cap))
+           .select("lang", "n_in", "share",
+                   (F.col("share") * F.col("n_out") / F.col("n_in"))
+                   .alias("rate"))
+           .localCheckpoint(eager=False))  # |domains| rows, read twice
+    adm = (docs.join(F.broadcast(r.select("lang", "rate")), "lang")
+               .where(hash_frac("doc_id") < F.col("rate"))
+               .groupBy("lang").agg(F.count("*").alias("n_sampled")))
+    return (r.join(adm, "lang", "left")
+             .select("lang", F.col("n_in").cast("long").alias("n_in"),
+                     F.round("share", 6).alias("share"),
+                     F.round("rate", 6).alias("rate"),
+                     F.coalesce(F.col("n_sampled"), F.lit(0))
+                      .cast("long").alias("n_sampled"))
+             .orderBy("lang"))

@@ -409,3 +409,59 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = percolate_rollup(stream)  # the batch operator form, streamed
     out = _run_to_memory(agg, "complete")
     return out.orderBy("query_id")
+
+
+def _stream_near_dup_oracle() -> str:
+    from ..constants import LSH_ROWS
+    from ..operators.dedup import _K, _SIG_CTE
+    n_bands = _K // LSH_ROWS
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', "
+        + ", ".join(f"m{i * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS key FROM sig"
+        for i in range(n_bands))
+    return f"""
+WITH {_SIG_CTE},
+b AS ({bands}),
+g AS (SELECT band, key, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM b GROUP BY 1, 2)
+SELECT CAST(band AS INT) AS band, key,
+       CAST(n_docs AS BIGINT) AS n_docs, first_doc
+FROM g WHERE n_docs >= 2
+ORDER BY band, key
+"""
+
+
+@register("stream_near_dup", oracle=_stream_near_dup_oracle)
+def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: STREAMING near-duplicate detection — MinHash-LSH band
+    collision buckets maintained as streaming state over the document
+    ingest stream (the streaming twin of dedup_minhash's candidate
+    generator, and the alerting form of D9's incremental dedup: a
+    band bucket reaching n_docs ≥ 2 IS a near-dup candidate alarm).
+
+    The signature is computed MAP-SIDE per arriving row
+    (dedup.minhash_signature_arr — no explode, no pre-aggregation,
+    so the only streaming state is the band rollup itself:
+    (band, key) → (count, min doc_id), bucket-cardinality-sized,
+    merge-order-free by count-sum/min). Complete-mode fixpoint over
+    the 4-file replay hash-checks against the batch banding (the
+    identical shingle/md5/permutation pipeline in SQL)."""
+    from ..operators.dedup import band_keys_arr, minhash_signature_arr
+    stream = _replay_docs(spark, sf_dir, "neardup")
+    from ..functions.text import ngram_array
+    sig = (stream
+           .where(F.size(ngram_array("text", 3)) > 0)
+           .select("doc_id",
+                   F.explode(band_keys_arr(
+                       minhash_signature_arr("text"))).alias("bk"))
+           .select("doc_id", "bk.band", "bk.key"))
+    agg = (sig.groupBy("band", "key")
+              .agg(F.count("*").alias("n_docs"),
+                   F.min("doc_id").alias("first_doc")))
+    out = _run_to_memory(agg, "complete")
+    return (out.where(F.col("n_docs") >= 2)
+               .select(F.col("band").cast("int").alias("band"), "key",
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       "first_doc")
+               .orderBy("band", "key"))
