@@ -72,6 +72,12 @@ HEADLINE = [
     "token_count_bpe", "ivf_partitioned_knn", "snapshot_time_travel",
     "recommend_best_score", "rate_agg", "moving_percentiles",
     "ewma_smoothing", "holt_smoothing", "bucket_ks_test",
+    # r6 wave: geotile/pipeline aggs, DBSF fusion, span_not, binary
+    # Tanimoto, SemDeDup, temperature mixing, streaming near-dup
+    "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
+    "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
+    "tanimoto_knn", "semdedup", "temperature_mix_sample",
+    "stream_near_dup",
 ]
 
 

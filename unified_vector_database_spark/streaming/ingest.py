@@ -447,14 +447,22 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-order-free by count-sum/min). Complete-mode fixpoint over
     the 4-file replay hash-checks against the batch banding (the
     identical shingle/md5/permutation pipeline in SQL)."""
-    from ..operators.dedup import band_keys_arr, minhash_signature_arr
+    from ..functions.text import tokens
+    from ..operators.dedup import minhash_band_structs
     stream = _replay_docs(spark, sf_dir, "neardup")
-    from ..functions.text import ngram_array
+    # ≥3 tokens ⇔ ≥1 shingle (cheap pre-filter: no shingle/md5 work
+    # for the empty docs the batch groupBy form drops); the fold's
+    # finish-lambda banding keeps the signature at ONE evaluation
+    # per row (8x otherwise — the 64x sweep's 30x entry)
+    # a file-replay micro-batch is ONE file (≈1 task) — spread the
+    # CPU-heavy signature fold across the executors before it runs,
+    # exactly as a many-partition Kafka source would arrive
+    n_slices = spark.sparkContext.defaultParallelism
     sig = (stream
-           .where(F.size(ngram_array("text", 3)) > 0)
+           .where(F.size(tokens("text")) >= 3)
+           .repartition(n_slices)
            .select("doc_id",
-                   F.explode(band_keys_arr(
-                       minhash_signature_arr("text"))).alias("bk"))
+                   F.explode(minhash_band_structs("text")).alias("bk"))
            .select("doc_id", "bk.band", "bk.key"))
     agg = (sig.groupBy("band", "key")
               .agg(F.count("*").alias("n_docs"),
