@@ -79,7 +79,9 @@ _PRIORITY = [
     "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
     "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
     "tanimoto_knn", "semdedup", "temperature_mix_sample",
-    "stream_near_dup",
+    "stream_near_dup", "bm25_batch_search", "has_child_search",
+    "has_parent_search", "nprobe_recall_curve",
+    "length_bucket_batching",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

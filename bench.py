@@ -77,7 +77,8 @@ HEADLINE = [
     "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
     "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
     "tanimoto_knn", "semdedup", "temperature_mix_sample",
-    "stream_near_dup",
+    "stream_near_dup", "bm25_batch_search", "has_child_search",
+    "nprobe_recall_curve", "length_bucket_batching",
 ]
 
 

@@ -103,6 +103,22 @@ def build(spark, n: int) -> str:
             .withColumn("user_id", F.col("user_id") + F.col("_r") * ub)
             .drop("_r").repartition(32)
             .write.mode("overwrite").parquet(f"{big}/events.parquet"))
+    if not os.path.exists(f"{big}/orders.parquet"):
+        # orders + lineitem replicate with the SAME orderkey shift so
+        # the parent/child relationship survives per replica
+        orders = tables.load(spark, SRC, "orders")
+        ob = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        rep = orders.select("*", F.explode(
+            F.sequence(F.lit(0), F.lit(n - 1))).alias("_r"))
+        (rep.withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * ob)
+            .drop("_r").repartition(32)
+            .write.mode("overwrite").parquet(f"{big}/orders.parquet"))
+        li = tables.load(spark, SRC, "lineitem")
+        repl = li.select("*", F.explode(
+            F.sequence(F.lit(0), F.lit(n - 1))).alias("_r"))
+        (repl.withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * ob)
+             .drop("_r").repartition(32)
+             .write.mode("overwrite").parquet(f"{big}/lineitem.parquet"))
     return big
 
 

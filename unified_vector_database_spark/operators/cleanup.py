@@ -371,3 +371,59 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
     return (decontaminate_t(train, bench)
             .orderBy(F.desc("n_overlap"), "doc_id").limit(25))
+
+
+# ---------------------------------------------- length-grouped batching
+
+LEN_BUCKET_LADDER = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _ladder_sql(est: str) -> str:
+    cases = " ".join(f"WHEN {est} <= {b} THEN {b}"
+                     for b in LEN_BUCKET_LADDER)
+    return f"CASE {cases} ELSE {LEN_BUCKET_LADDER[-1] * 2} END"
+
+
+@register("length_bucket_batching", oracle=f"""
+WITH e AS (
+  SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est
+  FROM documents),
+b AS (SELECT doc_id, est, {_ladder_sql('est')} AS cap FROM e)
+SELECT CAST(cap AS BIGINT) AS bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(est) AS BIGINT) AS total_tokens,
+       CAST(count(*) * cap AS BIGINT) AS padded_tokens,
+       round(1.0 - sum(est) * 1.0 / (count(*) * cap), 6) AS pad_waste
+FROM b GROUP BY cap ORDER BY bucket_cap
+""")
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching prep (the padding-waste killer in
+    every training dataloader: batch docs of similar token length so
+    pad-to-longest wastes little): docs bucket onto a fixed
+    power-of-two token ladder; per bucket the census reports the
+    padded cost (n·cap) and the realized waste ratio vs packing.
+
+    Scale shape: the bucket cap is a map-side CASE ladder (fixed
+    literals — no log2, whose engine ulps could flip an exact-power
+    boundary), one partial-agg scan, ladder-sized output. The
+    sequential alternative (pack greedily, pad to batch max) is
+    pack_context_windows; this is the shuffle-free census that picks
+    the ladder."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    est = F.ceil(F.length("text") / 4.0).cast("long")
+    cap = F.lit(LEN_BUCKET_LADDER[-1] * 2).cast("long")
+    for b in reversed(LEN_BUCKET_LADDER):
+        cap = F.when(est <= b, F.lit(b).cast("long")).otherwise(cap)
+    b = docs.select(est.alias("est"), cap.alias("cap"))
+    return (b.groupBy("cap")
+             .agg(F.count("*").alias("n"),
+                  F.sum("est").alias("tot"))
+             .select(F.col("cap").alias("bucket_cap"),
+                     F.col("n").cast("long").alias("n_docs"),
+                     F.col("tot").cast("long").alias("total_tokens"),
+                     (F.col("n") * F.col("cap")).cast("long")
+                      .alias("padded_tokens"),
+                     F.round(1.0 - F.col("tot") * 1.0
+                             / (F.col("n") * F.col("cap")), 6)
+                      .alias("pad_waste"))
+             .orderBy("bucket_cap"))

@@ -113,3 +113,97 @@ def search_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("recall_at_k"),
         F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_k"),
         F.col("n_relevant").cast("long").alias("n_relevant")))
+
+
+# --------------------------------------------------- nprobe recall curve
+
+NPROBE_LEVELS = (1, 2, 4, 8)
+CURVE_K = 10
+
+
+def _nprobe_curve_oracle() -> str:
+    from .index import (_COS_EQ, _ivf_assign_ctes, _l2_sql,
+                        _oracle_artifacts)
+    cents, _, _ = _oracle_artifacts()
+    lv = ", ".join(f"({np})" for np in NPROBE_LEVELS)
+    return f"""
+WITH {_ivf_assign_ctes(cents)},
+cr AS (SELECT c.cid,
+              row_number() OVER (ORDER BY {_l2_sql('q.vec', 'c.cvec')},
+                                 c.cid) AS r
+       FROM cent c, q),
+sc AS (SELECT e.vec_id, {_COS_EQ} AS score, cr.r
+       FROM e JOIN assigned a USING (vec_id)
+            JOIN cr ON a.cid = cr.cid, q),
+ex AS (SELECT vec_id FROM sc ORDER BY score DESC, vec_id
+       LIMIT {CURVE_K}),
+lv(np) AS (VALUES {lv}),
+iv AS (SELECT lv.np, sc.vec_id,
+              row_number() OVER (PARTITION BY lv.np
+                                 ORDER BY sc.score DESC, sc.vec_id) AS rk
+       FROM lv JOIN sc ON sc.r <= lv.np),
+nc AS (SELECT lv.np, count(*) AS n_candidates
+       FROM lv JOIN sc ON sc.r <= lv.np GROUP BY 1),
+top AS (SELECT np, vec_id FROM iv WHERE rk <= {CURVE_K}),
+rec AS (SELECT top.np, count(ex.vec_id) AS n_hit
+        FROM top LEFT JOIN ex ON top.vec_id = ex.vec_id GROUP BY 1)
+SELECT CAST(rec.np AS INT) AS nprobe,
+       round(rec.n_hit / {CURVE_K}.0, 6) AS recall_at_k,
+       CAST(nc.n_candidates AS BIGINT) AS n_candidates
+FROM rec JOIN nc ON rec.np = nc.np
+ORDER BY nprobe
+"""
+
+
+@register("nprobe_recall_curve", oracle=_nprobe_curve_oracle)
+def nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall/cost tuning curve (the FAISS/Milvus `nprobe` sweep
+    every ANN deployment runs before picking an operating point):
+    recall@k of the IVF probe vs exact search at nprobe ∈
+    {NPROBE_LEVELS}, with the candidate count the probe paid.
+
+    Scale shape: ONE scored corpus⋈assignment pass carries each row's
+    CELL RANK (its cell's distance rank w.r.t. the query — a 16-row
+    broadcast); the 4 probe levels materialize from that single frame
+    by a broadcast level join (a row fans out only to levels probing
+    its cell), per-level top-k WindowGroupLimit-pruned. The exact
+    baseline is the same frame un-filtered. An eval batch over many
+    queries broadcasts the query table exactly like batch_knn."""
+    from .index import assign_cells, centroids_for
+    from pyspark.sql import Row, Window as W
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    first = emb.where(F.col("vec_id") == 0).first()
+    q = spark.createDataFrame(
+        [Row(qvec=[float(x) for x in first.embedding])])
+    cents = centroids_for(spark, sf_dir, corpus)
+    # lit-keyed partition: the frame is |cells| rows, and the keyed
+    # window avoids WindowExec's unpartitioned-window warning
+    cr = (cents.crossJoin(F.broadcast(q))
+               .withColumn("r", F.row_number().over(
+                   W.partitionBy(F.lit(0))
+                    .orderBy(D.l2("cvec", "qvec"), F.col("cid"))))
+               .select("cid", "r"))
+    sc = (corpus.join(assign_cells(corpus, cents), "vec_id")
+                .join(F.broadcast(cr), "cid")
+                .crossJoin(F.broadcast(q))
+                .select("vec_id", D.cosine("vec", "qvec").alias("score"),
+                        "r"))
+    ex = (sc.orderBy(F.desc("score"), "vec_id").limit(CURVE_K)
+            .select("vec_id").withColumn("hit", F.lit(1)))
+    lv = spark.createDataFrame([(np,) for np in NPROBE_LEVELS], "np int")
+    cand = sc.join(F.broadcast(lv), sc.r <= lv.np)
+    win = W.partitionBy("np").orderBy(F.desc("score"), "vec_id")
+    top = (cand.withColumn("rk", F.row_number().over(win))
+               .where(F.col("rk") <= CURVE_K))
+    nc = cand.groupBy("np").agg(F.count("*").alias("n_candidates"))
+    rec = (top.join(F.broadcast(ex), "vec_id", "left")
+              .groupBy("np").agg(F.coalesce(F.sum("hit"), F.lit(0))
+                                 .alias("n_hit")))
+    return (rec.join(nc, "np")
+               .select(F.col("np").cast("int").alias("nprobe"),
+                       F.round(F.col("n_hit") / float(CURVE_K), 6)
+                        .alias("recall_at_k"),
+                       F.col("n_candidates").cast("long")
+                        .alias("n_candidates"))
+               .orderBy("nprobe"))

@@ -160,3 +160,95 @@ def bm25_pruned_search(spark: SparkSession, sf_dir: str,
               .select("doc_id").distinct())
     scored = _bm25_on(tf.join(F.broadcast(cand), "doc_id"), stats, df)
     return scored.orderBy(F.desc("score"), "doc_id").limit(15)
+
+
+# ------------------------------------------------------- batch BM25 search
+
+# (qid, term) — the query TABLE. Multi-query retrieval at scale is a
+# JOIN against the postings relation, not a loop of single queries.
+BATCH_QUERIES = (
+    (0, ("vector", "index")), (1, ("query", "join")),
+    (2, ("hash", "merge")), (3, ("stream", "window", "sort")),
+)
+BATCH_BM25_K = 5
+
+
+def _batch_q_values() -> str:
+    return ", ".join(f"({q}, '{t}')" for q, ts in BATCH_QUERIES
+                     for t in ts)
+
+
+_ALL_BATCH_TERMS = tuple(sorted({t for _, ts in BATCH_QUERIES for t in ts}))
+_BATCH_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _ALL_BATCH_TERMS) + ")"
+
+
+@register("bm25_batch_search", oracle=f"""
+WITH qt(qid, term) AS (VALUES {_batch_q_values()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(len({_TOK})) AS avgdl FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN {_BATCH_TERMS_SQL} GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN {_BATCH_TERMS_SQL} GROUP BY 1),
+sc AS (
+  SELECT qt.qid, tf.doc_id,
+         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / stats.avgdl))), 6)
+           AS score
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qt.qid, tf.doc_id),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM sc)
+SELECT CAST(qid AS INT) AS qid, CAST(rk AS INT) AS rk, doc_id, score
+FROM r WHERE rk <= {BATCH_BM25_K}
+ORDER BY qid, rk
+""")
+def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: N queries resolved in ONE pass as a join between
+    the query table and the postings relation (ES `msearch` /
+    Milvus-Qdrant batch search, keyword side) — the distributed shape
+    multi-query retrieval takes at scale, vs. looping bm25_search.
+
+    Scale shape: the postings explode is filtered to the UNION of all
+    query terms map-side (explode output ∝ matched tokens, not corpus
+    tokens); the (qid, term) frame broadcasts into the postings join,
+    so each posting fans out only to the queries that contain its
+    term; per-query top-k is WindowGroupLimit-pruned before the final
+    shuffle. Corpus stats (N, avgdl, per-term df) are one partial-agg
+    pass, broadcast back."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in BATCH_QUERIES for t in ts], "qid int, term string")
+    tok = exploded_tokens(docs, "doc_id", "text") \
+        .withColumnRenamed("token", "term") \
+        .where(F.col("term").isin(*_ALL_BATCH_TERMS))
+    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    stats = docs.agg(F.count("*").alias("n"),
+                     F.avg(F.size(tokens("text"))).alias("avgdl"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    wpart = (idf * F.col("tf") * (BM25_K1 + 1.0)
+             / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                                         + BM25_B * F.col("dl")
+                                         / F.col("avgdl"))))
+    sc = (tf.join(F.broadcast(qt), "term")
+            .join(F.broadcast(df), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("qid", "doc_id")
+            .agg(F.round(F.sum(wpart), 6).alias("score")))
+    win = W.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    return (sc.withColumn("rk", F.row_number().over(win))
+              .where(F.col("rk") <= BATCH_BM25_K)
+              .select(F.col("qid").cast("int").alias("qid"),
+                      F.col("rk").cast("int").alias("rk"),
+                      "doc_id", "score")
+              .orderBy("qid", "rk"))

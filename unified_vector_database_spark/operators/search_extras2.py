@@ -233,3 +233,69 @@ def span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"))
     return (out.where(F.col("n_kept") > 0)
                .orderBy(F.desc("n_kept"), "doc_id").limit(20))
+
+
+# ------------------------------------------- parent/child join queries
+
+HAS_CHILD_FLAG = "R"
+HAS_CHILD_MIN = 4
+HAS_PARENT_PRIORITY = "1-URGENT"
+
+
+@register("has_child_search", oracle=f"""
+WITH c AS (
+  SELECT l_orderkey, count(*) AS n_children
+  FROM lineitem WHERE l_returnflag = '{HAS_CHILD_FLAG}'
+  GROUP BY 1 HAVING count(*) >= {HAS_CHILD_MIN})
+SELECT o.o_orderkey, CAST(c.n_children AS BIGINT) AS n_matching_children,
+       o.o_totalprice::DOUBLE AS o_totalprice
+FROM orders o JOIN c ON o.o_orderkey = c.l_orderkey
+ORDER BY n_matching_children DESC, o.o_orderkey LIMIT 20
+""")
+def has_child_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `has_child` with `min_children` (the join-field query
+    family): return PARENT docs (orders) having ≥ N child docs
+    (lineitems) matching the child query (returnflag = 'R'), scored
+    by match count. The child predicate filters map-side BEFORE the
+    group; parent join is co-keyed on the order key — the shuffled
+    side is matching child GROUPS, never raw children."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    c = (li.where(F.col("l_returnflag") == HAS_CHILD_FLAG)
+           .groupBy("l_orderkey").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= HAS_CHILD_MIN))
+    return (orders.join(c, orders.o_orderkey == c.l_orderkey)
+                  .select("o_orderkey",
+                          F.col("n").cast("long")
+                           .alias("n_matching_children"),
+                          F.col("o_totalprice").cast("double")
+                           .alias("o_totalprice"))
+                  .orderBy(F.desc("n_matching_children"), "o_orderkey")
+                  .limit(20))
+
+
+@register("has_parent_search", oracle=f"""
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_children,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '{HAS_PARENT_PRIORITY}'
+GROUP BY 1 ORDER BY l_returnflag
+""")
+def has_parent_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `has_parent`: return CHILD docs whose parent matches the
+    parent query (urgent orders), rolled up per returnflag so the
+    output is census-sized. The parent side filters before the join
+    and carries only its key — broadcast-sized at real parent
+    selectivity; sums accumulate as exact DECIMAL."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    par = (tables.load(spark, sf_dir, "orders")
+           .where(F.col("o_orderpriority") == HAS_PARENT_PRIORITY)
+           .select("o_orderkey"))
+    return (li.join(par, li.l_orderkey == par.o_orderkey)
+              .groupBy("l_returnflag")
+              .agg(F.count("*").cast("long").alias("n_children"),
+                   F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double").alias("total_price"))
+              .orderBy("l_returnflag"))
