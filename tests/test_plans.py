@@ -378,3 +378,57 @@ def test_r5_agg_plan_shapes(spark, sf_dir):
     for df in (ewma_smoothing(spark, sf_dir),
                moving_percentiles(spark, sf_dir)):
         assert "Window" not in plan_text(df)
+
+
+def test_r6_ops_plan_shapes(spark, sf_dir):
+    """r6 wave keeps its claimed shapes: geotile stays pure JVM,
+    tanimoto ends in TakeOrdered with no Python eval, batch BM25
+    broadcasts the query table and prunes per-query top-k map-side,
+    DBSF broadcasts its 1-row stats frames, has_parent broadcasts the
+    filtered parent keys, semdedup's kernel is ONE Arrow-batched
+    Python stage (no relational pair join), and the nprobe curve
+    fans out via a broadcast level join."""
+    from unified_vector_database_spark.operators.cleanup import (
+        length_bucket_batching,
+    )
+    from unified_vector_database_spark.operators.dedup import semdedup
+    from unified_vector_database_spark.operators.esagg4 import (
+        geotile_grid_agg,
+    )
+    from unified_vector_database_spark.operators.evaluation import (
+        nprobe_recall_curve,
+    )
+    from unified_vector_database_spark.operators.index import tanimoto_knn
+    from unified_vector_database_spark.operators.inverted import (
+        bm25_batch_search,
+    )
+    from unified_vector_database_spark.operators.search_extras2 import (
+        has_parent_search, hybrid_dbsf,
+    )
+
+    t = plan_text(geotile_grid_agg(spark, sf_dir))
+    assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, t
+    assert t.count("Location:") == 1, t  # one scan, partial-agg cells
+
+    tk = tanimoto_knn(spark, sf_dir)
+    assert_take_ordered(tk)
+    assert "EvalPython" not in plan_text(tk)
+
+    t = plan_text(bm25_batch_search(spark, sf_dir))
+    assert "BroadcastExchange" in t, t
+    assert "WindowGroupLimit" in t, t
+
+    assert_broadcast_join(hybrid_dbsf(spark, sf_dir))
+    assert_broadcast_join(has_parent_search(spark, sf_dir))
+
+    t = plan_text(semdedup(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in t, t
+    assert "SortMergeJoin" not in t or "vec" not in t.split(
+        "SortMergeJoin")[1][:200], t  # no vector-carrying pair join
+
+    t = plan_text(nprobe_recall_curve(spark, sf_dir))
+    assert "BroadcastExchange" in t and "WindowGroupLimit" in t, t
+
+    t = plan_text(length_bucket_batching(spark, sf_dir))
+    assert t.count("Location:") == 1, t
+    assert "Window" not in t, t

@@ -177,13 +177,13 @@ def nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spark.createDataFrame(
         [Row(qvec=[float(x) for x in first.embedding])])
     cents = centroids_for(spark, sf_dir, corpus)
-    # lit-keyed partition: the frame is |cells| rows, and the keyed
-    # window avoids WindowExec's unpartitioned-window warning
-    cr = (cents.crossJoin(F.broadcast(q))
-               .withColumn("r", F.row_number().over(
-                   W.partitionBy(F.lit(0))
-                    .orderBy(D.l2("cvec", "qvec"), F.col("cid"))))
-               .select("cid", "r"))
+    # rank the |cells| frame with the window-free bounded shape
+    # (hybrid.bounded_ranks): a global window here would be
+    # constant-folded to an UNPARTITIONED WindowExec
+    from .hybrid import bounded_ranks
+    cd = (cents.crossJoin(F.broadcast(q))
+               .select("cid", (-D.l2("cvec", "qvec")).alias("negd")))
+    cr = bounded_ranks(cd, "negd", "cid", "r")
     sc = (corpus.join(assign_cells(corpus, cents), "vec_id")
                 .join(F.broadcast(cr), "cid")
                 .crossJoin(F.broadcast(q))
