@@ -81,7 +81,7 @@ _PRIORITY = [
     "tanimoto_knn", "semdedup", "temperature_mix_sample",
     "stream_near_dup", "bm25_batch_search", "has_child_search",
     "has_parent_search", "nprobe_recall_curve",
-    "length_bucket_batching",
+    "length_bucket_batching", "near_image_search",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

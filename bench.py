@@ -78,7 +78,7 @@ HEADLINE = [
     "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
     "tanimoto_knn", "semdedup", "temperature_mix_sample",
     "stream_near_dup", "bm25_batch_search", "has_child_search",
-    "nprobe_recall_curve", "length_bucket_batching",
+    "nprobe_recall_curve", "length_bucket_batching", "near_image_search",
 ]
 
 

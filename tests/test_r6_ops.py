@@ -490,3 +490,36 @@ def test_length_bucket_batching_matches_python(spark, sf_dir):
         assert (gn, gt, gp) == (n, tot, n * cap)
         assert abs(gw - round(1.0 - tot / (n * cap), 6)) < 1e-12
         assert 0.0 <= gw < 1.0
+
+
+def test_near_image_matches_python_decode(spark, sf_dir):
+    """near_image re-derived from raw md5 hex in pure Python: build
+    each image's channel means exactly as the synth+decode pipeline
+    defines them, then L2-rank against image 0."""
+    import hashlib
+
+    from unified_vector_database_spark.operators.multimodal import (
+        NEAR_IMAGE_K, PPM_H, PPM_W, near_image_search,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    means = {}
+    npix = PPM_W * PPM_H
+    for doc_id, text in rows:
+        hx = (hashlib.md5(text.encode()).hexdigest()
+              + hashlib.md5((text + "x").encode()).hexdigest()
+              + hashlib.md5((text + "y").encode()).hexdigest())
+        b = [int(hx[j * 2:j * 2 + 2], 16) for j in range(3 * npix)]
+        means[doc_id] = tuple(
+            sum(b[p * 3 + c] for p in range(npix)) / float(npix)
+            for c in range(3))
+    q = means[0]
+    want = sorted(
+        ((d, round(math.sqrt(sum((m[c] - q[c]) ** 2 for c in range(3))), 6))
+         for d, m in means.items()),
+        key=lambda kv: (kv[1], kv[0]))[:NEAR_IMAGE_K]
+    got = [(r.media_id, r.dist)
+           for r in near_image_search(spark, sf_dir).collect()]
+    assert got == want
+    assert got[0] == (0, 0.0)  # the query image is its own best match

@@ -438,3 +438,71 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_batches,
         schema="media_id long, n_frames int, frame_idx int, fmean double")
     return feats.orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------- near_image
+
+NEAR_IMAGE_K = 10
+
+_PPM_MEANS_CTE = f"""
+hx AS (
+  SELECT doc_id,
+         md5(text) || md5(text || 'x') || md5(text || 'y') AS hex
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(0, {3 * PPM_W * PPM_H}),
+           j -> ('0x' || substr(hex, j * 2 + 1, 2))::INT) AS bytes
+  FROM hx),
+m AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+             p -> bytes[p * 3 + 1])) / {PPM_W * PPM_H}.0 AS mr,
+         list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+             p -> bytes[p * 3 + 2])) / {PPM_W * PPM_H}.0 AS mg,
+         list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+             p -> bytes[p * 3 + 3])) / {PPM_W * PPM_H}.0 AS mb
+  FROM b)"""
+
+
+@register("near_image_search", oracle=f"""
+WITH {_PPM_MEANS_CTE},
+q AS (SELECT mr AS qr, mg AS qg, mb AS qb FROM m WHERE doc_id = 0)
+SELECT m.doc_id AS media_id,
+       round(sqrt((m.mr - q.qr) * (m.mr - q.qr)
+                  + (m.mg - q.qg) * (m.mg - q.qg)
+                  + (m.mb - q.qb) * (m.mb - q.qb)), 6) AS dist
+FROM m, q
+ORDER BY dist, media_id LIMIT {NEAR_IMAGE_K}
+""")
+def near_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `near_image` (image-to-image similarity): the query
+    IMAGE's decoded features rank the image corpus — decode runs the
+    REAL byte-level kernel end to end (synth PPM → Arrow-batched
+    header parse + raster + channel means), and similarity is L2 in
+    the decoded feature space. The query's features come from ONE
+    row (the doc_id filter prunes the synth+decode to that row
+    before the kernel runs — a bounded 1-row collect, the knn query
+    pattern); the corpus side pays exactly one decode pass, then a
+    broadcast compare + TakeOrdered. With a learned encoder this is
+    M5's embed kernel instead of channel means — same plan shape.
+
+    Float determinism: 4x4 channel means are exact 1/16 multiples
+    (IEEE-exact), so distances are bit-identical on both engines."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    feats = synth_ppm(docs).mapInPandas(
+        ppm_features_batches,
+        schema=("media_id long, width int, height int, mean_r double, "
+                "mean_g double, mean_b double, thumb array<double>"))
+    qdocs = docs.where(F.col("doc_id") == 0)
+    qrow = (synth_ppm(qdocs).mapInPandas(
+        ppm_features_batches,
+        schema=("media_id long, width int, height int, mean_r double, "
+                "mean_g double, mean_b double, thumb array<double>"))
+        .first())
+    d2 = ((F.col("mean_r") - F.lit(qrow.mean_r)) ** 2
+          + (F.col("mean_g") - F.lit(qrow.mean_g)) ** 2
+          + (F.col("mean_b") - F.lit(qrow.mean_b)) ** 2)
+    return (feats.select(F.col("media_id"),
+                         F.round(F.sqrt(d2), 6).alias("dist"))
+                 .orderBy("dist", "media_id").limit(NEAR_IMAGE_K))
