@@ -523,3 +523,109 @@ def test_near_image_matches_python_decode(spark, sf_dir):
            for r in near_image_search(spark, sf_dir).collect()]
     assert got == want
     assert got[0] == (0, 0.0)  # the query image is its own best match
+
+
+def test_bucket_correlation_matches_python(spark, sf_dir):
+    import statistics
+
+    from unified_vector_database_spark.operators.esagg4 import (
+        bucket_correlation_agg,
+    )
+
+    acc = _daily_rows(sf_dir)
+    days = sorted({day for _, day in acc})
+    clicks = duckdb.sql(
+        f"SELECT date_trunc('day', ts)::DATE, count(*) FROM "
+        f"'{sf_dir}/events.parquet' WHERE event_type = 'click' "
+        f"GROUP BY 1").fetchall()
+    cl = dict(clicks)
+    x = [cl.get(d, 0) for d in days]
+    y = [float(sum(v for (et, dd), v in acc.items() if dd == d))
+         for d in days]
+    n = len(days)
+    mx, my = sum(x) / n, sum(y) / n
+    cov = sum(a * b for a, b in zip(x, y)) / n - mx * my
+    sx = math.sqrt(sum(a * a for a in x) / n - mx * mx)
+    sy = math.sqrt(sum(b * b for b in y) / n - my * my)
+    want = round(cov / (sx * sy), 6)
+    row = bucket_correlation_agg(spark, sf_dir).collect()[0]
+    assert row.n_buckets == n
+    assert abs(row.correlation - want) < 1e-9
+    assert -1.0 <= row.correlation <= 1.0
+    # statistics.correlation as a second independent check
+    assert abs(row.correlation - statistics.correlation(x, y)) < 1e-6
+
+
+def test_categorize_text_matches_python(spark, sf_dir):
+    import re
+
+    from unified_vector_database_spark.operators.esagg4 import (
+        CATEGORIZE_SIG_TOKENS, CATEGORIZE_TOP, categorize_text_agg,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    cats: dict = defaultdict(lambda: [0, None])
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().split(" ") if t]
+        sig = " ".join(re.sub(r"[0-9]+", "<n>", t)
+                       for t in toks[:CATEGORIZE_SIG_TOKENS])
+        cats[sig][0] += 1
+        if cats[sig][1] is None or doc_id < cats[sig][1]:
+            cats[sig][1] = doc_id
+    want = sorted(((c, n, e) for c, (n, e) in cats.items()),
+                  key=lambda t: (-t[1], t[0]))[:CATEGORIZE_TOP]
+    got = [(r.category, r.n_docs, r.example_doc)
+           for r in categorize_text_agg(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_suggest_context_subsets_global_prefix(spark, sf_dir):
+    """Context suggestions must be exactly the global prefix counts
+    recomputed over the context's documents only."""
+    from unified_vector_database_spark.operators.suggest import (
+        _PREFIX, CTX_LANG, suggest_context,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE lang = '{CTX_LANG}'").fetchall()
+    freq: Counter = Counter()
+    docs_per: dict = defaultdict(set)
+    for doc_id, text in rows:
+        for t in text.strip().split(" "):
+            if t and t.startswith(_PREFIX):
+                freq[t] += 1
+                docs_per[t].add(doc_id)
+    want = sorted(((t, c, len(docs_per[t])) for t, c in freq.items()),
+                  key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.suggestion, r.freq, r.n_docs)
+           for r in suggest_context(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_bloom_membership_properties(spark, sf_dir):
+    """No false negatives (every member probe positive), and the
+    altered-probe positives equal a pure-Python bloom recompute."""
+    import hashlib
+
+    from unified_vector_database_spark.operators.sketches import (
+        BLOOM_K, BLOOM_M, BLOOM_PROBE_MOD, bloom_membership,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+
+    def bits(s):
+        return {int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:15], 16)
+                % BLOOM_M for i in range(BLOOM_K)}
+
+    filt: set = set()
+    for _, text in rows:
+        filt |= bits(text)
+    probes = [(d, t) for d, t in rows if d % BLOOM_PROBE_MOD == 0]
+    fp = sum(1 for _, t in probes if bits(t + "?") <= filt)
+    got = {r.kind: (r.n_queries, r.n_positive)
+           for r in bloom_membership(spark, sf_dir).collect()}
+    assert got["a_member"] == (len(probes), len(probes))  # no FNs ever
+    assert got["b_altered"] == (len(probes), fp)

@@ -184,3 +184,104 @@ def scripted_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max(F.col("peak") - F.col("total")).cast("double")
                    .alias("max_drawdown"))
              .orderBy("event_type"))
+
+
+# ------------------------------------------------------ bucket_correlation
+
+@register("bucket_correlation_agg", oracle="""
+WITH b AS (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+              AS BIGINT) AS x,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * CAST(y AS DOUBLE) AS DECIMAL(38,4)))
+              AS DOUBLE) AS sxy
+  FROM b)
+SELECT CAST(n AS BIGINT) AS n_buckets,
+       round((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))), 6)
+         AS correlation
+FROM s
+""")
+def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_correlation` pipeline agg (count_correlation
+    function): Pearson correlation between a per-bucket metric series
+    (daily click count) and a second series (daily total value).
+    Both series come from ONE conditional-agg scan; the five power
+    sums over the |days| bucket frame accumulate as exact
+    BIGINT/DECIMAL (never the engines' own corr builtins, whose
+    accumulation differs), and the closed-form Pearson divides
+    identical doubles."""
+    ev = tables.load(spark, sf_dir, "events")
+    b = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.count(F.when(F.col("event_type") == "click", 1))
+                 .cast("long").alias("x"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("y")))
+    yd = F.col("y").cast("double")
+    s = b.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,4)")).cast("double").alias("syy"),
+        F.sum((F.col("x") * yd).cast("decimal(38,4)")).cast("double")
+         .alias("sxy"))
+    n = F.col("n")
+    corr = ((F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n))
+            / (F.sqrt(F.col("sxx") / n
+                      - (F.col("sx") / n) * (F.col("sx") / n))
+               * F.sqrt(F.col("syy") / n
+                        - (F.col("sy") / n) * (F.col("sy") / n))))
+    return s.select(n.cast("long").alias("n_buckets"),
+                    F.round(corr, 6).alias("correlation"))
+
+
+# -------------------------------------------------------- categorize_text
+
+CATEGORIZE_SIG_TOKENS = 4
+CATEGORIZE_TOP = 15
+
+
+@register("categorize_text_agg", oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           (list_filter(string_split(trim(text), ' '),
+                        x -> x <> ''))[1:{CATEGORIZE_SIG_TOKENS}],
+           x -> regexp_replace(x, '[0-9]+', '<n>', 'g')) AS sig_toks
+  FROM documents),
+g AS (SELECT array_to_string(sig_toks, ' ') AS category,
+             count(*) AS n_docs, min(doc_id) AS example_doc
+      FROM t GROUP BY 1)
+SELECT category, CAST(n_docs AS BIGINT) AS n_docs, example_doc
+FROM g ORDER BY n_docs DESC, category LIMIT {CATEGORIZE_TOP}
+""")
+def categorize_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `categorize_text` agg (log-message pattern clustering),
+    deterministic core: each doc's category is its leading token
+    signature with numeric runs normalized to `<n>` — the
+    drain-style prefix bucketing that groups "error 404 on node 7"
+    with "error 500 on node 12". Signature is pure map-side string
+    math; one partial-agg groupBy whose cardinality is the pattern
+    count, TakeOrdered top categories."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    sig = F.array_join(
+        F.transform(F.slice(tokens("text"), 1, CATEGORIZE_SIG_TOKENS),
+                    lambda x: F.regexp_replace(x, "[0-9]+", "<n>")),
+        " ")
+    return (docs.select("doc_id", sig.alias("category"))
+                .groupBy("category")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.min("doc_id").alias("example_doc"))
+                .orderBy(F.desc("n_docs"), "category")
+                .limit(CATEGORIZE_TOP))

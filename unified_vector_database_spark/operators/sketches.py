@@ -192,3 +192,92 @@ def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("nd").cast("long").alias("sketch_size"),
                         F.round(est, 4).alias("kmv_est"))
                 .orderBy("event_type"))
+
+
+# --------------------------------------------------- Bloom filter sketch
+
+BLOOM_M = 1 << 14   # filter bits
+BLOOM_K = 4         # hash functions
+BLOOM_PROBE_MOD = 97
+
+
+def _bloom_hash_sql(s: str, i: int) -> str:
+    return (f"(('0x' || substr(md5({s} || '#{i}'), 1, 15))::BIGINT"
+            f" % {BLOOM_M})")
+
+
+def _bloom_bits_sql(s: str) -> str:
+    return "[" + ", ".join(_bloom_hash_sql(s, i)
+                           for i in range(BLOOM_K)) + "]"
+
+
+@register("bloom_membership", oracle=f"""
+WITH bits AS (
+  SELECT DISTINCT unnest({_bloom_bits_sql('text')}) AS bit
+  FROM documents),
+probes AS (
+  SELECT doc_id, 'a_member' AS kind, text AS probe FROM documents
+  WHERE doc_id % {BLOOM_PROBE_MOD} = 0
+  UNION ALL
+  SELECT doc_id, 'b_altered', text || '?' FROM documents
+  WHERE doc_id % {BLOOM_PROBE_MOD} = 0),
+pb AS (
+  SELECT doc_id, kind, unnest({_bloom_bits_sql('probe')}) AS bit
+  FROM probes),
+hit AS (
+  SELECT pb.doc_id, pb.kind,
+         count(DISTINCT pb.bit) AS n_bits,
+         count(DISTINCT CASE WHEN bits.bit IS NOT NULL
+                             THEN pb.bit END) AS n_set
+  FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+  GROUP BY 1, 2)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(CASE WHEN n_set = n_bits THEN 1 END) AS BIGINT)
+         AS n_positive
+FROM hit GROUP BY kind ORDER BY kind
+""")
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (the at-scale decontamination /
+    "have we seen this document" primitive when the reference set is
+    too big to broadcast exactly): k={BLOOM_K} md5-derived hash
+    functions over m={BLOOM_M} bits; build = one distinct-bit pass
+    (the bitmap is ≤ m rows — MBs at any corpus size, and bitmaps
+    MERGE by union, so per-partition filters combine like HLL
+    registers); probe = every distinct probe bit set (k-of-k modulo
+    own-hash collisions, so a colliding member can never read as
+    absent). The census probes every
+    1-in-{BLOOM_PROBE_MOD} document as itself (must always hit: a
+    Bloom filter has NO false negatives — pinned in tests) and as an
+    altered twin (hits are the measured false-positive rate).
+
+    Exact integer bit math end to end — positions, the distinct
+    union, and the k-of-k test are engine-identical."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+
+    def bloom_bits(col):
+        return F.array(*[
+            md5_int60(F.concat(col, F.lit(f"#{i}"))) % BLOOM_M
+            for i in range(BLOOM_K)])
+
+    bits = (docs.select(F.explode(bloom_bits(F.col("text"))).alias("bit"))
+                .distinct())
+    base = docs.where(F.col("doc_id") % BLOOM_PROBE_MOD == 0)
+    probes = (base.select("doc_id", F.lit("a_member").alias("kind"),
+                          F.col("text").alias("probe"))
+              .unionByName(
+                  base.select("doc_id", F.lit("b_altered").alias("kind"),
+                              F.concat("text", F.lit("?")).alias("probe"))))
+    pb = probes.select("doc_id", "kind",
+                       F.explode(bloom_bits(F.col("probe"))).alias("bit"))
+    hit = (pb.join(F.broadcast(bits.withColumn("set", F.lit(1))),
+                   "bit", "left")
+             .groupBy("doc_id", "kind")
+             .agg(F.count_distinct("bit").alias("n_bits"),
+                  F.count_distinct(F.when(F.col("set") == 1,
+                                          F.col("bit"))).alias("n_set")))
+    return (hit.groupBy("kind")
+               .agg(F.count("*").cast("long").alias("n_queries"),
+                    F.count(F.when(F.col("n_set") == F.col("n_bits"), 1))
+                     .cast("long").alias("n_positive"))
+               .orderBy("kind"))

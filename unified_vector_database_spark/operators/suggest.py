@@ -206,3 +206,38 @@ def suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("td").cast("int").alias("total_dist"),
                 score.alias("score"))
             .orderBy(F.desc("score"), "suggestion").limit(_SP_TOP))
+
+
+# ------------------------------------------------- context suggester
+
+CTX_LANG = "en"
+
+
+@register("suggest_context", oracle=f"""
+SELECT token AS suggestion, count(*) AS freq,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '),
+                                t -> t <> '')) AS token
+      FROM documents WHERE lang = '{CTX_LANG}')
+WHERE token LIKE '{_PREFIX}%'
+GROUP BY token
+ORDER BY freq DESC, suggestion
+LIMIT 10
+""")
+def suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with CONTEXTS (category context =
+    lang): completions ranked by frequency WITHIN the context's
+    documents only — "type 's', suggest from English docs". The
+    context predicate lands on the scan BEFORE tokenization (a
+    partition-column filter when the collection is context-
+    partitioned, the S5/tenant layout), then T11's prefix shape."""
+    docs = (tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+            .where(F.col("lang") == CTX_LANG))
+    tok = exploded_tokens(docs, "doc_id", "text")
+    return (tok.where(F.col("token").startswith(_PREFIX))
+               .groupBy(F.col("token").alias("suggestion"))
+               .agg(F.count("*").alias("freq"),
+                    F.countDistinct("doc_id").alias("n_docs"))
+               .orderBy(F.desc("freq"), "suggestion")
+               .limit(10))
