@@ -83,7 +83,7 @@ _PRIORITY = [
     "has_parent_search", "nprobe_recall_curve",
     "length_bucket_batching", "near_image_search",
     "bucket_correlation_agg", "categorize_text_agg", "suggest_context",
-    "bloom_membership",
+    "bloom_membership", "countmin_term_freq",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

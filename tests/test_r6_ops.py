@@ -629,3 +629,35 @@ def test_bloom_membership_properties(spark, sf_dir):
            for r in bloom_membership(spark, sf_dir).collect()}
     assert got["a_member"] == (len(probes), len(probes))  # no FNs ever
     assert got["b_altered"] == (len(probes), fp)
+
+
+def test_countmin_matches_python_and_overestimates(spark, sf_dir):
+    import hashlib
+
+    from unified_vector_database_spark.operators.sketches import (
+        CM_D, CM_TERMS, CM_W, countmin_term_freq,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
+    cells: Counter = Counter()
+    exact: Counter = Counter()
+
+    def col(t, i):
+        return int(hashlib.md5(f"{t}#cm{i}".encode())
+                   .hexdigest()[:15], 16) % CM_W
+
+    for (text,) in rows:
+        for t in text.strip().split(" "):
+            if not t:
+                continue
+            exact[t] += 1
+            for i in range(CM_D):
+                cells[(i, col(t, i))] += 1
+    want = {t: (exact[t], min(cells[(i, col(t, i))] for i in range(CM_D)))
+            for t in CM_TERMS}
+    got = {r.term: (r.exact, r.cms_est)
+           for r in countmin_term_freq(spark, sf_dir).collect()}
+    assert got == want
+    for t, (ex, est) in got.items():
+        assert est >= ex  # CMS never underestimates

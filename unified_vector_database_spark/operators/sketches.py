@@ -281,3 +281,87 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.when(F.col("n_set") == F.col("n_bits"), 1))
                      .cast("long").alias("n_positive"))
                .orderBy("kind"))
+
+
+# ----------------------------------------------------- Count-Min sketch
+
+CM_D = 4        # hash rows
+CM_W = 1024     # counters per row
+CM_TERMS = ("vector", "scan", "merge", "slow", "key")
+_CM_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in CM_TERMS) + ")"
+
+
+def _cm_col_sql(s: str, i: int) -> str:
+    return (f"(('0x' || substr(md5({s} || '#cm{i}'), 1, 15))::BIGINT"
+            f" % {CM_W})")
+
+
+@register("countmin_term_freq", oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(trim(text), ' '),
+                            t -> t <> '')) AS term
+  FROM documents),
+cells AS (
+  SELECT r, col, count(*) AS c FROM (
+    {" UNION ALL ".join(
+        f"SELECT {i} AS r, {_cm_col_sql('term', i)} AS col FROM tok"
+        for i in range(CM_D))})
+  GROUP BY 1, 2),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in CM_TERMS)}),
+probe AS (
+  SELECT q.term, cells.c
+  FROM q, cells
+  WHERE {" OR ".join(
+      f"(cells.r = {i} AND cells.col = {_cm_col_sql('q.term', i)})"
+      for i in range(CM_D))}),
+est AS (SELECT term, min(c) AS cms_est FROM probe GROUP BY 1),
+ex AS (SELECT term, count(*) AS exact FROM tok
+       WHERE term IN {_CM_TERMS_SQL} GROUP BY 1)
+SELECT est.term, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
+       CAST(est.cms_est AS BIGINT) AS cms_est
+FROM est LEFT JOIN ex USING (term)
+ORDER BY term
+""")
+def countmin_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) — the heavy-hitter / term-frequency primitive when exact
+    per-key counts can't be held: d x w integer counters, point
+    estimate = min over rows. Counters ADD, so per-partition sketches
+    merge exactly (the partial agg IS the merge — like HLL registers,
+    only d·w cells ever cross the shuffle, never the key set), and
+    estimates are exact-integer math: engine-identical and
+    overestimates-only (est ≥ exact, pinned in tests).
+
+    The census probes {len(CM_TERMS)} query terms and reports
+    exact vs estimated counts — the collision inflation IS the
+    measurement."""
+    from ..functions.text import exploded_tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = exploded_tokens(docs, "doc_id", "text") \
+        .select(F.col("token").alias("term"))
+
+    def cm_col(col, i):
+        return md5_int60(F.concat(col, F.lit(f"#cm{i}"))) % CM_W
+
+    cells = (tok.select(F.explode(F.array(*[
+                F.struct(F.lit(i).alias("r"),
+                         cm_col(F.col("term"), i).alias("col"))
+                for i in range(CM_D)])).alias("rc"))
+                .groupBy("rc.r", "rc.col")
+                .agg(F.count("*").alias("c")))
+    q = spark.createDataFrame([(t,) for t in CM_TERMS], "term string")
+    qcells = q.select("term", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 cm_col(F.col("term"), i).alias("col"))
+        for i in range(CM_D)])).alias("rc")) \
+        .select("term", "rc.r", "rc.col")
+    est = (cells.join(F.broadcast(qcells), ["r", "col"])
+                .groupBy("term").agg(F.min("c").alias("cms_est")))
+    ex = (tok.where(F.col("term").isin(*CM_TERMS))
+             .groupBy("term").agg(F.count("*").alias("exact")))
+    return (est.join(ex, "term", "left")
+               .select("term",
+                       F.coalesce(F.col("exact"), F.lit(0))
+                        .cast("long").alias("exact"),
+                       F.col("cms_est").cast("long").alias("cms_est"))
+               .orderBy("term"))
