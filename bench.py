@@ -80,7 +80,7 @@ HEADLINE = [
     "stream_near_dup", "bm25_batch_search", "has_child_search",
     "nprobe_recall_curve", "length_bucket_batching", "near_image_search",
     "bucket_correlation_agg", "categorize_text_agg", "bloom_membership",
-    "countmin_term_freq",
+    "countmin_term_freq", "gauss_decay_search", "stream_countmin",
 ]
 
 

@@ -661,3 +661,48 @@ def test_countmin_matches_python_and_overestimates(spark, sf_dir):
     assert got == want
     for t, (ex, est) in got.items():
         assert est >= ex  # CMS never underestimates
+
+
+def test_gauss_decay_matches_python(spark, sf_dir):
+    import datetime
+
+    from unified_vector_database_spark.operators.search_extras2 import (
+        DECAY_AT_SCALE, DECAY_SCALE_DAYS, DECAY_TOP, gauss_decay_search,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_id, date_trunc('day', ts)::DATE, value FROM "
+        f"'{sf_dir}/events.parquet'").fetchall()
+    anchor = max(d for _, d, _ in rows)
+    scored = []
+    for eid, d, v in rows:
+        age = (anchor - d).days
+        s = round(v * DECAY_AT_SCALE
+                  ** ((age / DECAY_SCALE_DAYS) * (age / DECAY_SCALE_DAYS)), 6)
+        scored.append((eid, age, s))
+    want = sorted(scored, key=lambda t: (-t[2], t[0]))[:DECAY_TOP]
+    got = [(r.event_id, r.age_days, r.score)
+           for r in gauss_decay_search(spark, sf_dir).collect()]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # ranking sanity: scores non-increasing, and decay strictly
+    # bites (top-20 can't all be stale)
+    scores = [s for _, _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    assert min(a for _, a, _ in got) <= DECAY_SCALE_DAYS
+
+
+def test_stream_countmin_equals_batch(spark, sf_dir):
+    from unified_vector_database_spark.operators.sketches import (
+        countmin_term_freq,
+    )
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_countmin,
+    )
+
+    batch = [(r.term, r.exact, r.cms_est)
+             for r in countmin_term_freq(spark, sf_dir).collect()]
+    stream = [(r.term, r.exact, r.cms_est)
+              for r in stream_countmin(spark, sf_dir).collect()]
+    assert stream == batch  # the replay fixpoint IS the batch sketch

@@ -299,3 +299,47 @@ def has_parent_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                     .cast("double").alias("total_price"))
               .orderBy("l_returnflag"))
+
+
+# ------------------------------------------------------- gauss decay
+
+DECAY_SCALE_DAYS = 7
+DECAY_AT_SCALE = 0.5
+DECAY_TOP = 20
+
+
+@register("gauss_decay_search", oracle=f"""
+WITH mx AS (SELECT max(date_trunc('day', ts)::DATE) AS anchor FROM events),
+s AS (
+  SELECT e.event_id, e.value,
+         CAST(mx.anchor - date_trunc('day', e.ts)::DATE AS BIGINT)
+           AS age_days
+  FROM events e, mx)
+SELECT event_id, age_days,
+       round(value * power({DECAY_AT_SCALE!r},
+             (age_days * 1.0 / {DECAY_SCALE_DAYS})
+             * (age_days * 1.0 / {DECAY_SCALE_DAYS})), 6) AS score
+FROM s
+ORDER BY score DESC, event_id LIMIT {DECAY_TOP}
+""")
+def gauss_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `function_score` gauss decay on recency (the
+    freshness-boosted ranking every news/feed deployment runs):
+    score = value · decay^((age/scale)²), decay 0.5 at scale 7 days,
+    origin = the corpus' newest day (a 1-row aggregate broadcast —
+    no driver round-trip). Day-granular ages keep the decay input
+    exact-integer on both engines; the transcendental pow lands only
+    in the rounded output and the ORDER BY uses the rounded score,
+    so engine ulps cannot reorder."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    mx = ev.agg(F.max(day).alias("anchor"))
+    s = (ev.crossJoin(F.broadcast(mx))
+           .select("event_id", "value",
+                   F.datediff(F.col("anchor"), day).cast("long")
+                    .alias("age_days")))
+    ratio = F.col("age_days") * 1.0 / DECAY_SCALE_DAYS
+    score = F.round(F.col("value")
+                    * F.pow(F.lit(DECAY_AT_SCALE), ratio * ratio), 6)
+    return (s.select("event_id", "age_days", score.alias("score"))
+             .orderBy(F.desc("score"), "event_id").limit(DECAY_TOP))

@@ -296,7 +296,7 @@ def _cm_col_sql(s: str, i: int) -> str:
             f" % {CM_W})")
 
 
-@register("countmin_term_freq", oracle=f"""
+ORACLES_CM = f"""
 WITH tok AS (
   SELECT unnest(list_filter(string_split(trim(text), ' '),
                             t -> t <> '')) AS term
@@ -321,7 +321,10 @@ SELECT est.term, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
        CAST(est.cms_est AS BIGINT) AS cms_est
 FROM est LEFT JOIN ex USING (term)
 ORDER BY term
-""")
+"""
+
+
+@register("countmin_term_freq", oracle=ORACLES_CM)
 def countmin_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
     2005) — the heavy-hitter / term-frequency primitive when exact

@@ -473,3 +473,61 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_docs").cast("long").alias("n_docs"),
                        "first_doc")
                .orderBy("band", "key"))
+
+
+def _stream_countmin_oracle() -> str:
+    from ..operators.sketches import ORACLES_CM
+    return ORACLES_CM
+
+
+@register("stream_countmin", oracle=_stream_countmin_oracle)
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: streaming Count-Min sketch — the d×w counter matrix
+    maintained as streaming state over the document ingest stream
+    (X26's streaming twin; counters ADD, so the stateful groupBy-sum
+    IS the sketch merge and batch order cannot change the fixpoint —
+    the same merge-order-free argument as W7's HLL registers). State
+    is bounded at d·w cells regardless of stream length; the probe
+    runs on the final state. Hash-checked against the batch CMS
+    oracle."""
+    from ..operators.sketches import CM_D, CM_TERMS, CM_W
+    from ..functions.hashing import md5_int60
+    stream = _replay_docs(spark, sf_dir, "countmin")
+
+    def cm_col(col, i):
+        return md5_int60(F.concat(col, F.lit(f"#cm{i}"))) % CM_W
+
+    # one-file micro-batches arrive as ~1 task — spread the token ×
+    # d-cell explode across the executors first (the stream_near_dup
+    # fix; a many-partition Kafka source arrives pre-spread)
+    tok = (stream.repartition(spark.sparkContext.defaultParallelism)
+           .select(F.explode(
+               F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+               .alias("term")))
+    cells_stream = (tok.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("r"),
+                     cm_col(F.col("term"), i).alias("col"))
+            for i in range(CM_D)])).alias("rc"))
+        .groupBy("rc.r", "rc.col")
+        .agg(F.count("*").alias("c")))
+    cells = _run_to_memory(cells_stream, "complete")
+    q = spark.createDataFrame([(t,) for t in CM_TERMS], "term string")
+    qcells = (q.select("term", F.explode(F.array(*[
+                F.struct(F.lit(i).alias("r"),
+                         cm_col(F.col("term"), i).alias("col"))
+                for i in range(CM_D)])).alias("rc"))
+               .select("term", "rc.r", "rc.col"))
+    est = (cells.join(F.broadcast(qcells), ["r", "col"])
+                .groupBy("term").agg(F.min("c").alias("cms_est")))
+    docs = tables.load(spark, sf_dir, "documents")
+    ex = (docs.select(F.explode(
+            F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+            .alias("term"))
+          .where(F.col("term").isin(*CM_TERMS))
+          .groupBy("term").agg(F.count("*").alias("exact")))
+    return (est.join(ex, "term", "left")
+               .select("term",
+                       F.coalesce(F.col("exact"), F.lit(0))
+                        .cast("long").alias("exact"),
+                       F.col("cms_est").cast("long").alias("cms_est"))
+               .orderBy("term"))
