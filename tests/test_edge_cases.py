@@ -344,3 +344,73 @@ def test_r4b_vector_ops_survive_degenerate_corpora(spark, tmp_path):
         assert SM.knn_by_id(spark, sf).collect() == []
         assert SM.context_search(spark, sf).collect() == []
         assert hard_negative_mining(spark, sf).collect() == []
+
+
+def test_r6_ops_survive_degenerate_corpora(spark, tmp_path):
+    """r6-wave twin of the gates above: document- and event-side r6
+    operators must survive empty / single-short-doc / whitespace /
+    single-day corpora (schema stays, rows degrade gracefully)."""
+    import datetime
+    import os
+    from pyspark.sql import Row
+    from unified_vector_database_spark.operators import (
+        cleanup as CL, esagg4 as E4, inverted as IV, multimodal as MM,
+        sampling as SA, sketches as SK, suggest as SG)
+    from unified_vector_database_spark.operators.search_extras2 import (
+        gauss_decay_search, span_not_search,
+    )
+
+    def mk_docs(name, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long") \
+            .write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        return sf
+
+    def mk_events(name, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string") \
+            .write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        return sf
+
+    d_empty = mk_docs("r6_d_empty", [])
+    d_single = mk_docs("r6_d_single", [Row(doc_id=0, text="a", lang="en",
+                                           source="s", n_chars=1)])
+    d_ws = mk_docs("r6_d_ws", [Row(doc_id=0, text="   ", lang="en",
+                                   source="s", n_chars=3)])
+    doc_ops = [span_not_search, E4.categorize_text_agg,
+               CL.length_bucket_batching, SK.bloom_membership,
+               SK.countmin_term_freq, SG.suggest_context,
+               IV.bm25_batch_search, SA.temperature_mix_sample,
+               MM.near_image_search]
+    for sf in (d_empty, d_single, d_ws):
+        for op in doc_ops:
+            op(spark, sf).collect()  # must not raise
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    e_empty = mk_events("r6_e_empty", [])
+    e_single = mk_events("r6_e_single", [
+        Row(event_id=0, ts=t0, user_id=1, event_type="click",
+            value=5.0, props="{}")])
+    e_oneday = mk_events("r6_e_oneday", [
+        Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i), user_id=i,
+            event_type="click", value=float(i), props="{}")
+        for i in range(5)])
+    ev_ops = [E4.bucket_script_agg, E4.scripted_metric_agg,
+              E4.bucket_correlation_agg, gauss_decay_search]
+    for sf in (e_empty, e_single, e_oneday):
+        for op in ev_ops:
+            op(spark, sf).collect()  # must not raise
+
+    # the guard classes, pinned: a 1-bucket series has no variance ->
+    # NULL correlation (not NaN); an empty corpus -> no near-image
+    # query -> zero rows (not a crash); empty bloom census has no rows
+    row = E4.bucket_correlation_agg(spark, e_oneday).collect()[0]
+    assert row.n_buckets == 1 and row.correlation is None
+    assert MM.near_image_search(spark, d_empty).collect() == []
+    assert SK.bloom_membership(spark, d_empty).collect() == []

@@ -206,10 +206,13 @@ s AS (
               AS DOUBLE) AS sxy
   FROM b)
 SELECT CAST(n AS BIGINT) AS n_buckets,
-       round((sxy / n - (sx / n) * (sy / n))
-             / (sqrt(sxx / n - (sx / n) * (sx / n))
-                * sqrt(syy / n - (sy / n) * (sy / n))), 6)
-         AS correlation
+       CASE WHEN n = 0
+              OR sqrt(sxx / n - (sx / n) * (sx / n))
+                 * sqrt(syy / n - (sy / n) * (sy / n)) = 0 THEN NULL
+            ELSE round((sxy / n - (sx / n) * (sy / n))
+                       / (sqrt(sxx / n - (sx / n) * (sx / n))
+                          * sqrt(syy / n - (sy / n) * (sy / n))), 6)
+       END AS correlation
 FROM s
 """)
 def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,13 +239,19 @@ def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * yd).cast("decimal(38,4)")).cast("double")
          .alias("sxy"))
     n = F.col("n")
+    denom = (F.sqrt(F.col("sxx") / n
+                    - (F.col("sx") / n) * (F.col("sx") / n))
+             * F.sqrt(F.col("syy") / n
+                      - (F.col("sy") / n) * (F.col("sy") / n)))
     corr = ((F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n))
-            / (F.sqrt(F.col("sxx") / n
-                      - (F.col("sx") / n) * (F.col("sx") / n))
-               * F.sqrt(F.col("syy") / n
-                        - (F.col("sy") / n) * (F.col("sy") / n))))
+            / denom)
+    # a flat series (or an empty one) has no correlation — NULL, not
+    # a NaN from 0/0 (ANSI doubles do not throw, but NaN hashes
+    # differently than SQL NULL)
+    guarded = F.when((n == 0) | (denom == 0),
+                     F.lit(None).cast("double"))                .otherwise(F.round(corr, 6))
     return s.select(n.cast("long").alias("n_buckets"),
-                    F.round(corr, 6).alias("correlation"))
+                    guarded.alias("correlation"))
 
 
 # -------------------------------------------------------- categorize_text

@@ -500,6 +500,10 @@ def near_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=("media_id long, width int, height int, mean_r double, "
                 "mean_g double, mean_b double, thumb array<double>"))
         .first())
+    if qrow is None:  # no query image (degenerate corpus) -> no hits
+        return (feats.select("media_id",
+                             F.lit(None).cast("double").alias("dist"))
+                     .limit(0))
     d2 = ((F.col("mean_r") - F.lit(qrow.mean_r)) ** 2
           + (F.col("mean_g") - F.lit(qrow.mean_g)) ** 2
           + (F.col("mean_b") - F.lit(qrow.mean_b)) ** 2)
