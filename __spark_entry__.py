@@ -84,7 +84,7 @@ _PRIORITY = [
     "length_bucket_batching", "near_image_search",
     "bucket_correlation_agg", "categorize_text_agg", "suggest_context",
     "bloom_membership", "countmin_term_freq", "gauss_decay_search",
-    "stream_countmin",
+    "stream_countmin", "holt_winters_smoothing",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

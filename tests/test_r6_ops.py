@@ -706,3 +706,42 @@ def test_stream_countmin_equals_batch(spark, sf_dir):
     stream = [(r.term, r.exact, r.cms_est)
               for r in stream_countmin(spark, sf_dir).collect()]
     assert stream == batch  # the replay fixpoint IS the batch sketch
+
+
+def test_holt_winters_matches_sequential_python(spark, sf_dir):
+    """Triple smoothing re-derived by a literal sequential Python
+    loop over Decimal-exact daily totals — independent of both the
+    Spark fold and the recursive CTE."""
+    from unified_vector_database_spark.operators.stats_more import (
+        HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD, holt_winters_smoothing,
+    )
+
+    acc = _daily_rows(sf_dir)
+    daily: dict = defaultdict(Decimal)
+    for (et, day), v in acc.items():
+        daily[day] += v
+    days = sorted(daily)
+    x = [float(daily[d]) for d in days]
+    L = HW_PERIOD
+    assert len(x) >= 2 * L
+    m1 = float(sum(daily[d] for d in days[:L])) / L
+    m2 = float(sum(daily[d] for d in days[L:2 * L])) / L
+    s, b = m1, (m2 - m1) / L
+    ch = [x[i] - m1 for i in range(L)]
+    want = []
+    for i in range(L, len(x)):
+        cprev = ch[0]
+        s_new = HW_ALPHA * (x[i] - cprev) + (1 - HW_ALPHA) * (s + b)
+        b_new = HW_BETA * (s_new - s) + (1 - HW_BETA) * b
+        c_new = HW_GAMMA * (x[i] - s_new) + (1 - HW_GAMMA) * cprev
+        ch = ch[1:] + [c_new]
+        s, b = s_new, b_new
+        want.append((days[i], x[i], round(s, 6), round(b, 6),
+                     round(c_new, 6)))
+    got = [(r.day, r.total, r.level, r.trend, r.seasonal)
+           for r in holt_winters_smoothing(spark, sf_dir).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        for gv, wv in zip(g[2:], w[2:]):
+            assert abs(gv - wv) < 1e-9

@@ -743,3 +743,127 @@ def bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         F.col("n").cast("long").alias("n_buckets"),
         F.round(F.col("r.ks"), 6).alias("ks_stat"))
+
+
+# --------------------------------------------------- holt_winters
+
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_GAMMA = 0.2
+HW_PERIOD = 7  # weekly seasonality on the daily series
+
+
+def _hw_snew_sql() -> str:
+    """s_i expression (referenced three times in the recursive step —
+    the holt-oracle inlining pattern; byte-identical copies evaluate
+    to the identical double)."""
+    return (f"{HW_ALPHA!r} * (CAST(a[i + 1].t AS DOUBLE) - ch[1])"
+            f" + {1 - HW_ALPHA!r} * (s + b)")
+
+
+@register("holt_winters_smoothing", oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS t
+  FROM events GROUP BY 1),
+arr AS (SELECT list(struct_pack(day := day, t := t) ORDER BY day) AS a,
+               count(*) AS n
+        FROM d),
+seed AS (
+  SELECT
+    CAST(list_sum(list_transform(a[1:{HW_PERIOD}], e -> e.t))
+         AS DOUBLE) / {HW_PERIOD} AS m1,
+    (CAST(list_sum(list_transform(a[{HW_PERIOD + 1}:{2 * HW_PERIOD}],
+                                  e -> e.t)) AS DOUBLE) / {HW_PERIOD}
+     - CAST(list_sum(list_transform(a[1:{HW_PERIOD}], e -> e.t))
+            AS DOUBLE) / {HW_PERIOD}) / {HW_PERIOD} AS b0
+  FROM arr),
+r AS (
+  SELECT {HW_PERIOD} AS i, m1 AS s, b0 AS b,
+         list_transform(a[1:{HW_PERIOD}],
+                        e -> CAST(e.t AS DOUBLE) - m1) AS ch,
+         CAST(NULL AS DOUBLE) AS c
+  FROM arr, seed WHERE n >= {2 * HW_PERIOD}
+  UNION ALL
+  SELECT i + 1,
+         {_hw_snew_sql()},
+         {HW_BETA!r} * (({_hw_snew_sql()}) - s) + {1 - HW_BETA!r} * b,
+         list_append(ch[2:],
+             {HW_GAMMA!r} * (CAST(a[i + 1].t AS DOUBLE)
+                             - ({_hw_snew_sql()}))
+             + {1 - HW_GAMMA!r} * ch[1]),
+         {HW_GAMMA!r} * (CAST(a[i + 1].t AS DOUBLE)
+                         - ({_hw_snew_sql()}))
+           + {1 - HW_GAMMA!r} * ch[1]
+  FROM r, arr WHERE i < n)
+SELECT a[i].day AS day, CAST(a[i].t AS DOUBLE) AS total,
+       round(s, 6) AS level, round(b, 6) AS trend,
+       round(c, 6) AS seasonal
+FROM r, arr WHERE c IS NOT NULL
+ORDER BY day
+""")
+def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` holt-winters model (triple exponential
+    smoothing, additive, period {HW_PERIOD}): level/trend as holt
+    plus a seasonal component c_i = γ(x_i − s_i) + (1−γ)c_{{i−L}}.
+    Seeds: s_L = mean(cycle 1), b_L = (mean(cycle 2) − mean(cycle 1))
+    / L, c_1..L = x_i − mean(cycle 1) — cycle means derive from
+    exact-DECIMAL sums, so seeding is merge-order-free. The lag-L
+    reference rides a ROLLING L-slot window carried through the fold
+    (Spark: array in the accumulator struct; DuckDB: a list column in
+    the recursive CTE — same slots, same order), and both engines
+    evaluate the same ordered FP chain, so level/trend/seasonal are
+    bit-identical before display rounding. Output starts at day L+1.
+    Needs ≥ 2L buckets; shorter series yield zero rows."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("t")))
+    L = HW_PERIOD
+    arr = (d.agg(F.array_sort(F.collect_list(F.struct(
+              F.col("day").alias("day"), F.col("t").alias("t"))))
+              .alias("a"))
+            .where(F.size("a") >= 2 * L))
+    dec0 = "cast(0.00 as decimal(18,2))"
+    m1 = (F.expr(f"aggregate(slice(a, 1, {L}), {dec0}, "
+                 f"(acc, e) -> cast(acc + e.t as decimal(18,2)))")
+          .cast("double") / L)
+    m2 = (F.expr(f"aggregate(slice(a, {L + 1}, {L}), {dec0}, "
+                 f"(acc, e) -> cast(acc + e.t as decimal(18,2)))")
+          .cast("double") / L)
+    with_seed = arr.select(
+        "a", m1.alias("m1"), ((m2 - m1) / L).alias("b0"))
+    a_, b_, g_ = HW_ALPHA, HW_BETA, HW_GAMMA
+
+    def step(acc, e):
+        prev = F.element_at(acc, -1)
+        x = e.getField("t").cast("double")
+        cprev = F.element_at(prev.getField("ch"), 1)
+        s_new = (F.lit(a_) * (x - cprev)
+                 + F.lit(1 - a_) * (prev.getField("s")
+                                    + prev.getField("b")))
+        b_new = (F.lit(b_) * (s_new - prev.getField("s"))
+                 + F.lit(1 - b_) * prev.getField("b"))
+        c_new = F.lit(g_) * (x - s_new) + F.lit(1 - g_) * cprev
+        ch_new = F.concat(
+            F.slice(prev.getField("ch"), 2, L - 1), F.array(c_new))
+        return F.concat(acc, F.array(F.struct(
+            e.getField("day").alias("day"), x.alias("total"),
+            s_new.alias("s"), b_new.alias("b"), c_new.alias("c"),
+            ch_new.alias("ch"))))
+
+    seed = F.expr(
+        f"transform(slice(a, {L}, 1), e -> named_struct("
+        f"'day', e.day, 'total', cast(e.t as double), "
+        f"'s', m1, 'b', b0, 'c', cast(null as double), "
+        f"'ch', transform(slice(a, 1, {L}), "
+        f"               x -> cast(x.t as double) - m1)))")
+    folded = with_seed.select(F.aggregate(
+        F.expr(f"slice(a, {L + 1}, size(a) - {L})"), seed, step)
+        .alias("o"))
+    out = folded.select(F.explode(F.expr("slice(o, 2, size(o) - 1)"))
+                        .alias("s"))
+    return (out.select("s.day", "s.total",
+                       F.round(F.col("s.s"), 6).alias("level"),
+                       F.round(F.col("s.b"), 6).alias("trend"),
+                       F.round(F.col("s.c"), 6).alias("seasonal"))
+               .orderBy("day"))
