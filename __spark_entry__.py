@@ -73,9 +73,13 @@ _PRIORITY = [
     "moving_percentiles", "ewma_smoothing", "holt_smoothing",
     "bucket_ks_test",
     # (d) r6 wave (registered this round, queued behind the r5
-    # continuation — driver slots 17-23 next round): geotile grid,
-    # bucket_script + scripted_metric pipeline aggs, Qdrant DBSF
-    # fusion, collapse inner_hits, span_not, binary Tanimoto knn
+    # continuation — driver slots 17-40 next round): geotile grid,
+    # pipeline aggs (bucket_script/scripted_metric/bucket_correlation/
+    # holt_winters), DBSF fusion, collapse inner_hits, span_not,
+    # has_child/has_parent, batch BM25, Tanimoto knn, nprobe curve,
+    # SemDeDup, temperature mixing, Bloom/Count-Min sketches,
+    # near_image, categorize_text, gauss decay, context suggester,
+    # and the W10/W11 streaming twins
     "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
     "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
     "tanimoto_knn", "semdedup", "temperature_mix_sample",
@@ -84,7 +88,7 @@ _PRIORITY = [
     "length_bucket_batching", "near_image_search",
     "bucket_correlation_agg", "categorize_text_agg", "suggest_context",
     "bloom_membership", "countmin_term_freq", "gauss_decay_search",
-    "stream_countmin", "holt_winters_smoothing",
+    "stream_countmin", "holt_winters_smoothing", "terms_partition_agg",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

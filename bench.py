@@ -81,7 +81,7 @@ HEADLINE = [
     "nprobe_recall_curve", "length_bucket_batching", "near_image_search",
     "bucket_correlation_agg", "categorize_text_agg", "bloom_membership",
     "countmin_term_freq", "gauss_decay_search", "stream_countmin",
-    "holt_winters_smoothing",
+    "holt_winters_smoothing", "terms_partition_agg",
 ]
 
 

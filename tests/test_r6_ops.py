@@ -745,3 +745,34 @@ def test_holt_winters_matches_sequential_python(spark, sf_dir):
         assert g[0] == w[0] and g[1] == w[1]
         for gv, wv in zip(g[2:], w[2:]):
             assert abs(gv - wv) < 1e-9
+
+
+def test_terms_partitions_disjoint_and_complete(spark, sf_dir):
+    """Union of all P term partitions == the full term census, and
+    partitions are disjoint — the paging contract."""
+    import hashlib
+
+    from unified_vector_database_spark.operators.esagg4 import (
+        TERMS_NUM_PARTITIONS, TERMS_PARTITION, terms_partition_agg,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
+    census: Counter = Counter()
+    for (text,) in rows:
+        for t in text.strip().split(" "):
+            if t:
+                census[t] += 1
+
+    def part(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) \
+            % TERMS_NUM_PARTITIONS
+
+    parts = [dict((t, c) for t, c in census.items() if part(t) == p)
+             for p in range(TERMS_NUM_PARTITIONS)]
+    assert sum(len(p) for p in parts) == len(census)  # disjoint+complete
+    want = sorted(parts[TERMS_PARTITION].items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r.term, r.n)
+           for r in terms_partition_agg(spark, sf_dir).collect()]
+    assert got == want

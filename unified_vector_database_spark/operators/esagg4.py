@@ -294,3 +294,42 @@ def categorize_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.min("doc_id").alias("example_doc"))
                 .orderBy(F.desc("n_docs"), "category")
                 .limit(CATEGORIZE_TOP))
+
+
+# ---------------------------------------------------- terms partitioning
+
+TERMS_NUM_PARTITIONS = 4
+TERMS_PARTITION = 1
+
+
+@register("terms_partition_agg", oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(trim(text), ' '),
+                            t -> t <> '')) AS term
+  FROM documents),
+p AS (
+  SELECT term, count(*) AS n FROM tok
+  WHERE ('0x' || substr(md5(term), 1, 15))::BIGINT
+          % {TERMS_NUM_PARTITIONS} = {TERMS_PARTITION}
+  GROUP BY 1)
+SELECT term, CAST(n AS BIGINT) AS n FROM p
+ORDER BY n DESC, term LIMIT 25
+""")
+def terms_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg with `include.partition` / `num_partitions` — the
+    paging lever for HUGE-cardinality key sets: each request
+    aggregates only the terms hashing into one partition, so a 100M-
+    key census pages through {TERMS_NUM_PARTITIONS} bounded responses
+    instead of one unbounded one. The partition predicate lands
+    map-side BEFORE the aggregate (only 1/{TERMS_NUM_PARTITIONS} of
+    tokens shuffle), and the md5-derived partition assignment is
+    engine-identical and stable across pages."""
+    from ..functions.hashing import md5_int60
+    from ..functions.text import exploded_tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = exploded_tokens(docs, "doc_id", "text") \
+        .select(F.col("token").alias("term"))
+    part = md5_int60(F.col("term")) % TERMS_NUM_PARTITIONS
+    return (tok.where(part == TERMS_PARTITION)
+               .groupBy("term").agg(F.count("*").cast("long").alias("n"))
+               .orderBy(F.desc("n"), "term").limit(25))
