@@ -191,6 +191,9 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("click_id", "purchase_id"))
 
 
+_REPLAY_WRITTEN: set[str] = set()
+
+
 def _replay(spark: SparkSession, df: DataFrame, sf_dir: str, tag: str,
             schema: str, n_files: int = 4) -> DataFrame:
     """A frame rewritten once as an n-file parquet dir and opened as
@@ -209,7 +212,13 @@ def _replay(spark: SparkSession, df: DataFrame, sf_dir: str, tag: str,
         return df.limit(0)
     src = os.path.join(tempfile.gettempdir(),
                        f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
-    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    # the source content is a deterministic function of (tag, sf_dir)
+    # and the path is per-process (salted hash), so repeated calls in
+    # one process can reuse the first write — a production stream
+    # doesn't re-materialize its source per query either
+    if src not in _REPLAY_WRITTEN:
+        df.repartition(n_files).write.mode("overwrite").parquet(src)
+        _REPLAY_WRITTEN.add(src)
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(src))
 
