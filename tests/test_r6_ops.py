@@ -776,3 +776,63 @@ def test_terms_partitions_disjoint_and_complete(spark, sf_dir):
     got = [(r.term, r.n)
            for r in terms_partition_agg(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    from unified_vector_database_spark.operators.stats_more import (
+        weighted_median_price,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT l_returnflag, l_extendedprice, l_quantity, l_orderkey, "
+        f"l_linenumber FROM '{sf_dir}/lineitem.parquet'").fetchall()
+    groups: dict = defaultdict(list)
+    for f, p, q, ok, ln in rows:
+        groups[f].append((p, Decimal(f"{q:.2f}"), ok, ln))
+    want = {}
+    for f, items in groups.items():
+        items.sort(key=lambda t: (t[0], t[2], t[3]))
+        total = sum(w for _, w, _, _ in items)
+        cum = Decimal(0)
+        for p, w, _, _ in items:
+            cum += w
+            if 2 * cum >= total:
+                want[f] = (p, float(total))
+                break
+    got = {r.l_returnflag: (r.weighted_median, r.total_weight)
+           for r in weighted_median_price(spark, sf_dir).collect()}
+    assert got == want
+    # the weighted median must dominate at least half the weight on
+    # each side by construction
+    for f, (med, total) in got.items():
+        below = sum(float(w) for p, w, _, _ in groups[f] if p <= med)
+        assert 2 * below >= total
+
+
+def test_session_paths_match_python(spark, sf_dir):
+    from unified_vector_database_spark.operators.analytics import (
+        PATH_LEN, session_paths_agg,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"'{sf_dir}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    paths: Counter = Counter()
+    cur_user, last_ts, steps = None, None, []
+    for uid, ts, eid, et in rows:
+        new = (uid != cur_user or last_ts is None
+               or (ts - last_ts).total_seconds() > 1800)
+        if new:
+            if steps:
+                paths[">".join(steps[:PATH_LEN])] += 1
+            steps = []
+            cur_user = uid
+        steps.append(et)
+        last_ts, cur_user = ts, uid
+    if steps:
+        paths[">".join(steps[:PATH_LEN])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.path, r.n_sessions)
+           for r in session_paths_agg(spark, sf_dir).collect()]
+    assert got == want

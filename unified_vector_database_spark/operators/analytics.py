@@ -774,3 +774,61 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .alias("week_offset"))
                   .agg(F.count("*").alias("n_users"))
                   .orderBy("cohort_week", "week_offset"))
+
+
+PATH_LEN = 3
+
+
+@register("session_paths_agg", oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS step
+  FROM s),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM r WHERE step <= {PATH_LEN}
+  GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 10
+""")
+def session_paths_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis (the product-analytics "top user
+    journeys" query): sessions re-derived with the 30-min gap rule,
+    each session reduced to its first {PATH_LEN} event types in time
+    order, paths counted corpus-wide. Everything shuffles once on
+    user_id (sessionize + step rank share the window key); the
+    WindowGroupLimit-prunable step ≤ N cut bounds the path build, and
+    the path census shuffles path-cardinality rows."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    s = (ev.withColumn("new_session", new_s)
+           .withColumn("sid", F.sum("new_session").over(
+               w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    r = s.withColumn("step", F.row_number().over(
+        W.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+    p = (r.where(F.col("step") <= PATH_LEN)
+          .groupBy("user_id", "sid")
+          .agg(F.array_join(F.array_sort(F.collect_list(F.struct(
+              F.col("step").alias("step"),
+              F.col("event_type").alias("t")))).getField("t"), ">")
+              .alias("path")))
+    return (p.groupBy("path").agg(F.count("*").alias("n_sessions"))
+             .orderBy(F.desc("n_sessions"), "path").limit(10))

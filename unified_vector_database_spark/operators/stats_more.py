@@ -867,3 +867,61 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.col("s.b"), 6).alias("trend"),
                        F.round(F.col("s.c"), 6).alias("seasonal"))
                .orderBy("day"))
+
+
+# ---------------------------------------------------- weighted median
+
+@register("weighted_median_price", oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         l_extendedprice AS price,
+         CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag) AS total
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, price, total,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY price, cum) AS rn
+  FROM w WHERE 2 * cum >= total)
+SELECT l_returnflag,
+       price AS weighted_median,
+       CAST(total AS DOUBLE) AS total_weight
+FROM m WHERE rn = 1 ORDER BY l_returnflag
+""")
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (the weighted-percentile gap in most engines'
+    builtin aggs): the smallest price whose cumulative quantity
+    weight reaches half the group total — quantity-weighted so a
+    10-unit line counts 10x a 1-unit line. Weights accumulate as
+    exact DECIMAL and the half-total test is `2·cum ≥ total` in
+    DECIMAL (integer-exact — no division, no float threshold), so
+    the selected row is engine-identical even at ties.
+
+    Scale shape: one window per group ordered by price — the exact
+    form (the oracle must hash-match); group sizes here are bounded
+    by the returnflag split. The 100 TB path is a weighted t-digest /
+    histogram sketch (R65's shape with weight-scaled increments) —
+    exactness is the reason this query sorts."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    wcum = (W.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wtot = W.partitionBy("l_returnflag")
+    w = li.select("l_returnflag",
+                  F.col("l_extendedprice").alias("price"),
+                  F.sum(wt).over(wcum).alias("cum"),
+                  F.sum(wt).over(wtot).alias("total"))
+    m = (w.where(2 * F.col("cum") >= F.col("total"))
+          .withColumn("rn", F.row_number().over(
+              W.partitionBy("l_returnflag").orderBy("price", "cum"))))
+    return (m.where(F.col("rn") == 1)
+             .select("l_returnflag",
+                     F.col("price").alias("weighted_median"),
+                     F.col("total").cast("double").alias("total_weight"))
+             .orderBy("l_returnflag"))
