@@ -414,3 +414,9 @@ def test_r6_ops_survive_degenerate_corpora(spark, tmp_path):
     assert row.n_buckets == 1 and row.correlation is None
     assert MM.near_image_search(spark, d_empty).collect() == []
     assert SK.bloom_membership(spark, d_empty).collect() == []
+    # CMS on an empty corpus: every probe term reports estimate 0 —
+    # absent terms must NOT vanish from the census (review r5)
+    cm = {r.term: (r.exact, r.cms_est)
+          for r in SK.countmin_term_freq(spark, d_empty).collect()}
+    assert set(cm) == set(SK.CM_TERMS)
+    assert all(v == (0, 0) for v in cm.values())

@@ -174,6 +174,9 @@ def nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
     first = emb.where(F.col("vec_id") == 0).first()
+    if first is None:  # degenerate corpus without the query id
+        return spark.createDataFrame(
+            [], "nprobe int, recall_at_k double, n_candidates long")
     q = spark.createDataFrame(
         [Row(qvec=[float(x) for x in first.embedding])])
     cents = centroids_for(spark, sf_dir, corpus)
@@ -184,11 +187,16 @@ def nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = (cents.crossJoin(F.broadcast(q))
                .select("cid", (-D.l2("cvec", "qvec")).alias("negd")))
     cr = bounded_ranks(cd, "negd", "cid", "r")
+    # sc feeds THREE consumers (exact baseline, per-level top-k, level
+    # counts) — checkpoint the SCALAR projection (vec_id, score, rank;
+    # vectors already dropped) so the corpus scan + cosine pass runs
+    # once, not three times (the suggest_phrase recompute class)
     sc = (corpus.join(assign_cells(corpus, cents), "vec_id")
                 .join(F.broadcast(cr), "cid")
                 .crossJoin(F.broadcast(q))
                 .select("vec_id", D.cosine("vec", "qvec").alias("score"),
-                        "r"))
+                        "r")
+                .localCheckpoint(eager=False))
     ex = (sc.orderBy(F.desc("score"), "vec_id").limit(CURVE_K)
             .select("vec_id").withColumn("hit", F.lit(1)))
     lv = spark.createDataFrame([(np,) for np in NPROBE_LEVELS], "np int")

@@ -58,7 +58,8 @@ vx AS ({_dbsf_norm_sql('vcand', 'vscore')}),
 fused AS (
   SELECT coalesce(kcand.doc_id, vcand.doc_id) AS doc_id,
          round(0.5 * coalesce(least(greatest(
-                 CASE WHEN sqrt(greatest(kx.s2/kx.n - (kx.s1/kx.n)*(kx.s1/kx.n), 0)) = 0
+                 CASE WHEN round(kcand.score, 6) IS NULL THEN NULL
+                      WHEN sqrt(greatest(kx.s2/kx.n - (kx.s1/kx.n)*(kx.s1/kx.n), 0)) = 0
                       THEN 1.0e0
                       ELSE (round(kcand.score, 6)
                             - (kx.s1/kx.n - {_DBSF_SIGMAS!r}
@@ -67,7 +68,8 @@ fused AS (
                               * sqrt(greatest(kx.s2/kx.n - (kx.s1/kx.n)*(kx.s1/kx.n), 0)))
                  END, 0.0e0), 1.0e0), 0)
              + 0.5 * coalesce(least(greatest(
-                 CASE WHEN sqrt(greatest(vx.s2/vx.n - (vx.s1/vx.n)*(vx.s1/vx.n), 0)) = 0
+                 CASE WHEN round(vcand.vscore, 6) IS NULL THEN NULL
+                      WHEN sqrt(greatest(vx.s2/vx.n - (vx.s1/vx.n)*(vx.s1/vx.n), 0)) = 0
                       THEN 1.0e0
                       ELSE (round(vcand.vscore, 6)
                             - (vx.s1/vx.n - {_DBSF_SIGMAS!r}
@@ -111,7 +113,11 @@ def hybrid_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = F.col(f"{p}s1") / F.col(f"{p}n")
         sig = F.sqrt(F.greatest(
             F.col(f"{p}s2") / F.col(f"{p}n") - mu * mu, F.lit(0.0)))
-        raw = F.when(sig == 0, F.lit(1.0)).otherwise(
+        # a doc ABSENT from this modality (NULL score) must stay
+        # NULL through the sigma=0 branch too, so the outer coalesce
+        # gives it 0 — not a free 1.0 (review r5)
+        raw = F.when(s.isNull(), F.lit(None).cast("double")) \
+               .when(sig == 0, F.lit(1.0)).otherwise(
             (F.round(s, 6) - (mu - _DBSF_SIGMAS * sig))
             / (2 * _DBSF_SIGMAS * sig))
         return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
@@ -215,8 +221,9 @@ def span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one occurrence survives; n_matches/n_kept expose the
     exclusion's effect. Same per-doc position-list shape as
     span_near: map-side, zero corpus shuffle."""
+    from ..functions.text import tokens
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    toks = tokens("text")
 
     def positions(term):
         return F.filter(

@@ -308,12 +308,13 @@ cells AS (
         for i in range(CM_D))})
   GROUP BY 1, 2),
 q(term) AS (VALUES {", ".join(f"('{t}')" for t in CM_TERMS)}),
-probe AS (
-  SELECT q.term, cells.c
-  FROM q, cells
-  WHERE {" OR ".join(
-      f"(cells.r = {i} AND cells.col = {_cm_col_sql('q.term', i)})"
+qc AS (
+  {" UNION ALL ".join(
+      f"SELECT term, {i} AS r, {_cm_col_sql('term', i)} AS col FROM q"
       for i in range(CM_D))}),
+probe AS (
+  SELECT qc.term, coalesce(cells.c, 0) AS c
+  FROM qc LEFT JOIN cells ON qc.r = cells.r AND qc.col = cells.col),
 est AS (SELECT term, min(c) AS cms_est FROM probe GROUP BY 1),
 ex AS (SELECT term, count(*) AS exact FROM tok
        WHERE term IN {_CM_TERMS_SQL} GROUP BY 1)
@@ -322,6 +323,40 @@ SELECT est.term, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
 FROM est LEFT JOIN ex USING (term)
 ORDER BY term
 """
+
+
+def cm_col(col, i: int) -> F.Column:
+    """Counter column of hash row i — THE ladder both the batch sketch
+    and the streaming twin must share bit-for-bit."""
+    return md5_int60(F.concat(col, F.lit(f"#cm{i}"))) % CM_W
+
+
+def cm_cells(tok: DataFrame) -> DataFrame:
+    """(r, col, c) counter cells from a (term) frame — works on batch
+    AND streaming inputs (the groupBy is the only stateful step)."""
+    return (tok.select(F.explode(F.array(*[
+                F.struct(F.lit(i).alias("r"),
+                         cm_col(F.col("term"), i).alias("col"))
+                for i in range(CM_D)])).alias("rc"))
+               .groupBy("rc.r", "rc.col")
+               .agg(F.count("*").alias("c")))
+
+
+def cm_estimate(spark: SparkSession, cells: DataFrame,
+                terms: tuple[str, ...] = CM_TERMS) -> DataFrame:
+    """Point estimates for `terms`: min over the d counters, where an
+    UNTOUCHED cell counts 0 (probes LEFT-join the cells — an
+    absent-from-corpus term must report estimate 0, not vanish)."""
+    q = spark.createDataFrame([(t,) for t in terms], "term string")
+    qcells = (q.select("term", F.explode(F.array(*[
+                F.struct(F.lit(i).alias("r"),
+                         cm_col(F.col("term"), i).alias("col"))
+                for i in range(CM_D)])).alias("rc"))
+               .select("term", "rc.r", "rc.col"))
+    return (qcells.join(F.broadcast(cells), ["r", "col"], "left")
+                  .groupBy("term")
+                  .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                        .alias("cms_est")))
 
 
 @register("countmin_term_freq", oracle=ORACLES_CM)
@@ -342,24 +377,8 @@ def countmin_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = exploded_tokens(docs, "doc_id", "text") \
         .select(F.col("token").alias("term"))
-
-    def cm_col(col, i):
-        return md5_int60(F.concat(col, F.lit(f"#cm{i}"))) % CM_W
-
-    cells = (tok.select(F.explode(F.array(*[
-                F.struct(F.lit(i).alias("r"),
-                         cm_col(F.col("term"), i).alias("col"))
-                for i in range(CM_D)])).alias("rc"))
-                .groupBy("rc.r", "rc.col")
-                .agg(F.count("*").alias("c")))
-    q = spark.createDataFrame([(t,) for t in CM_TERMS], "term string")
-    qcells = q.select("term", F.explode(F.array(*[
-        F.struct(F.lit(i).alias("r"),
-                 cm_col(F.col("term"), i).alias("col"))
-        for i in range(CM_D)])).alias("rc")) \
-        .select("term", "rc.r", "rc.col")
-    est = (cells.join(F.broadcast(qcells), ["r", "col"])
-                .groupBy("term").agg(F.min("c").alias("cms_est")))
+    cells = cm_cells(tok)
+    est = cm_estimate(spark, cells)
     ex = (tok.where(F.col("term").isin(*CM_TERMS))
              .groupBy("term").agg(F.count("*").alias("exact")))
     return (est.join(ex, "term", "left")

@@ -499,39 +499,20 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded at d·w cells regardless of stream length; the probe
     runs on the final state. Hash-checked against the batch CMS
     oracle."""
-    from ..operators.sketches import CM_D, CM_TERMS, CM_W
-    from ..functions.hashing import md5_int60
+    from ..functions.text import tokens
+    from ..operators.sketches import CM_TERMS, cm_cells, cm_estimate
     stream = _replay_docs(spark, sf_dir, "countmin")
-
-    def cm_col(col, i):
-        return md5_int60(F.concat(col, F.lit(f"#cm{i}"))) % CM_W
-
     # one-file micro-batches arrive as ~1 task — spread the token ×
     # d-cell explode across the executors first (the stream_near_dup
-    # fix; a many-partition Kafka source arrives pre-spread)
+    # fix; a many-partition Kafka source arrives pre-spread). The
+    # cell/probe builders are IMPORTED from the batch sketch so the
+    # hash ladder cannot drift between the twins.
     tok = (stream.repartition(spark.sparkContext.defaultParallelism)
-           .select(F.explode(
-               F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
-               .alias("term")))
-    cells_stream = (tok.select(F.explode(F.array(*[
-            F.struct(F.lit(i).alias("r"),
-                     cm_col(F.col("term"), i).alias("col"))
-            for i in range(CM_D)])).alias("rc"))
-        .groupBy("rc.r", "rc.col")
-        .agg(F.count("*").alias("c")))
-    cells = _run_to_memory(cells_stream, "complete")
-    q = spark.createDataFrame([(t,) for t in CM_TERMS], "term string")
-    qcells = (q.select("term", F.explode(F.array(*[
-                F.struct(F.lit(i).alias("r"),
-                         cm_col(F.col("term"), i).alias("col"))
-                for i in range(CM_D)])).alias("rc"))
-               .select("term", "rc.r", "rc.col"))
-    est = (cells.join(F.broadcast(qcells), ["r", "col"])
-                .groupBy("term").agg(F.min("c").alias("cms_est")))
+           .select(F.explode(tokens("text")).alias("term")))
+    cells = _run_to_memory(cm_cells(tok), "complete")
+    est = cm_estimate(spark, cells)
     docs = tables.load(spark, sf_dir, "documents")
-    ex = (docs.select(F.explode(
-            F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
-            .alias("term"))
+    ex = (docs.select(F.explode(tokens("text")).alias("term"))
           .where(F.col("term").isin(*CM_TERMS))
           .groupBy("term").agg(F.count("*").alias("exact")))
     return (est.join(ex, "term", "left")
