@@ -89,7 +89,7 @@ _PRIORITY = [
     "bucket_correlation_agg", "categorize_text_agg", "suggest_context",
     "bloom_membership", "countmin_term_freq", "gauss_decay_search",
     "stream_countmin", "holt_winters_smoothing", "terms_partition_agg",
-    "weighted_median_price", "session_paths_agg",
+    "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

@@ -82,7 +82,7 @@ HEADLINE = [
     "bucket_correlation_agg", "categorize_text_agg", "bloom_membership",
     "countmin_term_freq", "gauss_decay_search", "stream_countmin",
     "holt_winters_smoothing", "terms_partition_agg",
-    "weighted_median_price", "session_paths_agg",
+    "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
 ]
 
 

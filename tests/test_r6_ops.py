@@ -836,3 +836,38 @@ def test_session_paths_match_python(spark, sf_dir):
     got = [(r.path, r.n_sessions)
            for r in session_paths_agg(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_ivf_filtered_knn_properties(spark, sf_dir):
+    """Filtered IVF: every hit carries the filter label, scores agree
+    with brute force on the same ids, and the result is exactly the
+    brute-force filtered ranking restricted to the probed cells."""
+    import numpy as np
+
+    from unified_vector_database_spark.operators.index import (
+        IVF_FILTER_LABEL, NPROBE, ivf_filtered_knn, _oracle_artifacts,
+    )
+
+    got = ivf_filtered_knn(spark, sf_dir).collect()
+    assert 0 < len(got) <= 10
+    assert all(r.label == IVF_FILTER_LABEL for r in got)
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    cents, _, qvec = _oracle_artifacts(sf_dir)
+    C = np.array(cents)
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[], label FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    X = np.array([r[1] for r in rows])
+    cid = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    q = np.array(qvec)
+    qcells = sorted(range(len(C)),
+                    key=lambda c: (np.linalg.norm(q - C[c]), c))[:NPROBE]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    want_ids = [r[0] for i, r in enumerate(rows)
+                if r[2] == IVF_FILTER_LABEL and cid[i] in qcells]
+    sims = {r[0]: float(Xn[i] @ qn) for i, r in enumerate(rows)}
+    want = sorted(want_ids, key=lambda v: (-sims[v], v))[:10]
+    assert [r.vec_id for r in got] == want

@@ -1094,3 +1094,54 @@ def ivf_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_if_absent(path,
                      lambda p: ivf_write_partitioned(corpus, cents, p))
     return ivf_probe_partitioned(spark, path, cents, q, k=10)
+
+
+# ------------------------------------------------- filtered IVF probe
+
+IVF_FILTER_LABEL = 3
+
+
+def _ivf_filtered_oracle() -> str:
+    cents, _, _ = _oracle_artifacts()
+    return f"""
+WITH {_ivf_assign_ctes(cents)}
+SELECT e.vec_id, emb.label, {_COS_EQ} AS score
+FROM e JOIN assigned a USING (vec_id) JOIN qc ON a.cid = qc.cid
+     JOIN embeddings emb ON e.vec_id = emb.vec_id, q
+WHERE emb.label = {IVF_FILTER_LABEL}
+ORDER BY score DESC, e.vec_id LIMIT 10
+"""
+
+
+@register("ivf_filtered_knn", oracle=_ivf_filtered_oracle)
+def ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN through the IVF index (Qdrant filtered search
+    with payload index, Milvus expr + ANN, ES knn `filter`): the
+    payload predicate composes WITH the cell pruning — the scan reads
+    nprobe cells' files (partition pruning) AND pushes the label
+    predicate into parquet, so cost is (nprobe/k of corpus) ∩
+    (filter selectivity). The pre-filter sits below the scorer
+    (post-filtering would under-fill k when the filter is selective —
+    the classic filtered-ANN trap both Qdrant and Milvus document).
+
+    Same recall caveat as unfiltered IVF: candidates come from the
+    probed cells only; a selective filter concentrated in unprobed
+    cells needs a higher nprobe (the production knob)."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", "label",
+                        D.vec_double("embedding").alias("vec"))
+    first = emb.where(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in first.embedding]
+    q = spark.createDataFrame([Row(qvec=qvec)])
+    cents = centroids_for(spark, sf_dir, corpus)
+    assigned = assign_cells(corpus, cents)
+    qcells = (cents.crossJoin(F.broadcast(q))
+              .select("cid", D.l2("cvec", "qvec").alias("d"))
+              .orderBy("d", "cid").limit(NPROBE).select("cid"))
+    cand = (corpus.where(F.col("label") == IVF_FILTER_LABEL)
+                  .join(assigned, "vec_id")
+                  .join(F.broadcast(qcells), "cid"))
+    return (cand.crossJoin(F.broadcast(q))
+                .select("vec_id", "label",
+                        D.cosine("vec", "qvec").alias("score"))
+                .orderBy(F.desc("score"), "vec_id").limit(10))
