@@ -432,3 +432,48 @@ def test_r6_ops_plan_shapes(spark, sf_dir):
     t = plan_text(length_bucket_batching(spark, sf_dir))
     assert t.count("Location:") == 1, t
     assert "Window" not in t, t
+
+
+def test_r6b_ops_plan_shapes(spark, sf_dir):
+    """Late-r6-wave shapes: terms partitioning filters BEFORE the
+    aggregate, gauss decay broadcasts its 1-row anchor and ends in
+    TakeOrdered, session paths shuffle once on the user key,
+    holt_winters runs window-free (one fold row), and the filtered
+    IVF probe both broadcasts (cells/query) and TakeOrders."""
+    from unified_vector_database_spark.operators.analytics import (
+        session_paths_agg,
+    )
+    from unified_vector_database_spark.operators.esagg4 import (
+        terms_partition_agg,
+    )
+    from unified_vector_database_spark.operators.index import (
+        ivf_filtered_knn,
+    )
+    from unified_vector_database_spark.operators.search_extras2 import (
+        gauss_decay_search,
+    )
+    from unified_vector_database_spark.operators.stats_more import (
+        holt_winters_smoothing,
+    )
+
+    t = plan_text(terms_partition_agg(spark, sf_dir))
+    # one scan, and the md5 partition predicate present as a Filter
+    # (map-side, before the partial agg — the paging contract)
+    assert t.count("Location:") == 1, t
+    assert "Filter" in t and "md5" in t, t
+    assert "HashAggregate" in t, t
+
+    gd = gauss_decay_search(spark, sf_dir)
+    assert_broadcast_join(gd)
+    assert_take_ordered(gd)
+
+    t = plan_text(session_paths_agg(spark, sf_dir))
+    # sessionize + step-rank windows share the user_id exchange: at
+    # most ONE hashpartitioning exchange on user_id appears
+    assert t.count("hashpartitioning(user_id") <= 1, t
+
+    assert "Window" not in plan_text(holt_winters_smoothing(spark, sf_dir))
+
+    fk = ivf_filtered_knn(spark, sf_dir)
+    assert_broadcast_join(fk)
+    assert_take_ordered(fk)
