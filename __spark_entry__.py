@@ -90,6 +90,7 @@ _PRIORITY = [
     "bloom_membership", "countmin_term_freq", "gauss_decay_search",
     "stream_countmin", "holt_winters_smoothing", "terms_partition_agg",
     "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
+    "knn_l1", "knn_search_iterator", "significant_terms_chi2",
     # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",

@@ -83,6 +83,7 @@ HEADLINE = [
     "countmin_term_freq", "gauss_decay_search", "stream_countmin",
     "holt_winters_smoothing", "terms_partition_agg",
     "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
+    "knn_l1", "knn_search_iterator", "significant_terms_chi2",
 ]
 
 

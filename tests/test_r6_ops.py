@@ -871,3 +871,82 @@ def test_ivf_filtered_knn_properties(spark, sf_dir):
     sims = {r[0]: float(Xn[i] @ qn) for i, r in enumerate(rows)}
     want = sorted(want_ids, key=lambda v: (-sims[v], v))[:10]
     assert [r.vec_id for r in got] == want
+
+
+def test_knn_l1_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from unified_vector_database_spark.operators.knn import knn_l1
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows])
+    q = X[ids.index(0)]
+    d = np.abs(X - q).sum(axis=1)
+    want = sorted(((ids[i], round(float(d[i]), 6))
+                   for i in range(len(ids))),
+                  key=lambda t: (t[1], t[0]))[:10]
+    got = [(r.vec_id, r.dist) for r in knn_l1(spark, sf_dir).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gd), (_, wd) in zip(got, want):
+        assert abs(gd - wd) < 1e-9
+    assert got[0] == (0, 0.0)
+
+
+def test_search_iterator_is_page_two_of_knn(spark, sf_dir):
+    """Iterator page 2 must be EXACTLY ranks 11-20 of the full
+    ranking (cursor-continuation semantics, no gaps, no repeats)."""
+    import numpy as np
+
+    from unified_vector_database_spark.operators.knn import (
+        ITER_PAGE, knn_search_iterator,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q = Xn[ids.index(0)]
+    sims = Xn @ q
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+    want = [ids[i] for i in order[ITER_PAGE:2 * ITER_PAGE]]
+    got = knn_search_iterator(spark, sf_dir).collect()
+    assert [r.vec_id for r in got] == want
+    assert [r.rk for r in got] == list(range(ITER_PAGE + 1,
+                                             2 * ITER_PAGE + 1))
+
+
+def test_chi2_significance_matches_python(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg3 import (
+        SIGTERMS_LANG, significant_terms_chi2,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, lang FROM '{sf_dir}/documents.parquet'").fetchall()
+    nall = len(rows)
+    nfg = sum(1 for _, l in rows if l == SIGTERMS_LANG)
+    per: dict = defaultdict(lambda: [0, 0])
+    for s, l in rows:
+        per[s][1] += 1
+        if l == SIGTERMS_LANG:
+            per[s][0] += 1
+    want = []
+    for s, (a, alld) in per.items():
+        if a == 0:
+            continue
+        b, c, d = alld - a, nfg - a, nall - nfg - (alld - a)
+        det = a * d - b * c
+        chi2 = nall * det * det / (alld * (nall - alld) * nfg
+                                   * (nall - nfg))
+        want.append((s, a, alld, round(chi2, 6)))
+    want.sort(key=lambda t: (-t[3], t[0]))
+    got = [(r.source, r.fg_docs, r.all_docs, r.chi2_score)
+           for r in significant_terms_chi2(spark, sf_dir).collect()]
+    assert len(got) == min(10, len(want))
+    for g, w in zip(got, want[:10]):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < 1e-6

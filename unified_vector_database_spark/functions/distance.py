@@ -74,3 +74,15 @@ def normalize(a: Column | str) -> Column:
 METRICS = {"cosine": cosine, "dot": dot, "l2": l2}
 # Higher-is-closer for cosine/dot; lower-is-closer for l2.
 ASCENDING = {"cosine": False, "dot": False, "l2": True}
+
+
+def l1(a: Column | str, b: Column | str) -> Column:
+    """Manhattan/taxicab distance (pgvector `<+>`, Milvus L1): the
+    same left fold as dot/l2. The oracle twin is
+    list_dot_product(absdiffs, ones) — each |d_i|·1.0 term is exact,
+    so the sequential dot IS the fold, bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

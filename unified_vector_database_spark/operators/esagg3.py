@@ -287,3 +287,71 @@ def rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .cast("double") / RATE_UNIT_HOURS, 6)
                     .alias("value_per_hour"))
               .orderBy("day"))
+
+
+@register("significant_terms_chi2", oracle=f"""
+WITH tot AS (
+  SELECT count(CASE WHEN lang = '{SIGTERMS_LANG}' THEN 1 END) AS nfg,
+         count(*) AS nall
+  FROM documents),
+tc AS (
+  SELECT source,
+         count(CASE WHEN lang = '{SIGTERMS_LANG}' THEN 1 END) AS a,
+         count(*) AS all_docs
+  FROM documents GROUP BY source)
+SELECT source, CAST(a AS BIGINT) AS fg_docs,
+       CAST(all_docs AS BIGINT) AS all_docs,
+       round(CAST(nall AS DOUBLE)
+             * (CAST(a AS DOUBLE)
+                  * (CAST(nall AS DOUBLE) - CAST(nfg AS DOUBLE)
+                     - (CAST(all_docs AS DOUBLE) - CAST(a AS DOUBLE)))
+                - (CAST(all_docs AS DOUBLE) - CAST(a AS DOUBLE))
+                  * (CAST(nfg AS DOUBLE) - CAST(a AS DOUBLE)))
+             * (CAST(a AS DOUBLE)
+                  * (CAST(nall AS DOUBLE) - CAST(nfg AS DOUBLE)
+                     - (CAST(all_docs AS DOUBLE) - CAST(a AS DOUBLE)))
+                - (CAST(all_docs AS DOUBLE) - CAST(a AS DOUBLE))
+                  * (CAST(nfg AS DOUBLE) - CAST(a AS DOUBLE)))
+             / (CAST(all_docs AS DOUBLE)
+                * (CAST(nall AS DOUBLE) - CAST(all_docs AS DOUBLE))
+                * CAST(nfg AS DOUBLE)
+                * (CAST(nall AS DOUBLE) - CAST(nfg AS DOUBLE))), 6)
+         AS chi2_score
+FROM tc CROSS JOIN tot
+WHERE a > 0
+ORDER BY chi2_score DESC, source LIMIT 10
+""")
+def significant_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_terms` with the `chi_square` heuristic — the
+    third selectable significance score next to JLH
+    (significant_terms_agg) and lift (T10): the textbook 2x2 chi²
+    N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) over (in/out bucket) ×
+    (fore/background). Same single-scan shape as the JLH form (one
+    conditional groupBy + broadcast totals); all contingency counts
+    are exact integers and both engines evaluate the identical
+    double expression, so the score hashes despite the large
+    products."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    fg = F.col("lang") == SIGTERMS_LANG
+    tot = docs.agg(F.count(F.when(fg, 1)).alias("nfg"),
+                   F.count("*").alias("nall"))
+    tc = docs.groupBy("source").agg(
+        F.count(F.when(fg, 1)).alias("a"),
+        F.count("*").alias("all_docs"))
+    a = F.col("a").cast("double")
+    ad = F.col("all_docs").cast("double")
+    nfg = F.col("nfg").cast("double")
+    nall = F.col("nall").cast("double")
+    b = ad - a            # in-bucket background
+    c = nfg - a           # out-bucket foreground
+    d = nall - nfg - b    # out-bucket background
+    det = a * d - b * c
+    chi2 = (nall * det * det
+            / (ad * (nall - ad) * nfg * (nall - nfg)))
+    return (tc.crossJoin(F.broadcast(tot))
+              .where(F.col("a") > 0)
+              .select("source",
+                      F.col("a").cast("long").alias("fg_docs"),
+                      F.col("all_docs").cast("long").alias("all_docs"),
+                      F.round(chi2, 6).alias("chi2_score"))
+              .orderBy(F.desc("chi2_score"), "source").limit(10))

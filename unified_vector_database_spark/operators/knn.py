@@ -944,3 +944,72 @@ def near_text_move(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumn("nvec", D.norm("vec")))
     return knn(corpus, target, k=10, metric="cosine",
                payload=("label",), score=cosine_score())
+
+
+_L1_SQL = ("list_dot_product("
+           "list_transform(range(1, 65), i -> abs((embedding::DOUBLE[])[i] - qvec[i])), "
+           "list_transform(range(1, 65), i -> 1.0e0))")
+
+
+@register("knn_l1", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, round({_L1_SQL}, 6) AS dist
+FROM embeddings, q
+ORDER BY dist, vec_id
+LIMIT 10
+""")
+def knn_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan-distance knn (pgvector's `<+>` operator, Milvus L1)
+    — the outlier-robust metric next to L2/cosine/dot. Same map-only
+    scan + TakeOrdered shape as every other metric; the fold and its
+    list_dot_product(absdiffs, ones) oracle twin are bit-identical
+    (each |d|·1.0 term is exact, so the sequential dot IS the
+    fold)."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", "label",
+                          F.round(D.l1("vec", "qvec"), 6).alias("dist"))
+                  .orderBy("dist", "vec_id").limit(10))
+
+
+ITER_PAGE = 10
+
+
+@register("knn_search_iterator", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, label,
+             list_dot_product(embedding::DOUBLE[], qvec)
+             /(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               *sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q),
+r AS (SELECT vec_id, label, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+      FROM s)
+SELECT CAST(rk AS INT) AS rk, vec_id, label, score
+FROM r WHERE rk > {ITER_PAGE} AND rk <= {2 * ITER_PAGE}
+ORDER BY rk
+""")
+def knn_search_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search iterator (Milvus `search_iterator`, the vector twin
+    of C8's keyset scroll): page TWO of the ranked results — the
+    (score, id) order is a total order, so `rank in (page, 2·page]`
+    is exactly the cursor `(score, id) < last-hit` continuation.
+    Physical shape: TakeOrdered cuts the corpus to 2·page rows, then
+    the window-free bounded rank (hybrid.bounded_ranks) numbers that
+    ≤2·page-row frame and drops page one — no global window, no
+    second corpus pass; at any corpus size the iterator's per-page
+    cost is one TakeOrdered scan."""
+    from .hybrid import bounded_ranks
+    corpus, q = corpus_with_query(spark, sf_dir)
+    scored = (corpus.crossJoin(F.broadcast(q))
+              .select("vec_id", "label", cosine_score().alias("score")))
+    top2p = (scored.orderBy(F.desc("score"), "vec_id")
+                   .limit(2 * ITER_PAGE)
+                   .localCheckpoint(eager=False))  # ≤2·page rows, read 2x
+    rk = bounded_ranks(top2p.select("vec_id", "score"), "score",
+                       "vec_id", "rk")
+    return (top2p.join(F.broadcast(rk), "vec_id")
+                 .where(F.col("rk") > ITER_PAGE)
+                 .select(F.col("rk").cast("int").alias("rk"),
+                         "vec_id", "label", "score")
+                 .orderBy("rk"))
