@@ -32,15 +32,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() in dict order each round; entries still lacking a
 # hash-green CORRECTNESS row come first, then entries whose code or
 # oracle changed this round (their old rows describe old outputs),
-# then new r5 operators, then stable flagships. After r4, 176/216
+# then new r6 operators, then stable flagships. After r5, 224/270
 # registered queries have a lifetime hash-green driver row — those
 # rows remain the evidence of record past the budget line.
 _PRIORITY = [
-    # (a) slots 1-40: the r4-continuation surface — registered in r4
+    # (a) slots 1-16: the r5 continuation surface — registered in r5
     # past the driver's 50-entry budget by design, never
-    # driver-checked (all 40 MATCH under the hardened driver_sim;
-    # judge re-verified in VERDICT r4). Rotating them in makes every
-    # registered query lifetime-green.
+    # driver-checked (all MATCH under driver_sim; judge re-verified
+    # in VERDICT r5). `recommend_best_score` here proves the LIVE
+    # search_more.py best_score body after the r6 registry-duplicate
+    # fix; `bucket_ks_test` proves the r6 NULL-coalesce fix
+    # (ADVICE r5 #1).
+    "filters_agg", "significant_terms_agg", "ip_prefix_agg",
+    "geohash_grid_agg", "intervals_search", "multi_match_most_fields",
+    "tenant_scoped_scan", "token_count_bpe", "ivf_partitioned_knn",
+    "snapshot_time_travel", "recommend_best_score", "rate_agg",
+    "moving_percentiles", "ewma_smoothing", "holt_smoothing",
+    "bucket_ks_test",
+    # (b) slots 17-47: the r6 wave registered last round, never
+    # driver-checked (all MATCH under driver_sim; judge re-verified).
+    "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
+    "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
+    "tanimoto_knn", "semdedup", "temperature_mix_sample",
+    "stream_near_dup", "bm25_batch_search", "has_child_search",
+    "has_parent_search", "nprobe_recall_curve",
+    "length_bucket_batching", "near_image_search",
+    "bucket_correlation_agg", "categorize_text_agg", "suggest_context",
+    "bloom_membership", "countmin_term_freq", "gauss_decay_search",
+    "stream_countmin", "holt_winters_smoothing", "terms_partition_agg",
+    "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
+    "knn_l1", "knn_search_iterator", "significant_terms_chi2",
+    # (c) slots 48-50: new r6 operators built this round (the
+    # weighted-percentile sketch that retires the 13.6x scale entry,
+    # the ES plain sampler agg, moving_fn linearWeightedAvg).
+    "weighted_median_sketch", "sampler_agg", "moving_fn_lin_wavg",
+    # (d) r6 continuation (slots 51+, queue first for r7): ES
+    # nested/reverse_nested/children aggregations, moving_fn minMax.
+    "nested_terms_agg", "reverse_nested_agg", "children_agg",
+    "moving_fn_min_max",
+    # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",
     "mad_value", "boxplot_value", "match_phrase_prefix_search",
@@ -55,43 +85,10 @@ _PRIORITY = [
     "values_count_filter", "hard_negative_mining", "rag_ingest_search",
     "stream_percolate", "frequent_item_sets", "normalize_agg",
     "change_point_agg", "variable_width_histogram",
-    # (b) slots 41-50: new r5 operators (phrase suggester, ES
-    # bucket-agg stragglers, catalog lifecycle census, PQ artifact
-    # path re-proof after the driver-collect fix)
     "suggest_phrase", "missing_bucket_agg", "global_bucket_agg",
     "date_range_agg", "ip_range_agg", "catalog_semantics",
     "pq_adc_knn", "ivfpq_knn", "significant_text_agg",
     "nested_payload_typed",
-    # (c) r5 continuation surface (slots 51+, queue first for r6):
-    # ES filters/significant_terms/ip_prefix/geohash_grid aggs,
-    # intervals + multi_match most_fields query DSL, multi-tenant
-    # partition-pruned scan (all MATCH under driver_sim this round)
-    "filters_agg", "significant_terms_agg", "ip_prefix_agg",
-    "geohash_grid_agg", "intervals_search", "multi_match_most_fields",
-    "tenant_scoped_scan", "token_count_bpe", "ivf_partitioned_knn",
-    "snapshot_time_travel", "recommend_best_score", "rate_agg",
-    "moving_percentiles", "ewma_smoothing", "holt_smoothing",
-    "bucket_ks_test",
-    # (d) r6 wave (registered this round, queued behind the r5
-    # continuation — driver slots 17-40 next round): geotile grid,
-    # pipeline aggs (bucket_script/scripted_metric/bucket_correlation/
-    # holt_winters), DBSF fusion, collapse inner_hits, span_not,
-    # has_child/has_parent, batch BM25, Tanimoto knn, nprobe curve,
-    # SemDeDup, temperature mixing, Bloom/Count-Min sketches,
-    # near_image, categorize_text, gauss decay, context suggester,
-    # and the W10/W11 streaming twins
-    "geotile_grid_agg", "bucket_script_agg", "scripted_metric_agg",
-    "hybrid_dbsf", "collapse_inner_hits", "span_not_search",
-    "tanimoto_knn", "semdedup", "temperature_mix_sample",
-    "stream_near_dup", "bm25_batch_search", "has_child_search",
-    "has_parent_search", "nprobe_recall_curve",
-    "length_bucket_batching", "near_image_search",
-    "bucket_correlation_agg", "categorize_text_agg", "suggest_context",
-    "bloom_membership", "countmin_term_freq", "gauss_decay_search",
-    "stream_countmin", "holt_winters_smoothing", "terms_partition_agg",
-    "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
-    "knn_l1", "knn_search_iterator", "significant_terms_chi2",
-    # ---- everything below re-proves stable greens if budget allows --
     "stream_windowed_counts", "stream_dedup_counts",
     "stream_session_windows", "events_percentile_ranks",
     "video_frame_sample",

@@ -829,63 +829,12 @@ def maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .limit(10))
 
 
-_BS_COS = ("list_dot_product(embedding::DOUBLE[], {q}.v)"
-           "/(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
-           "*sqrt(list_dot_product({q}.v, {q}.v)))")
-
-
-@register("recommend_best_score", oracle=f"""
-WITH p0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 17),
-n0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 225),
-s AS (
-  SELECT vec_id, label,
-         greatest({_BS_COS.format(q='p0')}, {_BS_COS.format(q='p1')}) AS best_pos,
-         {_BS_COS.format(q='n0')} AS best_neg
-  FROM embeddings, p0, p1, n0
-  WHERE vec_id NOT IN (0, 17, 225))
-SELECT vec_id, label,
-       CASE WHEN best_pos > best_neg THEN best_pos ELSE -best_neg END AS score
-FROM s ORDER BY score DESC, vec_id LIMIT 10
-""")
-def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Qdrant `best_score` recommendation strategy: a candidate scores
-    as its best similarity to ANY positive example, unless some
-    negative example is closer still — then it scores the negated
-    negative similarity (pushing it to the bottom). Unlike `recommend`
-    (mean-of-positives target), this keeps multi-modal positive sets
-    multi-modal: a doc near EITHER positive ranks high.
-
-    Scale shape: the example vectors are one broadcast row; all three
-    cosines and the CASE are map-side expressions in the corpus scan;
-    top-k is TakeOrdered. Every arithmetic step (cosine, greatest,
-    negation, comparison) is bit-exact on both engines — no rounding
-    needed."""
-    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
-
-    def vec_of(vid, name):
-        return (emb.where(F.col("vec_id") == vid)
-                   .select(D.vec_double("embedding").alias(name))
-                   .withColumn(f"n_{name}", D.norm(name)))
-
-    q = (vec_of(0, "p0").crossJoin(F.broadcast(vec_of(17, "p1")))
-                        .crossJoin(F.broadcast(vec_of(225, "n0"))))
-    corpus = (emb.where(~F.col("vec_id").isin(0, 17, 225))
-                 .select("vec_id", "label",
-                         D.vec_double("embedding").alias("vec"))
-                 .withColumn("nvec", D.norm("vec")))
-
-    def cos(name):
-        return D.safe_div(D.dot("vec", name),
-                          F.col("nvec") * F.col(f"n_{name}"))
-
-    best_pos = F.greatest(cos("p0"), cos("p1"))
-    best_neg = cos("n0")
-    score = F.when(best_pos > best_neg, best_pos).otherwise(-best_neg)
-    return (corpus.crossJoin(F.broadcast(q))
-                  .select("vec_id", "label", score.alias("score"))
-                  .orderBy(F.desc("score"), "vec_id")
-                  .limit(10))
+# NOTE: the Qdrant `strategy=best_score` recommend lives in
+# operators/search_more.py (`recommend_best_score`, the published
+# -(best_neg²) formula). An earlier draft of it lived here and
+# silently shadowed/was-shadowed via duplicate registration; the
+# registry now raises on duplicate names (registry.py) so this class
+# of dead code cannot reappear.
 
 
 # ---------------------------------------------------- near-object + move

@@ -25,6 +25,10 @@ ORACLES: dict[str, str | Callable[[], str]] = {}
 
 def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # A silent overwrite once left a dead shadowed body behind
+            # (VERDICT r5 #1) — duplicate names are a bug, not a merge.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
