@@ -116,19 +116,35 @@ def main() -> None:
     times = {k: round(v, 3) for k, v in times.items()}
 
     total = round(sum(times.values()), 3)
-    # Key order matters: the driver's tail capture has truncated the
-    # HEAD of this line before (BENCH_r04 lost its total), so the
-    # per-query dict goes first and the headline total/metric fields
-    # go LAST — tail truncation then costs individual samples, never
-    # the summary (VERDICT r4 "What's wrong" #3).
-    print(json.dumps({
-        "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "n_queries": len(times),
+    # The driver keeps only the TAIL of stdout, and one big JSON line
+    # loses its head under truncation (BENCH_r04 lost the total;
+    # BENCH_r05 kept the total but lost ~half the per-query dict and
+    # parsed as null — VERDICT r5 "What's wrong" #3). So: emit the
+    # per-query samples as SMALL individual lines first (each line
+    # survives or dies whole), then ONE compact summary line LAST —
+    # short enough that the tail capture always keeps it intact and
+    # `parsed` is never null.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-    }))
+        "sf": sf_val,
+        "n_queries": len(times),
+        "mean_sec": round(total / max(len(times), 1), 3),
+        "queries": times,
+    }
+    # full record (with the complete per-query dict) survives on disk
+    # even when the stdout tail capture truncates
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    for name in sorted(times):
+        print(json.dumps({"q": name, "sec": times[name]}))
+    print(json.dumps({k: v for k, v in full.items() if k != "queries"}))
     spark.stop()
 
 

@@ -401,11 +401,31 @@ def test_r6_ops_survive_degenerate_corpora(spark, tmp_path):
         Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i), user_id=i,
             event_type="click", value=float(i), props="{}")
         for i in range(5)])
+    from unified_vector_database_spark.operators.stats_more import (
+        bucket_ks_test,
+    )
     ev_ops = [E4.bucket_script_agg, E4.scripted_metric_agg,
-              E4.bucket_correlation_agg, gauss_decay_search]
+              E4.bucket_correlation_agg, gauss_decay_search,
+              bucket_ks_test]
     for sf in (e_empty, e_single, e_oneday):
         for op in ev_ops:
             op(spark, sf).collect()  # must not raise
+
+    # one-sided days (ADVICE r5 #1): a day missing one event type must
+    # contribute 0 to that side's ECDF, not freeze the fold at NULL.
+    # Hand-computed: ta=[5,0,3] tb=[0,4,4] -> ca=[.625,.625,1]
+    # cb=[0,.5,1] -> KS = 0.625.
+    e_onesided = mk_events("r6_e_onesided", [
+        Row(event_id=0, ts=t0, user_id=1, event_type="click",
+            value=5.0, props="{}"),
+        Row(event_id=1, ts=t0 + datetime.timedelta(days=1), user_id=2,
+            event_type="view", value=4.0, props="{}"),
+        Row(event_id=2, ts=t0 + datetime.timedelta(days=2), user_id=3,
+            event_type="click", value=3.0, props="{}"),
+        Row(event_id=3, ts=t0 + datetime.timedelta(days=2), user_id=4,
+            event_type="view", value=4.0, props="{}")])
+    [r] = bucket_ks_test(spark, e_onesided).collect()
+    assert r.n_buckets == 3 and abs(r.ks_stat - 0.625) < 1e-9
 
     # the guard classes, pinned: a 1-bucket series has no variance ->
     # NULL correlation (not NaN); an empty corpus -> no near-image

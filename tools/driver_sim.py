@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Simulate the correctness driver (see .claude/skills/verify):
-vanilla SparkSession + DuckDB oracle compare at sf0.01.
+"""Simulate the correctness driver: vanilla SparkSession + DuckDB
+oracle compare at sf0.01.
 
 r3 post-mortem (VERDICT.md "What's wrong" #3): the old repr-based
 compare passed two queries the REAL driver failed —

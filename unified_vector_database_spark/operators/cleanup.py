@@ -392,8 +392,9 @@ b AS (SELECT doc_id, est, {_ladder_sql('est')} AS cap FROM e)
 SELECT CAST(cap AS BIGINT) AS bucket_cap,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(est) AS BIGINT) AS total_tokens,
-       CAST(count(*) * cap AS BIGINT) AS padded_tokens,
-       round(1.0 - sum(est) * 1.0 / (count(*) * cap), 6) AS pad_waste
+       CAST(count(*) * greatest(cap, max(est)) AS BIGINT) AS padded_tokens,
+       round(1.0 - sum(est) * 1.0
+             / (count(*) * greatest(cap, max(est))), 6) AS pad_waste
 FROM b GROUP BY cap ORDER BY bucket_cap
 """)
 def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,15 +416,21 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in reversed(LEN_BUCKET_LADDER):
         cap = F.when(est <= b, F.lit(b).cast("long")).otherwise(cap)
     b = docs.select(est.alias("est"), cap.alias("cap"))
+    # the overflow (top) bucket has no ladder cap above it: its docs
+    # pad to the bucket's own longest doc, so padded >= total always
+    # and pad_waste stays in [0, 1) (ADVICE r5 #2). For ladder
+    # buckets max(est) <= cap, so greatest() is the cap — unchanged.
+    pad_to = F.greatest(F.col("cap"), F.col("mx"))
     return (b.groupBy("cap")
              .agg(F.count("*").alias("n"),
-                  F.sum("est").alias("tot"))
+                  F.sum("est").alias("tot"),
+                  F.max("est").alias("mx"))
              .select(F.col("cap").alias("bucket_cap"),
                      F.col("n").cast("long").alias("n_docs"),
                      F.col("tot").cast("long").alias("total_tokens"),
-                     (F.col("n") * F.col("cap")).cast("long")
+                     (F.col("n") * pad_to).cast("long")
                       .alias("padded_tokens"),
                      F.round(1.0 - F.col("tot") * 1.0
-                             / (F.col("n") * F.col("cap")), 6)
+                             / (F.col("n") * pad_to), 6)
                       .alias("pad_waste"))
              .orderBy("bucket_cap"))

@@ -687,9 +687,24 @@ def artifact_path(tag: str, sf_dir: str) -> str:
 
 def _build_if_absent(path: str, build) -> None:
     """Run `build(path)` (a distributed parquet write) unless the
-    artifact already committed (_SUCCESS marker)."""
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build(path)
+    artifact already committed (_SUCCESS marker).
+
+    Artifacts live at predictable shared /tmp paths, so two driver
+    processes (e.g. bench + scale_probe on one sf_dir) can race here.
+    Publish atomically: build into a pid-suffixed temp dir, then
+    rename() into place — a reader can never list files of a
+    half-written or mid-overwrite artifact (ADVICE r5 #4). If the
+    rename loses the race the winner's artifact is byte-identical
+    (deterministic fits), so we just discard ours."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.build.{os.getpid()}"
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # another process published first — use theirs
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def pq_codes_artifact(spark: SparkSession, sf_dir: str, corpus: DataFrame,

@@ -81,7 +81,11 @@ def catalog_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.compact()
         c.vacuum()  # snapshot-pinned + current versions survive
         st = c.stats()
-        assert st["versions_retained"] >= 2, st  # snapshot kept by vacuum
+        if st["versions_retained"] < 2:  # snapshot must survive vacuum
+            # not `assert`: the retention contract has to hold in
+            # production driver runs too, including under python -O
+            raise RuntimeError(
+                f"vacuum dropped the pinned snapshot version: {st}")
         final = Collection.open_alias(spark, base, "prod").read()
     return (final.groupBy("label").agg(F.count("*").alias("n"))
                  .orderBy("label"))

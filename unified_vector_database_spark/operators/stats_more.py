@@ -682,10 +682,10 @@ KS_B = "view"
 @register("bucket_ks_test", oracle=f"""
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(sum(CASE WHEN event_type = '{KS_A}'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ta,
-         CAST(sum(CASE WHEN event_type = '{KS_B}'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS tb
+         CAST(coalesce(sum(CASE WHEN event_type = '{KS_A}'
+                  THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS ta,
+         CAST(coalesce(sum(CASE WHEN event_type = '{KS_B}'
+                  THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS tb
   FROM events GROUP BY 1),
 tot AS (SELECT sum(ta) AS sa, sum(tb) AS sb, count(*) AS n FROM d),
 c AS (
@@ -707,13 +707,20 @@ def bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle uses DuckDB's running-sum window — an independent
     formulation of the same ECDF."""
     ev = tables.load(spark, sf_dir, "events")
+    # coalesce each day's conditional sum to 0: a day with no KS_A (or
+    # no KS_B) events otherwise yields NULL, which would freeze the
+    # running fold below at the prefix max while the oracle's
+    # NULL-skipping window keeps accumulating (ADVICE r5 #1).
+    zero = F.lit(0).cast("decimal(18,2)")
     d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-           .agg(F.sum(F.when(F.col("event_type") == KS_A,
-                             F.col("value").cast("decimal(18,2)")))
-                 .cast("double").alias("ta"),
-                F.sum(F.when(F.col("event_type") == KS_B,
-                             F.col("value").cast("decimal(18,2)")))
-                 .cast("double").alias("tb")))
+           .agg(F.coalesce(
+                    F.sum(F.when(F.col("event_type") == KS_A,
+                                 F.col("value").cast("decimal(18,2)"))),
+                    zero).cast("double").alias("ta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == KS_B,
+                                 F.col("value").cast("decimal(18,2)"))),
+                    zero).cast("double").alias("tb")))
     arr = d.agg(
         F.array_sort(F.collect_list(F.struct(
             F.col("day").alias("day"), F.col("ta").alias("ta"),
@@ -728,17 +735,24 @@ def bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("named_struct('ca', cast(0.0 as double), "
                    "'cb', cast(0.0 as double), "
                    "'ks', cast(0.0 as double))"),
+            # try_divide: an all-one-type corpus has sa or sb = 0 and
+            # ANSI `/` would throw; NULL then drops out of greatest()
+            # so ks degrades to 0 (values identical whenever both
+            # series are non-empty, which the real corpus guarantees)
             lambda acc, x: F.struct(
-                (acc.getField("ca") + x.getField("ta") / F.col("sa"))
+                (acc.getField("ca")
+                 + F.try_divide(x.getField("ta"), F.col("sa")))
                 .alias("ca"),
-                (acc.getField("cb") + x.getField("tb") / F.col("sb"))
+                (acc.getField("cb")
+                 + F.try_divide(x.getField("tb"), F.col("sb")))
                 .alias("cb"),
                 F.greatest(
                     acc.getField("ks"),
                     F.abs((acc.getField("ca")
-                           + x.getField("ta") / F.col("sa"))
+                           + F.try_divide(x.getField("ta"), F.col("sa")))
                           - (acc.getField("cb")
-                             + x.getField("tb") / F.col("sb"))))
+                             + F.try_divide(x.getField("tb"),
+                                            F.col("sb")))))
                 .alias("ks"))).alias("r"))
     return folded.select(
         F.col("n").cast("long").alias("n_buckets"),

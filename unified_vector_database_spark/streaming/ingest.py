@@ -457,10 +457,12 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4-file replay hash-checks against the batch banding (the
     identical shingle/md5/permutation pipeline in SQL)."""
     from ..functions.text import tokens
-    from ..operators.dedup import minhash_band_structs
+    from ..operators.dedup import _SHINGLE_N, minhash_band_structs
     stream = _replay_docs(spark, sf_dir, "neardup")
-    # ≥3 tokens ⇔ ≥1 shingle (cheap pre-filter: no shingle/md5 work
-    # for the empty docs the batch groupBy form drops); the fold's
+    # ≥_SHINGLE_N tokens ⇔ ≥1 shingle (cheap pre-filter: no
+    # shingle/md5 work for the docs the batch groupBy form drops —
+    # same constant as the batch pipeline, so the stream keeps hash
+    # parity if the shingle width ever changes); the fold's
     # finish-lambda banding keeps the signature at ONE evaluation
     # per row (8x otherwise — the 64x sweep's 30x entry)
     # a file-replay micro-batch is ONE file (≈1 task) — spread the
@@ -468,7 +470,7 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly as a many-partition Kafka source would arrive
     n_slices = spark.sparkContext.defaultParallelism
     sig = (stream
-           .where(F.size(tokens("text")) >= 3)
+           .where(F.size(tokens("text")) >= _SHINGLE_N)
            .repartition(n_slices)
            .select("doc_id",
                    F.explode(minhash_band_structs("text")).alias("bk"))
