@@ -193,3 +193,51 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.coalesce(F.col("n_sampled"), F.lit(0))
                       .cast("long").alias("n_sampled"))
              .orderBy("lang"))
+
+
+# ------------------------------------------------------- sampler agg
+
+SAMPLER_SHARD_SIZE = 50  # ES sampler `shard_size`
+
+
+@register("sampler_agg", oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT, doc_id) AS rn
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM d WHERE rn <= {SAMPLER_SHARD_SIZE}
+GROUP BY lang ORDER BY lang
+""")
+def sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES plain `sampler` aggregation (the unconditioned sibling of
+    `diversified_sampler`/X19): each shard contributes its first
+    `shard_size` documents and the sub-aggregation (here a per-lang
+    count + mean length) runs over the union sample. Shards model as
+    the `source` partitions; "first" is the deterministic md5 order
+    every sampling op here draws in, so the sample is reproducible on
+    any engine or partitioning.
+
+    Scale shape: the per-shard draw is a row_number window whose
+    WindowGroupLimit pre-prunes every partition to `shard_size` rows
+    BEFORE the shuffle (the diversified_sample plan), so the exchange
+    moves O(shards·shard_size) rows at any corpus size; the sub-agg
+    sums integers (exact, merge-order-free) and divides once."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_int32
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    w = (W.partitionBy("source")
+          .orderBy(md5_int32(F.col("doc_id").cast("string")), "doc_id"))
+    s = (docs.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= SAMPLER_SHARD_SIZE))
+    return (s.groupBy("lang")
+             .agg(F.count("*").cast("long").alias("n_sampled"),
+                  F.round(F.sum("n_chars").cast("double") / F.count("*"),
+                          6).alias("avg_chars"))
+             .orderBy("lang"))

@@ -543,6 +543,94 @@ def moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("day"))
 
 
+# ---------------------------------------- moving_fn linearWeightedAvg
+
+MOVFN_W = 7  # trailing days, current inclusive (the moving_fn window)
+
+
+@register("moving_fn_lin_wavg", oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day, total,
+         list(total) OVER (ORDER BY day ROWS BETWEEN {MOVFN_W - 1}
+                           PRECEDING AND CURRENT ROW) AS l
+  FROM d)
+SELECT day, total,
+       round(list_reduce(list_transform(l, (x, i) -> x * i),
+                         (a, b) -> a + b)
+             / (len(l) * (len(l) + 1) / 2.0), 6) AS lin_wavg
+FROM w ORDER BY day
+""")
+def moving_fn_lin_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` with the `MovingFunctions.linearWeightedAvg`
+    model: over the trailing {MOVFN_W}-day window the newest point
+    weighs n, the oldest 1, so the average tracks trend with less lag
+    than the unweighted mean. Same window-free bounded shape as
+    moving_percentiles: aggregate the raw scan to the |days| series
+    first, then evaluate every trailing slice as map-side array math
+    over ONE collected bucket-array row. Weighted sum folds
+    left-to-right on both engines (seeded 0.0 in Spark, first-element
+    in DuckDB — identical since 0.0+x is exact), weights are exact
+    small integers, so the quotient is bit-identical before the
+    6 dp round."""
+    d = _daily(spark, sf_dir)
+    arr = d.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("day").alias("day"), F.col("total").alias("total"))))
+        .alias("a"))
+    n = f"least(i, {MOVFN_W})"
+    lo = f"greatest(i - {MOVFN_W} + 1, 1)"
+    sl = f"transform(slice(a, {lo}, {n}), x -> x.total)"
+    num = (f"aggregate(transform({sl}, (x, j) -> x * (j + 1)), "
+           f"cast(0.0 as double), (acc, x) -> acc + x)")
+    den = f"(({n}) * (({n}) + 1) / 2.0)"
+    out = arr.select(F.explode(F.expr(f"""
+        transform(sequence(1, size(a)), i -> named_struct(
+          'day', element_at(a, i).day,
+          'total', element_at(a, i).total,
+          'lin_wavg', round({num} / {den}, 6)))""")).alias("s"))
+    return (out.select("s.day", "s.total", "s.lin_wavg")
+               .orderBy("day"))
+
+
+@register("moving_fn_min_max", oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1)
+SELECT day, total,
+       min(total) OVER (ORDER BY day ROWS BETWEEN {MOVFN_W - 1}
+                        PRECEDING AND CURRENT ROW) AS mov_min,
+       max(total) OVER (ORDER BY day ROWS BETWEEN {MOVFN_W - 1}
+                        PRECEDING AND CURRENT ROW) AS mov_max
+FROM d ORDER BY day
+""")
+def moving_fn_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` `MovingFunctions.min` / `.max` models (the two
+    trivial members that close the MovingFunctions family beside
+    unweightedAvg/stdDev (events_pipeline_aggs), linearWeightedAvg,
+    ewma, holt and holtWinters): trailing {MOVFN_W}-day extrema of
+    the daily series. Exact picks of existing doubles — no rounding
+    needed. Same collected-array shape; the oracle recomputes through
+    DuckDB's frame windows, an independent formulation."""
+    d = _daily(spark, sf_dir)
+    arr = d.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("day").alias("day"), F.col("total").alias("total"))))
+        .alias("a"))
+    sl = (f"transform(slice(a, greatest(i - {MOVFN_W} + 1, 1), "
+          f"least(i, {MOVFN_W})), x -> x.total)")
+    out = arr.select(F.explode(F.expr(f"""
+        transform(sequence(1, size(a)), i -> named_struct(
+          'day', element_at(a, i).day,
+          'total', element_at(a, i).total,
+          'mov_min', array_min({sl}),
+          'mov_max', array_max({sl})))""")).alias("s"))
+    return (out.select("s.day", "s.total", "s.mov_min", "s.mov_max")
+               .orderBy("day"))
+
+
 # ------------------------------------------------------------ moving_fn ewma
 
 EWMA_ALPHA = 0.3
@@ -939,3 +1027,100 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("price").alias("weighted_median"),
                      F.col("total").cast("double").alias("total_weight"))
              .orderBy("l_returnflag"))
+
+
+WM_BINS = 200
+
+
+@register("weighted_median_sketch", oracle=f"""
+WITH b AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS gmin,
+         (CAST(max(l_extendedprice) AS DOUBLE)
+          - CAST(min(l_extendedprice) AS DOUBLE)) / {WM_BINS} AS width
+  FROM lineitem),
+c AS (
+  SELECT l_returnflag,
+         CAST(CASE WHEN width = 0 THEN 0
+              ELSE least(floor((CAST(l_extendedprice AS DOUBLE) - gmin)
+                               / width), {WM_BINS - 1}) END AS INT) AS bin,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS cw
+  FROM lineitem, b GROUP BY 1, 2),
+t AS (SELECT l_returnflag, sum(cw) AS total FROM c GROUP BY 1),
+cu AS (
+  SELECT c.l_returnflag, bin, cw, total,
+         sum(cw) OVER (PARTITION BY c.l_returnflag ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM c JOIN t USING (l_returnflag)),
+pick AS (
+  SELECT l_returnflag, total,
+         min(CASE WHEN 2 * cum >= total AND 2 * (cum - cw) < total THEN
+             bin + (0.5 * CAST(total AS DOUBLE)
+                    - CAST(cum - cw AS DOUBLE)) / CAST(cw AS DOUBLE)
+             END) AS wb
+  FROM cu GROUP BY 1, 2)
+SELECT l_returnflag,
+       round(gmin + wb * width, 6) AS weighted_median_est,
+       CAST(total AS DOUBLE) AS total_weight
+FROM pick, b ORDER BY l_returnflag
+""")
+def weighted_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-median histogram sketch — the declared 100 TB path of
+    `weighted_median_price` (R65's equi-width histogram with
+    WEIGHT-SCALED increments: each row adds its quantity to its
+    price bin instead of +1). The exact form sorts the whole table
+    inside 3 returnflag partitions (the 64x sweep's only superlinear
+    entry, ratio 13.6); this one is a single partial aggregate —
+    executors each hold a groups×{WM_BINS}-bin weight histogram that
+    merges by ADDITION, so the shuffle carries at most
+    groups×{WM_BINS} rows at any corpus size, and the per-group
+    cumulative window runs over ≤{WM_BINS} rows.
+
+    Exactness discipline: bin weights and the half-total test stay
+    DECIMAL (`2·cum ≥ total`, integer-exact at ties); only the
+    binning and the final interpolation are IEEE doubles, computed
+    with the byte-identical cast order on both engines. The estimate
+    lands in the covering bin of the true weighted median, so its
+    error vs the exact form is bounded by one bin width (pinned in
+    tests/test_r6b_ops.py)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast("double")
+    b = li.agg(F.min("l_extendedprice").cast("double").alias("gmin"),
+               F.max("l_extendedprice").cast("double").alias("gmax"))
+    b = b.select("gmin",
+                 ((F.col("gmax") - F.col("gmin")) / WM_BINS).alias("width"))
+    binned = (li.crossJoin(F.broadcast(b))
+                .select("l_returnflag", "gmin", "width",
+                        F.when(F.col("width") == 0, F.lit(0))
+                         .otherwise(
+                             F.least(F.floor((price_d - F.col("gmin"))
+                                             / F.col("width")),
+                                     F.lit(WM_BINS - 1)))
+                         .cast("int").alias("bin"),
+                        F.col("l_quantity").cast("decimal(18,2)")
+                         .alias("wt")))
+    c = (binned.groupBy("l_returnflag", "bin")
+               .agg(F.sum("wt").alias("cw"),
+                    F.first("gmin").alias("gmin"),
+                    F.first("width").alias("width")))
+    t = c.groupBy("l_returnflag").agg(F.sum("cw").alias("total"))
+    w = (W.partitionBy("l_returnflag").orderBy("bin")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cu = (c.join(F.broadcast(t), "l_returnflag")
+           .withColumn("cum", F.sum("cw").over(w)))
+    covering = (F.col("cum") * 2 >= F.col("total")) \
+        & ((F.col("cum") - F.col("cw")) * 2 < F.col("total"))
+    frac = (F.lit(0.5) * F.col("total").cast("double")
+            - (F.col("cum") - F.col("cw")).cast("double")) \
+        / F.col("cw").cast("double")
+    pick = (cu.groupBy("l_returnflag")
+              .agg(F.min(F.when(covering, F.col("bin") + frac)).alias("wb"),
+                   F.first("total").alias("total"),
+                   F.first("gmin").alias("gmin"),
+                   F.first("width").alias("width")))
+    return (pick.select(
+                "l_returnflag",
+                F.round(F.col("gmin") + F.col("wb") * F.col("width"), 6)
+                 .alias("weighted_median_est"),
+                F.col("total").cast("double").alias("total_weight"))
+                .orderBy("l_returnflag"))
