@@ -1,0 +1,138 @@
+"""ES nested-scope aggregation family (the r6 gap VERDICT r5 named
+first): `nested`, `reverse_nested`, and `children` aggregations —
+the three ways the ES DSL switches document scope INSIDE an
+aggregation tree (reference surface: the elastic backend,
+Aggregations > bucket > nested/reverse_nested/children).
+
+Data model: ES stores nested objects and join-field children as
+separate hidden documents keyed to their parent — relationally, the
+orders table is the parent docs and lineitem the nested/child docs,
+the same modeling the T50/T51 has_child/has_parent QUERIES use; these
+ops are their AGGREGATION twins (buckets out, not docs).
+
+Scale shape shared by all three: the parent⋈child join is co-keyed on
+the order key (at warehouse scale both sides bucket on it — S4's
+layout), child metrics partial-aggregate map-side before the shuffle,
+and every output is census-sized (priority/status/returnflag
+buckets). Sums accumulate as exact DECIMAL; averages divide once at
+the end (merge-order-free, hash-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..registry import register
+
+
+@register("nested_terms_agg", oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(min(l.l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(max(l.l_extendedprice) AS DOUBLE) AS max_price,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+""")
+def nested_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` aggregation: a parent-level `terms` bucket
+    (order priority) whose sub-aggregation steps INTO the nested
+    items and computes metrics over nested docs, not parents — each
+    parent contributes every one of its items to the bucket stats
+    (the defining difference from a plain parent-field agg). Metric
+    set mirrors the ES docs' nested-stats example (count/min/max/avg
+    over the nested price field)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count("*").cast("long").alias("n_items"),
+                  F.min("l_extendedprice").cast("double")
+                   .alias("min_price"),
+                  F.max("l_extendedprice").cast("double")
+                   .alias("max_price"),
+                  F.round(
+                      F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                       .cast("double") / F.count("*"), 6)
+                   .alias("avg_price"))
+             .orderBy("o_orderpriority"))
+
+
+@register("reverse_nested_agg", oracle="""
+WITH pc AS (
+  SELECT l.l_returnflag, l.l_orderkey,
+         count(*) AS n_items,
+         max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS parent_total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)
+SELECT l_returnflag,
+       CAST(sum(n_items) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       round(CAST(sum(parent_total) AS DOUBLE) / count(*), 6)
+         AS avg_parent_total
+FROM pc GROUP BY 1 ORDER BY 1
+""")
+def reverse_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `reverse_nested`: a `nested` terms bucket (item returnflag)
+    whose sub-aggregation jumps BACK UP to the parent scope — parent
+    metrics count each parent ONCE per bucket no matter how many of
+    its items landed there (the dedup that distinguishes this from
+    joining parent fields down onto items and averaging: that would
+    weight parents by item count). Two-stage rollup: items group by
+    (bucket, parent) first — the parent-dedup shuffle, co-keyed on
+    the composite key — then the census-sized bucket rollup."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    pc = (j.groupBy("l_returnflag", "l_orderkey")
+           .agg(F.count("*").alias("n_items"),
+                F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("parent_total")))
+    return (pc.groupBy("l_returnflag")
+              .agg(F.sum("n_items").cast("long").alias("n_items"),
+                   F.count("*").cast("long").alias("n_parents"),
+                   F.round(F.sum("parent_total").cast("double")
+                           / F.count("*"), 6).alias("avg_parent_total"))
+              .orderBy("l_returnflag"))
+
+
+@register("children_agg", oracle="""
+WITH p AS (
+  SELECT o_orderstatus, count(*) AS n_parents FROM orders GROUP BY 1),
+c AS (
+  SELECT o.o_orderstatus,
+         count(*) AS n_children,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1)
+SELECT p.o_orderstatus,
+       CAST(p.n_parents AS BIGINT) AS n_parents,
+       CAST(c.n_children AS BIGINT) AS n_children,
+       c.total_qty
+FROM p JOIN c USING (o_orderstatus) ORDER BY 1
+""")
+def children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `children` aggregation (join-field twin of `nested`): a
+    parent terms bucket (order status) reporting BOTH scopes — the
+    parent doc count, and after the children step, the child doc
+    count and a child metric (total quantity) — the exact ES response
+    shape where the children sub-agg carries its own doc_count beside
+    the parent bucket's. The parent census and the child rollup are
+    independent aggregates joined on the census key (broadcast-sized
+    at 3 status buckets)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_parents"))
+    c = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+               .groupBy("o_orderstatus")
+               .agg(F.count("*").cast("long").alias("n_children"),
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double").alias("total_qty")))
+    return (p.join(F.broadcast(c), "o_orderstatus")
+             .select("o_orderstatus", "n_parents", "n_children",
+                     "total_qty")
+             .orderBy("o_orderstatus"))

@@ -263,11 +263,15 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = (docs.select(F.explode(bloom_bits(F.col("text"))).alias("bit"))
                 .distinct())
     base = docs.where(F.col("doc_id") % BLOOM_PROBE_MOD == 0)
-    probes = (base.select("doc_id", F.lit("a_member").alias("kind"),
-                          F.col("text").alias("probe"))
-              .unionByName(
-                  base.select("doc_id", F.lit("b_altered").alias("kind"),
-                              F.concat("text", F.lit("?")).alias("probe"))))
+    # both probe kinds fan out of ONE pruned scan (a union of two
+    # selects over `base` would read the parquet twice)
+    probes = (base.select("doc_id", F.explode(F.array(
+                  F.struct(F.lit("a_member").alias("kind"),
+                           F.col("text").alias("probe")),
+                  F.struct(F.lit("b_altered").alias("kind"),
+                           F.concat("text", F.lit("?")).alias("probe"))))
+                  .alias("s"))
+              .select("doc_id", "s.kind", "s.probe"))
     pb = probes.select("doc_id", "kind",
                        F.explode(bloom_bits(F.col("probe"))).alias("bit"))
     hit = (pb.join(F.broadcast(bits.withColumn("set", F.lit(1))),
@@ -377,10 +381,34 @@ def countmin_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = exploded_tokens(docs, "doc_id", "text") \
         .select(F.col("token").alias("term"))
-    cells = cm_cells(tok)
-    est = cm_estimate(spark, cells)
-    ex = (tok.where(F.col("term").isin(*CM_TERMS))
-             .groupBy("term").agg(F.count("*").alias("exact")))
+    # ONE corpus pass for BOTH the d×w counters and the exact probe
+    # counts (was two full tokenize passes — the r6 bench hotspot):
+    # each token emits its d cell structs plus, when it IS one of the
+    # |CM_TERMS| literal probe terms, a tagged (r=CM_D, col=term_idx)
+    # struct; a single groupBy then counts everything, and the split
+    # reads the CHECKPOINTED ≤(d·w+|terms|)-row result — bounded at
+    # any corpus size, unlike checkpointing the token stream.
+    cells_arr = F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 cm_col(F.col("term"), i).alias("col"))
+        for i in range(CM_D)])
+    probe_tag = None
+    for ti, t in enumerate(CM_TERMS):
+        branch = F.array(F.struct(
+            F.lit(CM_D).alias("r"), F.lit(ti).cast("bigint").alias("col")))
+        probe_tag = (F.when(F.col("term") == t, branch) if probe_tag is None
+                     else probe_tag.when(F.col("term") == t, branch))
+    probe_tag = probe_tag.otherwise(F.slice(branch, 1, 0))
+    agg = (tok.select(F.explode(F.concat(cells_arr, probe_tag)).alias("rc"))
+              .groupBy("rc.r", "rc.col")
+              .agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
+    est = cm_estimate(spark, agg.where(F.col("r") < CM_D))
+    terms = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CM_TERMS)], "col long, term string")
+    ex = (agg.where(F.col("r") == CM_D)
+             .join(terms, "col")
+             .select("term", F.col("c").alias("exact")))
     return (est.join(ex, "term", "left")
                .select("term",
                        F.coalesce(F.col("exact"), F.lit(0))
