@@ -477,3 +477,41 @@ def test_r6b_ops_plan_shapes(spark, sf_dir):
     fk = ivf_filtered_knn(spark, sf_dir)
     assert_broadcast_join(fk)
     assert_take_ordered(fk)
+
+
+def test_r6c_ops_plan_shapes(spark, sf_dir):
+    """This round's build: the weighted-median sketch aggregates
+    bin-keyed (never a corpus-wide per-group sort), the sampler draw
+    is WindowGroupLimit-pruned, the nested/children agg joins are
+    co-keyed or broadcast (never cartesian), and the moving_fn models
+    run window-free over one collected-array row."""
+    from unified_vector_database_spark.operators.esagg5 import (
+        children_agg, nested_terms_agg, reverse_nested_agg,
+    )
+    from unified_vector_database_spark.operators.sampling import (
+        sampler_agg,
+    )
+    from unified_vector_database_spark.operators.stats_more import (
+        moving_fn_lin_wavg, moving_fn_min_max, weighted_median_sketch,
+    )
+
+    t = plan_text(weighted_median_sketch(spark, sf_dir))
+    # partial aggregate keyed on (returnflag, bin) — the shape whose
+    # shuffle is bounded at groups x bins; bounds ride a broadcast
+    assert "bin" in t and "HashAggregate" in t, t
+    assert_broadcast_join(weighted_median_sketch(spark, sf_dir))
+    # the exact form's corpus-wide per-group running-sum window must
+    # NOT appear: no window may order by the raw price column
+    assert "windowspecdefinition(l_returnflag" not in t \
+        or "l_extendedprice" not in t.split("windowspecdefinition")[1][:200], t
+
+    assert "WindowGroupLimit" in plan_text(sampler_agg(spark, sf_dir))
+
+    for op in (nested_terms_agg, reverse_nested_agg, children_agg):
+        t = plan_text(op(spark, sf_dir))
+        assert "CartesianProduct" not in t, (op.__name__, t)
+        assert "BroadcastNestedLoop" not in t, (op.__name__, t)
+    assert_broadcast_join(children_agg(spark, sf_dir))
+
+    for op in (moving_fn_lin_wavg, moving_fn_min_max):
+        assert "Window" not in plan_text(op(spark, sf_dir)), op.__name__

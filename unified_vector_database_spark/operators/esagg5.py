@@ -46,16 +46,23 @@ def nested_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the nested price field)."""
     orders = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
-    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
-    return (j.groupBy("o_orderpriority")
-             .agg(F.count("*").cast("long").alias("n_items"),
-                  F.min("l_extendedprice").cast("double")
-                   .alias("min_price"),
-                  F.max("l_extendedprice").cast("double")
-                   .alias("max_price"),
-                  F.round(
+    # items partial-aggregate to ORDER-level rows BEFORE the join
+    # (count/sum/min/max all merge exactly: DECIMAL partial sums add,
+    # min-of-mins), so the join shuffles |orders| rows instead of
+    # |items| — the 64x probe measured the direct item-level join
+    # superlinear (14.7x) and this shape ~linear
+    per_ord = (li.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n"),
                       F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                       .cast("double") / F.count("*"), 6)
+                       .alias("s"),
+                      F.min("l_extendedprice").alias("mn"),
+                      F.max("l_extendedprice").alias("mx")))
+    j = orders.join(per_ord, orders.o_orderkey == per_ord.l_orderkey)
+    return (j.groupBy("o_orderpriority")
+             .agg(F.sum("n").cast("long").alias("n_items"),
+                  F.min("mn").cast("double").alias("min_price"),
+                  F.max("mx").cast("double").alias("max_price"),
+                  F.round(F.sum("s").cast("double") / F.sum("n"), 6)
                    .alias("avg_price"))
              .orderBy("o_orderpriority"))
 
@@ -85,11 +92,15 @@ def reverse_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composite key — then the census-sized bucket rollup."""
     li = tables.load(spark, sf_dir, "lineitem")
     orders = tables.load(spark, sf_dir, "orders")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    pc = (j.groupBy("l_returnflag", "l_orderkey")
-           .agg(F.count("*").alias("n_items"),
-                F.max(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .alias("parent_total")))
+    # the (bucket, parent) dedup aggregate runs on the ITEM side
+    # FIRST (no parent columns needed for it), so the parent join
+    # shuffles ~|orders| grouped rows, not raw items
+    ipc = (li.groupBy("l_returnflag", "l_orderkey")
+             .agg(F.count("*").alias("n_items")))
+    pc = (ipc.join(orders, ipc.l_orderkey == orders.o_orderkey)
+             .select("l_returnflag", "n_items",
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                      .alias("parent_total")))
     return (pc.groupBy("l_returnflag")
               .agg(F.sum("n_items").cast("long").alias("n_items"),
                    F.count("*").cast("long").alias("n_parents"),
@@ -127,11 +138,16 @@ def children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     p = orders.groupBy("o_orderstatus").agg(
         F.count("*").cast("long").alias("n_parents"))
-    c = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+    # children partial-aggregate to order-level rows before the join
+    # (the nested_terms_agg shape — counts and DECIMAL sums merge)
+    per_ord = (li.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n"),
+                      F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                       .alias("q")))
+    c = (orders.join(per_ord, orders.o_orderkey == per_ord.l_orderkey)
                .groupBy("o_orderstatus")
-               .agg(F.count("*").cast("long").alias("n_children"),
-                    F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                     .cast("double").alias("total_qty")))
+               .agg(F.sum("n").cast("long").alias("n_children"),
+                    F.sum("q").cast("double").alias("total_qty")))
     return (p.join(F.broadcast(c), "o_orderstatus")
              .select("o_orderstatus", "n_parents", "n_children",
                      "total_qty")
