@@ -67,9 +67,15 @@ _PRIORITY = [
     # the ES plain sampler agg, moving_fn linearWeightedAvg).
     "weighted_median_sketch", "sampler_agg", "moving_fn_lin_wavg",
     # (d) r6 continuation (slots 51+, queue first for r7): ES
-    # nested/reverse_nested/children aggregations, moving_fn minMax.
+    # nested/reverse_nested/children aggregations, moving_fn minMax,
+    # the r7-wave ops built late in r6 (decay-family completion,
+    # distance_feature, span enclosure pair, simple_query_string,
+    # random_sampler, Qdrant sum_scores recommend).
     "nested_terms_agg", "reverse_nested_agg", "children_agg",
-    "moving_fn_min_max",
+    "moving_fn_min_max", "linear_decay_search", "exp_decay_search",
+    "distance_feature_search", "span_within_search",
+    "span_containing_search", "simple_query_string_search",
+    "random_sampler_agg", "recommend_sum_scores",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -241,3 +241,42 @@ def sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("n_chars").cast("double") / F.count("*"),
                           6).alias("avg_chars"))
              .orderBy("lang"))
+
+
+# ------------------------------------------------- random_sampler agg
+
+RS_PROB = 0.125  # ES random_sampler `probability` (exact in binary)
+
+
+@register("random_sampler_agg", oracle=f"""
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE {_hash_frac_sql('event_id')} < {RS_PROB!r})
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(round(count(*) / {RS_PROB!r}) AS BIGINT) AS est_count,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / {RS_PROB!r}, 6) AS est_total_value
+FROM s GROUP BY 1 ORDER BY 1
+""")
+def random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `random_sampler` aggregation: sub-aggs run over a
+    probability-p random subset and count-type results scale back up
+    by 1/p — the documented way to trade a bounded accuracy loss for
+    a ~1/p cost cut on huge corpora. The coin is the repo's
+    deterministic md5 fraction (reproducible, append-stable — ES uses
+    a seeded hash for the same reason); p = {RS_PROB} is an exact
+    binary fraction so the threshold compare has no representation
+    ulp. Map-only admit, one partial agg, census-sized output;
+    sampled sums accumulate as exact DECIMAL before the one scale-up
+    division."""
+    ev = tables.load(spark, sf_dir, "events")
+    s = ev.where(hash_frac("event_id") < F.lit(RS_PROB))
+    return (s.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n_sampled"),
+                  F.round(F.count("*") / RS_PROB).cast("long")
+                   .alias("est_count"),
+                  F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                           .cast("double") / RS_PROB, 6)
+                   .alias("est_total_value"))
+             .orderBy("event_type"))

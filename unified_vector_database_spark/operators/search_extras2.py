@@ -350,3 +350,286 @@ def gauss_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.pow(F.lit(DECAY_AT_SCALE), ratio * ratio), 6)
     return (s.select("event_id", "age_days", score.alias("score"))
              .orderBy(F.desc("score"), "event_id").limit(DECAY_TOP))
+
+
+@register("linear_decay_search", oracle=f"""
+WITH mx AS (SELECT max(date_trunc('day', ts)::DATE) AS anchor FROM events),
+s AS (
+  SELECT e.event_id, e.value,
+         CAST(mx.anchor - date_trunc('day', e.ts)::DATE AS BIGINT)
+           AS age_days
+  FROM events e, mx)
+SELECT event_id, age_days,
+       round(value * greatest(0.0,
+             1.0 - age_days * 1.0 / (2 * {DECAY_SCALE_DAYS})), 6) AS score
+FROM s
+ORDER BY score DESC, event_id LIMIT {DECAY_TOP}
+""")
+def linear_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `function_score` LINEAR decay on recency (the second of the
+    ES decay triple — gauss is T53, exp below): multiplier
+    max(0, 1 − age/s0) with s0 = scale/(1−decay) = 2·scale, i.e.
+    decay 0.5 at {DECAY_SCALE_DAYS} days and zero beyond 2·scale —
+    the only decay curve that actually reaches 0, which is why feeds
+    use it to hard-expire stale items. Same 1-row-anchor-broadcast
+    map-side shape as gauss; the multiplier is pure rational
+    arithmetic (no transcendental at all), bit-identical on both
+    engines before the round."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    mx = ev.agg(F.max(day).alias("anchor"))
+    s = (ev.crossJoin(F.broadcast(mx))
+           .select("event_id", "value",
+                   F.datediff(F.col("anchor"), day).cast("long")
+                    .alias("age_days")))
+    mult = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("age_days") * 1.0 / (2 * DECAY_SCALE_DAYS))
+    return (s.select("event_id", "age_days",
+                     F.round(F.col("value") * mult, 6).alias("score"))
+             .orderBy(F.desc("score"), "event_id").limit(DECAY_TOP))
+
+
+@register("exp_decay_search", oracle=f"""
+WITH mx AS (SELECT max(date_trunc('day', ts)::DATE) AS anchor FROM events),
+s AS (
+  SELECT e.event_id, e.value,
+         CAST(mx.anchor - date_trunc('day', e.ts)::DATE AS BIGINT)
+           AS age_days
+  FROM events e, mx)
+SELECT event_id, age_days,
+       round(value * power({DECAY_AT_SCALE!r},
+                           age_days * 1.0 / {DECAY_SCALE_DAYS}), 6) AS score
+FROM s
+ORDER BY score DESC, event_id LIMIT {DECAY_TOP}
+""")
+def exp_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `function_score` EXP decay on recency (closing the decay
+    triple): multiplier decay^(age/scale) — the heavy-tailed curve
+    that never hits zero, ES's default for "prefer recent but never
+    exclude". Same shape and the same transcendental discipline as
+    gauss (T53): exact-integer day ages in, pow only in the rounded
+    OUTPUT column, ORDER BY the rounded score."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    mx = ev.agg(F.max(day).alias("anchor"))
+    s = (ev.crossJoin(F.broadcast(mx))
+           .select("event_id", "value",
+                   F.datediff(F.col("anchor"), day).cast("long")
+                    .alias("age_days")))
+    score = F.round(
+        F.col("value") * F.pow(F.lit(DECAY_AT_SCALE),
+                               F.col("age_days") * 1.0 / DECAY_SCALE_DAYS),
+        6)
+    return (s.select("event_id", "age_days", score.alias("score"))
+             .orderBy(F.desc("score"), "event_id").limit(DECAY_TOP))
+
+
+# --------------------------------------------------- distance_feature
+
+DF_PIVOT_DAYS = 10
+DF_BOOST = 5.0
+
+
+@register("distance_feature_search", oracle=f"""
+WITH mx AS (SELECT max(date_trunc('day', ts)::DATE) AS anchor FROM events),
+s AS (
+  SELECT e.event_id, e.event_type,
+         CAST(mx.anchor - date_trunc('day', e.ts)::DATE AS BIGINT)
+           AS age_days
+  FROM events e, mx
+  WHERE e.event_type = 'click')
+SELECT event_id, age_days,
+       round({DF_BOOST!r} * {DF_PIVOT_DAYS}
+             / ({DF_PIVOT_DAYS} + age_days), 6) AS score
+FROM s
+ORDER BY score DESC, event_id LIMIT {DECAY_TOP}
+""")
+def distance_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `distance_feature` query on a date field: score =
+    boost · pivot / (pivot + distance) — the reciprocal-rank-style
+    proximity boost ES recommends over decay functions inside bool
+    queries (it can use the index to skip far docs; relationally the
+    filter does that). Composed here with a term filter
+    (event_type = 'click'), matching the documented bool+boost use.
+    Pure rational arithmetic on exact-integer day distances —
+    bit-identical before the round; 1-row anchor broadcast,
+    TakeOrdered page."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    mx = ev.agg(F.max(day).alias("anchor"))
+    s = (ev.where(F.col("event_type") == "click")
+           .crossJoin(F.broadcast(mx))
+           .select("event_id",
+                   F.datediff(F.col("anchor"), day).cast("long")
+                    .alias("age_days")))
+    score = F.round(
+        F.lit(DF_BOOST) * DF_PIVOT_DAYS
+        / (F.lit(DF_PIVOT_DAYS) + F.col("age_days")), 6)
+    return (s.select("event_id", "age_days", score.alias("score"))
+             .orderBy(F.desc("score"), "event_id").limit(DECAY_TOP))
+
+
+# --------------------------------- span_within / span_containing
+
+SPAN_LITTLE = "key"
+SPAN_BIG_A = "table"
+SPAN_BIG_B = "scan"
+SPAN_BIG_SLOP = 6
+
+_SPAN_WC_CTE = f"""
+WITH t AS (SELECT doc_id, {{tok}} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_LITTLE}') AS pl,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_BIG_A}') AS pa,
+         list_filter(range(1, len(toks) + 1),
+                     i -> toks[i] = '{SPAN_BIG_B}') AS pb
+  FROM t),
+g AS (
+  SELECT doc_id, pl,
+         flatten(list_transform(pa, a ->
+             list_transform(list_filter(pb, b ->
+                                abs(a - b) <= {SPAN_BIG_SLOP}),
+                            b -> [least(a, b), greatest(a, b)]))) AS big
+  FROM p)
+"""
+
+
+def _span_positions(toks, term):
+    return F.filter(
+        F.transform(toks, lambda t, i: F.when(t == term, i + 1)
+                    .otherwise(F.lit(-1))),
+        lambda x: x >= 0)
+
+
+def _span_frames(spark: SparkSession, sf_dir: str):
+    """Per-doc little positions + big spans — the ES span algebra
+    substrate shared by span_within/span_containing. A big span is a
+    span_near(({SPAN_BIG_A!r}, {SPAN_BIG_B!r}), slop) match pair,
+    reduced to its [lo, hi] token envelope. All map-side array math,
+    zero corpus shuffle; per-doc arrays are bounded by term
+    frequency, so the nested lambdas cost O(tf²) per row."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = tokens("text")
+    pl = _span_positions(toks, SPAN_LITTLE)
+    pa = _span_positions(toks, SPAN_BIG_A)
+    pb = _span_positions(toks, SPAN_BIG_B)
+    big = F.flatten(F.transform(pa, lambda a: F.transform(
+        F.filter(pb, lambda b: F.abs(a - b) <= SPAN_BIG_SLOP),
+        lambda b: F.array(F.least(a, b), F.greatest(a, b)))))
+    return docs.select("doc_id", pl.alias("pl"), big.alias("big"))
+
+
+def _inside(x, s):
+    return (x >= F.element_at(s, 1)) & (x <= F.element_at(s, 2))
+
+
+@register("span_within_search", oracle=_SPAN_WC_CTE.format(tok=_TOK) + f"""
+SELECT doc_id,
+       CAST(len(big) AS BIGINT) AS n_big,
+       CAST(len(list_filter(pl, x ->
+            len(list_filter(big, s -> x >= s[1] AND x <= s[2])) > 0))
+         AS BIGINT) AS n_within
+FROM g
+WHERE len(list_filter(pl, x ->
+          len(list_filter(big, s -> x >= s[1] AND x <= s[2])) > 0)) > 0
+ORDER BY n_within DESC, doc_id LIMIT 20
+""")
+def span_within_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_within`: match occurrences of the LITTLE span
+    ('{SPAN_LITTLE}') that sit inside some BIG span (a
+    '{SPAN_BIG_A}'…'{SPAN_BIG_B}' near-pair within
+    {SPAN_BIG_SLOP} tokens) — with span_containing below, the
+    enclosure pair that completes the span family beside
+    span_first/span_near/span_not. Returns docs with ≥1 enclosed
+    occurrence, scored by how many."""
+    f = _span_frames(spark, sf_dir)
+    within = F.filter(
+        F.col("pl"),
+        lambda x: F.exists(F.col("big"), lambda s: _inside(x, s)))
+    out = f.select("doc_id",
+                   F.size("big").cast("long").alias("n_big"),
+                   F.size(within).cast("long").alias("n_within"))
+    return (out.where(F.col("n_within") > 0)
+               .orderBy(F.desc("n_within"), "doc_id").limit(20))
+
+
+@register("span_containing_search",
+          oracle=_SPAN_WC_CTE.format(tok=_TOK) + f"""
+SELECT doc_id,
+       CAST(len(big) AS BIGINT) AS n_big,
+       CAST(len(list_filter(big, s ->
+            len(list_filter(pl, x -> x >= s[1] AND x <= s[2])) > 0))
+         AS BIGINT) AS n_containing
+FROM g
+WHERE len(list_filter(big, s ->
+          len(list_filter(pl, x -> x >= s[1] AND x <= s[2])) > 0)) > 0
+ORDER BY n_containing DESC, doc_id LIMIT 20
+""")
+def span_containing_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_containing`: the dual of span_within — match BIG
+    spans that CONTAIN at least one little-span occurrence, scored by
+    how many big spans qualify. Same per-doc substrate, same map-side
+    zero-shuffle shape."""
+    f = _span_frames(spark, sf_dir)
+    containing = F.filter(
+        F.col("big"),
+        lambda s: F.exists(F.col("pl"), lambda x: _inside(x, s)))
+    out = f.select("doc_id",
+                   F.size("big").cast("long").alias("n_big"),
+                   F.size(containing).cast("long").alias("n_containing"))
+    return (out.where(F.col("n_containing") > 0)
+               .orderBy(F.desc("n_containing"), "doc_id").limit(20))
+
+
+# --------------------------------------------- simple_query_string
+
+SQS_AND = ("scan", "table")   # 'scan +table'
+SQS_OR = "merge"              # '| merge'
+SQS_NOT = "slow"              # '-slow' scoped to the OR clause
+
+
+@register("simple_query_string_search", oracle=f"""
+WITH t AS (SELECT doc_id, {{tok}} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x = '{SQS_AND[0]}')) AS f_a,
+         len(list_filter(toks, x -> x = '{SQS_AND[1]}')) AS f_b,
+         len(list_filter(toks, x -> x = '{SQS_OR}')) AS f_c,
+         len(list_filter(toks, x -> x = '{SQS_NOT}')) AS f_n
+  FROM t)
+SELECT doc_id, CAST(f_a + f_b + f_c AS BIGINT) AS score
+FROM s
+WHERE (f_a > 0 AND f_b > 0) OR (f_c > 0 AND f_n = 0)
+ORDER BY score DESC, doc_id LIMIT 20
+""".format(tok=_TOK))
+def simple_query_string_search(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """ES `simple_query_string`, query
+    `({SQS_AND[0]} + {SQS_AND[1]}) | ({SQS_OR} -{SQS_NOT})` — the
+    forgiving end-user mini-language (`+` AND, `|` OR, `-` NOT)
+    compiled to its boolean tree; score = total tf of the positive
+    terms (the deterministic integer stand-in for the per-clause BM25
+    sum, same convention as the other fixed-query DSL ops). One
+    map-side array pass, TakeOrdered page."""
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = tokens("text")
+
+    def tf(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    f = docs.select("doc_id", tf(SQS_AND[0]).alias("f_a"),
+                    tf(SQS_AND[1]).alias("f_b"),
+                    tf(SQS_OR).alias("f_c"), tf(SQS_NOT).alias("f_n"))
+    match = ((F.col("f_a") > 0) & (F.col("f_b") > 0)) \
+        | ((F.col("f_c") > 0) & (F.col("f_n") == 0))
+    return (f.where(match)
+             .select("doc_id",
+                     (F.col("f_a") + F.col("f_b") + F.col("f_c"))
+                     .cast("long").alias("score"))
+             .orderBy(F.desc("score"), "doc_id").limit(20))

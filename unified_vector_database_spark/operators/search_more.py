@@ -703,3 +703,48 @@ def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(score, 6).alias("score"))
                   .orderBy(F.desc("score"), "vec_id")
                   .limit(10))
+
+
+@register("recommend_sum_scores", oracle=f"""
+WITH p1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {RBS_POS[0]}),
+p2 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {RBS_POS[1]}),
+n1 AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = {RBS_NEG[0]}),
+s AS (
+  SELECT vec_id, label,
+         ({_CTX_COS.format(q="p1.v")} + {_CTX_COS.format(q="p2.v")})
+         - {_CTX_COS.format(q="n1.v")} AS score
+  FROM embeddings, p1, p2, n1
+  WHERE vec_id NOT IN {_RBS_IDS!r})
+SELECT vec_id, label, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id LIMIT 10
+""")
+def recommend_sum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `recommend` with `strategy=sum_scores` — the THIRD
+    recommend strategy (beside `average_vector` = the r2 `recommend`
+    and `best_score` above), added for relevance-feedback loops
+    (Rocchio-style): score = Σ sim(v, positiveᵢ) − Σ sim(v,
+    negativeⱼ), every example contributing additively instead of
+    best-of or mean-target. Same plan as best_score: all example
+    vectors ride ONE broadcast row, the cosine sum is map-side in the
+    corpus scan, TakeOrdered page. Additions run left-to-right
+    identically on both engines; round-6 absorbs libm ulps."""
+    from ..functions import distance as D
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def vec_of(vid, name):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias(name)))
+
+    ex = (vec_of(RBS_POS[0], "p1")
+          .crossJoin(F.broadcast(vec_of(RBS_POS[1], "p2")))
+          .crossJoin(F.broadcast(vec_of(RBS_NEG[0], "n1"))))
+    corpus = (emb.where(~F.col("vec_id").isin(*_RBS_IDS))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec")))
+    cos = D.METRICS["cosine"]
+    score = (cos("vec", "p1") + cos("vec", "p2")) - cos("vec", "n1")
+    return (corpus.crossJoin(F.broadcast(ex))
+                  .select("vec_id", "label",
+                          F.round(score, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))
