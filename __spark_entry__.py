@@ -76,6 +76,13 @@ _PRIORITY = [
     "distance_feature_search", "span_within_search",
     "span_containing_search", "simple_query_string_search",
     "random_sampler_agg", "recommend_sum_scores",
+    # (e) r7 wave 2/2 (this round, past the budget line — queue for
+    # r7): parent agg + runtime fields, span_or + script_score +
+    # search_after, multi-target knn + lookup_from recommend, n-gram
+    # novelty scoring.
+    "parent_agg", "runtime_field_agg", "span_or_search",
+    "script_score_search", "search_after_page", "multi_target_knn",
+    "recommend_lookup_from", "ngram_novelty",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

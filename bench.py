@@ -84,6 +84,18 @@ HEADLINE = [
     "holt_winters_smoothing", "terms_partition_agg",
     "weighted_median_price", "session_paths_agg", "ivf_filtered_knn",
     "knn_l1", "knn_search_iterator", "significant_terms_chi2",
+    # r6-built: the weighted-median sketch (replacing the exact form's
+    # 13.6x scale entry), sampler/moving_fn completions, the
+    # nested-scope agg family, and the r7 wave
+    "weighted_median_sketch", "sampler_agg", "moving_fn_lin_wavg",
+    "moving_fn_min_max", "nested_terms_agg", "reverse_nested_agg",
+    "children_agg", "linear_decay_search", "exp_decay_search",
+    "distance_feature_search", "span_within_search",
+    "span_containing_search", "simple_query_string_search",
+    "random_sampler_agg", "recommend_sum_scores",
+    "parent_agg", "runtime_field_agg", "span_or_search",
+    "script_score_search", "search_after_page", "multi_target_knn",
+    "recommend_lookup_from", "ngram_novelty",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Round-6 late-wave checks: independent-model and plan/semantics
+tests for the r7-wave(2/2) operators (keyset pagination, multi-target
+knn, lookup_from recommend, parent agg, span_or, n-gram novelty,
+runtime fields, script_score) — the defect class the hash oracle
+cannot see when both engines share a bug.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_search_after_cursor_reaches_the_scan(spark, sf_dir):
+    # The op's whole at-scale claim: the keyset cursor is a pushed
+    # range predicate, not a post-scan filter over everything.
+    from unified_vector_database_spark.operators.search_more import (
+        search_after_page,
+    )
+
+    plan = search_after_page(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_search_after_is_the_next_offset_page(spark, sf_dir):
+    # Keyset semantics == offset semantics at the same cursor: the
+    # page equals the full (date, key) order restarted strictly after
+    # the cursor tuple.
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.search_more import (
+        SA_CURSOR_DATE, SA_CURSOR_KEY, SA_PAGE, search_after_page,
+    )
+
+    got = [(r.o_orderkey, r.o_orderdate)
+           for r in search_after_page(spark, sf_dir).collect()]
+    full = sorted(
+        (r.o_orderdate, r.o_orderkey)
+        for r in tables.load(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_orderkey").collect())
+    import datetime
+    cur = (datetime.datetime.fromisoformat(SA_CURSOR_DATE), SA_CURSOR_KEY)
+    want = [(k, d) for (d, k) in full if (d, k) > cur][:SA_PAGE]
+    assert got == want
+
+
+def test_multi_target_fuses_by_sum_and_excludes_targets(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_more import (
+        MT_TARGETS, multi_target_knn,
+    )
+
+    rows = multi_target_knn(spark, sf_dir).collect()
+    assert rows and all(r.vec_id not in MT_TARGETS for r in rows)
+    for r in rows:
+        # fused = a + b up to the independent rounding of each term
+        assert abs(r.score - (r.score_a + r.score_b)) <= 2e-6
+
+
+def test_multi_target_top1_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from unified_vector_database_spark.operators.search_more import (
+        MT_TARGETS, multi_target_knn,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    x = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qa = xn[list(ids).index(MT_TARGETS[0])]
+    qb = xn[list(ids).index(MT_TARGETS[1])]
+    s = xn @ qa + xn @ qb
+    mask = ~np.isin(ids, MT_TARGETS)
+    best = ids[mask][np.argmax(s[mask])]
+    top = multi_target_knn(spark, sf_dir).collect()[0]
+    assert top.vec_id == best
+
+
+def test_lookup_from_queries_a_with_vectors_from_b(spark, sf_dir):
+    # Collections are label-disjoint: every hit must be in A
+    # (label < min), and the positives' own ids can never appear.
+    from unified_vector_database_spark.operators.search_more import (
+        LOOKUP_LABEL_MIN, recommend_lookup_from,
+    )
+
+    rows = recommend_lookup_from(spark, sf_dir).collect()
+    assert rows and all(r.label < LOOKUP_LABEL_MIN for r in rows)
+
+
+def test_parent_agg_dedups_parents_per_bucket(spark, sf_dir):
+    # n_parents counts each order once per bucket (ES parent-scope
+    # doc_count), so it must equal the distinct-parent census — and
+    # stay <= n_children, which counts every child.
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.esagg5 import parent_agg
+
+    got = {r.l_linestatus: r for r in parent_agg(spark, sf_dir).collect()}
+    li = tables.load(spark, sf_dir, "lineitem")
+    want = {r.l_linestatus: r.n
+            for r in li.groupBy("l_linestatus")
+            .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
+    assert set(got) == set(want)
+    for k, r in got.items():
+        assert r.n_parents == want[k]
+        assert r.n_parents <= r.n_children
+
+
+def test_span_or_is_the_clause_union(spark, sf_dir):
+    # A span_or match set is exactly the union of its clauses' match
+    # sets, scored additively.
+    from unified_vector_database_spark.operators.search_extras2 import (
+        _span_frames, span_or_search,
+    )
+
+    f = _span_frames(spark, sf_dir).select(
+        "doc_id", F.size("pl").alias("nl"), F.size("big").alias("nb"))
+    clause = {r.doc_id: (r.nl, r.nb) for r in f.collect()
+              if r.nl + r.nb > 0}
+    got = {r.doc_id: (r.n_little, r.n_big, r.n_spans)
+           for r in span_or_search(spark, sf_dir).collect()}
+    assert got  # non-trivial corpus hit
+    for d, (nl, nb, ns) in got.items():
+        assert (nl, nb) == clause[d] and ns == nl + nb
+
+
+def test_ngram_novelty_matches_python_model(spark, sf_dir):
+    # Independent pure-Python re-derivation of the keep-first
+    # ownership rule over the raw parquet.
+    import pyarrow.parquet as pq
+
+    from unified_vector_database_spark.operators.dedup import (
+        _SHINGLE_N, ngram_novelty,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    first: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for doc_id, text in sorted(zip(t["doc_id"], t["text"])):
+        toks = [w for w in text.strip().split(" ") if w]
+        gs = {" ".join(toks[i:i + _SHINGLE_N])
+              for i in range(max(len(toks) - _SHINGLE_N + 1, 0))}
+        per_doc[doc_id] = gs
+        for g in gs:
+            first.setdefault(g, doc_id)
+    model = {}
+    for doc_id, gs in per_doc.items():
+        if gs:
+            novel = sum(1 for g in gs if first[g] == doc_id)
+            model[doc_id] = (len(gs), novel)
+    rows = ngram_novelty(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        n, novel = model[r.doc_id]
+        assert (r.n_grams, r.n_novel) == (n, novel)
+        assert r.novelty == pytest.approx(novel / n, abs=1e-6)
+    # the page really is the 25 least novel docs
+    want = sorted(((novel / n), d) for d, (n, novel) in model.items())[:25]
+    assert [d for _, d in want] == [r.doc_id for r in rows]
+
+
+def test_runtime_field_filter_collapses_into_scan(spark, sf_dir):
+    # Schema-on-read promise: the derived-field filter must not
+    # materialize an extra exchange — the plan stays scan -> project/
+    # filter -> partial agg -> exchange -> final agg (one shuffle).
+    from unified_vector_database_spark.operators.esagg5 import (
+        runtime_field_agg,
+    )
+
+    df = runtime_field_agg(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # agg + final orderBy only
+
+
+def test_script_score_monotone_in_label_boost(spark, sf_dir):
+    # With the cosine term held fixed (self-similarity of the query
+    # row is 1.0 for any metric), the boost must be ln-monotone.
+    import math
+
+    from unified_vector_database_spark.operators.search_extras2 import (
+        SCRIPT_SCORE_WEIGHT, script_score_search,
+    )
+
+    rows = script_score_search(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        cos = r.score - SCRIPT_SCORE_WEIGHT * math.log(1 + r.label)
+        assert -1.0 - 1e-4 <= cos <= 1.0 + 1e-4

@@ -668,3 +668,66 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "cid int, n_members bigint, "
                             "n_removed bigint, n_kept bigint")
              .orderBy("cid"))
+
+
+# --------------------------------------------------------- ngram_novelty
+
+@register("ngram_novelty", oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), t -> t <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - {_SHINGLE_N - 2}, 1)),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+  FROM tok),
+owner AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT grams.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN owner.first_doc = grams.doc_id
+                  THEN 1 ELSE 0 END) AS n_novel
+  FROM grams JOIN owner USING (g)
+  GROUP BY grams.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+FROM per_doc
+ORDER BY novelty ASC, doc_id LIMIT 25
+""")
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the data-curation dual of dedup: for
+    each document, the fraction of its distinct {_SHINGLE_N}-gram
+    shingles NOT seen in any earlier document (ingest order = doc_id,
+    the convention dedup_survivors' keep-first rule already uses).
+    Low-novelty docs are near-copies/boilerplate; the score drives
+    mixing and filtering decisions the same way MassiveText's
+    repetition filters do, and unlike pairwise dedup it prices
+    PARTIAL overlap (a doc that is 40% recycled scores 0.6, which no
+    bucket-join near-dup threshold surfaces).
+
+    Scale shape: distinct shingles per doc build map-side
+    (ngram_array — no explode of repeats), ONE hash shuffle keys the
+    gram table by shingle for the min-owner aggregate
+    (partial-min map-side), and the ownership join back is co-keyed
+    on the same shingle hash — the sort-merge pair reuses the
+    exchange. Nothing is ever all-pairs; state per key is one int64.
+    Returns the 25 LEAST novel docs (the removal candidates)."""
+    from ..functions.text import ngram_array
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    grams = docs.select(
+        "doc_id",
+        F.explode(ngram_array(F.col("text"), _SHINGLE_N)).alias("g"))
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (grams.join(owner, "g")
+                    .groupBy("doc_id")
+                    .agg(F.count("*").alias("n_grams"),
+                         F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                                      1).otherwise(0)).alias("n_novel")))
+    return (per_doc.select("doc_id",
+                           F.col("n_grams").cast("long").alias("n_grams"),
+                           F.col("n_novel").cast("long").alias("n_novel"),
+                           F.round(F.col("n_novel").cast("double")
+                                   / F.col("n_grams"), 6).alias("novelty"))
+                   .orderBy(F.asc("novelty"), "doc_id").limit(25))

@@ -1,8 +1,10 @@
 """ES nested-scope aggregation family (the r6 gap VERDICT r5 named
-first): `nested`, `reverse_nested`, and `children` aggregations —
-the three ways the ES DSL switches document scope INSIDE an
-aggregation tree (reference surface: the elastic backend,
-Aggregations > bucket > nested/reverse_nested/children).
+first): `nested`, `reverse_nested`, `children`, and `parent`
+aggregations — the four ways the ES DSL switches document scope
+INSIDE an aggregation tree (reference surface: the elastic backend,
+Aggregations > bucket > nested/reverse_nested/children/parent) —
+plus runtime fields (computed at query time, usable in filters and
+aggs exactly like mapped fields).
 
 Data model: ES stores nested objects and join-field children as
 separate hidden documents keyed to their parent — relationally, the
@@ -152,3 +154,94 @@ def children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("o_orderstatus", "n_parents", "n_children",
                      "total_qty")
              .orderBy("o_orderstatus"))
+
+
+@register("parent_agg", oracle="""
+WITH cp AS (
+  SELECT l.l_linestatus, l.l_orderkey,
+         count(*) AS n_children,
+         max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS parent_total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)
+SELECT l_linestatus,
+       CAST(sum(n_children) AS BIGINT) AS n_children,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(sum(parent_total) AS DOUBLE) AS parent_revenue
+FROM cp GROUP BY 1 ORDER BY 1
+""")
+def parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `parent` aggregation — the join-field dual of `children`
+    (and the join-field twin of `reverse_nested`, which does the same
+    scope jump for nested objects): start in CHILD scope (a terms
+    bucket on the child field l_linestatus), then the `parent` step
+    jumps up and computes parent-doc metrics, each parent counted
+    ONCE per bucket no matter how many of its children landed there.
+    Response carries both scopes' doc_counts (child count beside the
+    parent-after-dedup count) plus a parent metric summed once per
+    parent — the exact ES join-field response shape.
+
+    Scale shape (reverse_nested_agg's): the (bucket, parent) dedup
+    aggregate runs on the CHILD side first, co-keyed on the order
+    key, so the parent join shuffles ~|orders| grouped rows, never
+    raw items; the final rollup is census-sized (2 linestatus
+    buckets). DECIMAL partial sums merge exactly."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cpk = (li.groupBy("l_linestatus", "l_orderkey")
+             .agg(F.count("*").alias("n_children")))
+    cp = (cpk.join(orders, cpk.l_orderkey == orders.o_orderkey)
+             .select("l_linestatus", "n_children",
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                      .alias("parent_total")))
+    return (cp.groupBy("l_linestatus")
+              .agg(F.sum("n_children").cast("long").alias("n_children"),
+                   F.count("*").cast("long").alias("n_parents"),
+                   F.sum("parent_total").cast("double")
+                    .alias("parent_revenue"))
+              .orderBy("l_linestatus"))
+
+
+RUNTIME_MIN_NET = 2000.0
+
+
+@register("runtime_field_agg", oracle=f"""
+WITH rt AS (
+  SELECT l_returnflag,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))),
+                    4) AS DECIMAL(22,4)) AS net_price
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(net_price) AS DOUBLE) AS net_revenue,
+       round(CAST(sum(net_price) AS DOUBLE) / count(*), 6)
+         AS avg_net_price
+FROM rt WHERE net_price > {RUNTIME_MIN_NET!r}
+GROUP BY 1 ORDER BY 1
+""")
+def runtime_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime fields (the `runtime_mappings` request block): a
+    field DEFINED AT QUERY TIME by a script over mapped fields —
+    here net_price = extendedprice * (1 - discount) — then used in
+    BOTH a range filter and a terms agg's metrics, exactly as if it
+    were indexed. The ES promise is schema-on-read; the Spark
+    re-expression is simply a projected expression, which Catalyst
+    treats as first-class: the filter on the derived column still
+    collapses into the scan stage (no materialization pass), and
+    only the three source columns are read.
+
+    Hash discipline: the product quantizes to DECIMAL(22,4) before
+    summing (round-half-even on both engines at 4 fractional
+    digits), so the aggregate is merge-order-free."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    net = F.round(F.col("l_extendedprice").cast("decimal(18,2)")
+                  * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")),
+                  4).cast("decimal(22,4)")
+    rt = li.select("l_returnflag", net.alias("net_price"))
+    return (rt.where(F.col("net_price") > RUNTIME_MIN_NET)
+              .groupBy("l_returnflag")
+              .agg(F.count("*").cast("long").alias("n_items"),
+                   F.sum("net_price").cast("double").alias("net_revenue"),
+                   F.round(F.sum("net_price").cast("double")
+                           / F.count("*"), 6).alias("avg_net_price"))
+              .orderBy("l_returnflag"))

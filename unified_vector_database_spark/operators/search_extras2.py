@@ -633,3 +633,74 @@ def simple_query_string_search(spark: SparkSession, sf_dir: str) \
                      (F.col("f_a") + F.col("f_b") + F.col("f_c"))
                      .cast("long").alias("score"))
              .orderBy(F.desc("score"), "doc_id").limit(20))
+
+
+# ------------------------------------------------------------- span_or
+
+@register("span_or_search", oracle=_SPAN_WC_CTE.format(tok=_TOK) + f"""
+SELECT doc_id,
+       CAST(len(pl) AS BIGINT) AS n_little,
+       CAST(len(big) AS BIGINT) AS n_big,
+       CAST(len(pl) + len(big) AS BIGINT) AS n_spans
+FROM g
+WHERE len(pl) + len(big) > 0
+ORDER BY n_spans DESC, doc_id LIMIT 20
+""")
+def span_or_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_or`: the union wrapper that completes the span family
+    (beside span_near/span_first/span_not and the within/containing
+    enclosure pair) — clauses here are the little term span
+    ('{SPAN_LITTLE}') and the '{SPAN_BIG_A}'…'{SPAN_BIG_B}' near-pair
+    span; a doc matches when EITHER clause produces a span, scored by
+    total span count exactly as ES feeds every clause match into
+    scoring. Same per-doc substrate as within/containing: positions
+    and envelopes are map-side array math, zero corpus shuffle,
+    TakeOrdered page."""
+    f = _span_frames(spark, sf_dir)
+    out = f.select("doc_id",
+                   F.size("pl").cast("long").alias("n_little"),
+                   F.size("big").cast("long").alias("n_big"),
+                   (F.size("pl") + F.size("big")).cast("long")
+                   .alias("n_spans"))
+    return (out.where(F.col("n_spans") > 0)
+               .orderBy(F.desc("n_spans"), "doc_id").limit(20))
+
+
+# --------------------------------------------------------- script_score
+
+SCRIPT_SCORE_WEIGHT = 0.1
+
+
+@register("script_score_search", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_dot_product(embedding::DOUBLE[], qvec)
+             / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qvec, qvec)))
+             + {SCRIPT_SCORE_WEIGHT!r} * ln(1 + label), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def script_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `script_score` query, script
+    `cosineSimilarity(params.query_vector, 'embedding') +
+    {SCRIPT_SCORE_WEIGHT} * Math.log(1 + doc['label'].value)` — the
+    ES-native way to blend vector similarity with a document-field
+    boost in ONE formula (the knn-plus-popularity recipe from the ES
+    vector scoring docs). The script is an ordinary projected
+    expression here, so it fuses into the corpus scan's codegen stage:
+    one map-side pass, no shuffle, TakeOrdered page — the same plan a
+    plain knn gets, the boost riding along for free. ln(1+label) on an
+    INTEGER label is libm-identical on both engines; round-6 absorbs
+    the ulp."""
+    from ..operators.knn import corpus_with_query, cosine_score
+    corpus, q = corpus_with_query(spark, sf_dir)
+    score = cosine_score() + F.lit(SCRIPT_SCORE_WEIGHT) \
+        * F.log(F.lit(1.0) + F.col("label"))
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", "label",
+                          F.round(score, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))

@@ -748,3 +748,163 @@ def recommend_sum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(score, 6).alias("score"))
                   .orderBy(F.desc("score"), "vec_id")
                   .limit(10))
+
+
+# ------------------------------------------------------- search_after
+
+SA_CURSOR_DATE = "1999-06-15 00:00:00"
+SA_CURSOR_KEY = 30000
+SA_PAGE = 10
+
+
+@register("search_after_page", oracle=f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{SA_CURSOR_DATE}'
+   OR (o_orderdate = TIMESTAMP '{SA_CURSOR_DATE}'
+       AND o_orderkey > {SA_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {SA_PAGE}
+""")
+def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `search_after` — keyset deep pagination: the client passes
+    the sort-key tuple of the last hit (here (o_orderdate,
+    o_orderkey) — ES requires a unique tiebreaker field exactly like
+    this) and gets the next page. THE at-scale pagination surface:
+    unlike from/size (which scores and discards `from` hits on every
+    shard — the reason ES caps it at 10k) the cursor becomes an
+    ordinary range predicate, so Catalyst pushes it into the parquet
+    scan (PushedFilters on o_orderdate) and row-group stats skip
+    everything before the cursor; cost per page is O(page), not
+    O(offset). ORDER BY + LIMIT compiles to TakeOrdered — no global
+    sort."""
+    orders = tables.load_parallel(spark, sf_dir, "orders", "o_orderkey")
+    cd = F.lit(SA_CURSOR_DATE).cast("timestamp")
+    after = (F.col("o_orderdate") > cd) | (
+        (F.col("o_orderdate") == cd)
+        & (F.col("o_orderkey") > SA_CURSOR_KEY))
+    return (orders.where(after)
+                  .select("o_orderkey", "o_orderdate", "o_orderpriority")
+                  .orderBy("o_orderdate", "o_orderkey")
+                  .limit(SA_PAGE))
+
+
+# ---------------------------------------------------- multi_target_knn
+
+MT_TARGETS = (0, 1)     # the two named-vector query targets
+
+
+@register("multi_target_knn", oracle=f"""
+WITH qa AS (SELECT embedding::DOUBLE[] v FROM embeddings
+            WHERE vec_id = {MT_TARGETS[0]}),
+qb AS (SELECT embedding::DOUBLE[] v FROM embeddings
+       WHERE vec_id = {MT_TARGETS[1]})
+SELECT vec_id, label,
+       round({_CTX_COS.format(q="qa.v")}, 6) AS score_a,
+       round({_CTX_COS.format(q="qb.v")}, 6) AS score_b,
+       round({_CTX_COS.format(q="qa.v")}
+             + {_CTX_COS.format(q="qb.v")}, 6) AS score
+FROM embeddings, qa, qb
+WHERE vec_id NOT IN {MT_TARGETS!r}
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def multi_target_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate multi-target vector search (`near_vector` with
+    `targetVectors: [A, B]`, join strategy `sum` — the default; also
+    Qdrant's multi-named-vector query): ONE search ranked against TWO
+    target vectors at once, per-target scores joined by summing, both
+    reported beside the fused score exactly as Weaviate returns
+    per-target distances. Both targets ride one broadcast row, so the
+    fused score is a single map-side expression over one corpus scan
+    — no second pass per target, no shuffle, TakeOrdered page.
+    Additions are two-term and left-to-right; round-6 absorbs libm
+    ulps."""
+    from ..functions import distance as D
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def target(vid, name):
+        return (emb.where(F.col("vec_id") == vid)
+                   .select(D.vec_double("embedding").alias(name)))
+
+    q = (target(MT_TARGETS[0], "qa")
+         .crossJoin(F.broadcast(target(MT_TARGETS[1], "qb"))))
+    corpus = (emb.where(~F.col("vec_id").isin(*MT_TARGETS))
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec")))
+    cos = D.METRICS["cosine"]
+    sa, sb = cos("vec", "qa"), cos("vec", "qb")
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", "label",
+                          F.round(sa, 6).alias("score_a"),
+                          F.round(sb, 6).alias("score_b"),
+                          F.round(sa + sb, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))
+
+
+# ----------------------------------------------- recommend lookup_from
+
+LOOKUP_LABEL_MIN = 5    # collection B = the label>=5 slice
+
+
+@register("recommend_lookup_from", oracle=f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+           WHERE label >= {LOOKUP_LABEL_MIN}),
+i1 AS (SELECT min(vec_id) AS id FROM b),
+i2 AS (SELECT min(vec_id) AS id FROM b, i1 WHERE vec_id > i1.id),
+va AS (SELECT v FROM b, i1 WHERE vec_id = i1.id),
+vb AS (SELECT v FROM b, i2 WHERE vec_id = i2.id),
+q AS (SELECT list_transform(range(1, len(va.v) + 1),
+                            i -> (va.v[i] + vb.v[i]) / 2) AS qvec
+      FROM va, vb)
+SELECT vec_id, label,
+       round(list_dot_product(embedding::DOUBLE[], qvec)
+             / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+FROM embeddings, q
+WHERE label < {LOOKUP_LABEL_MIN}
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def recommend_lookup_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `recommend` with `lookup_from`: the positive example
+    IDS resolve in ANOTHER collection — here collection B is the
+    label≥{LOOKUP_LABEL_MIN} slice (its two smallest point ids are
+    the positives; deterministic at every sf) and the searched
+    collection A is the disjoint label<{LOOKUP_LABEL_MIN} slice, so
+    the query vector provably comes from outside the searched set.
+    Strategy `average_vector` (Qdrant's default): mean of the
+    looked-up positives, then one cosine knn over A.
+
+    Scale shape: the lookup side reduces to two 1-row frames (min-id
+    scalar aggregates — broadcast, never a corpus join), the mean is
+    a map-side zip_with on one broadcast row, and A pays one scan →
+    score → TakeOrdered pass, the same plan as plain knn."""
+    from ..functions import distance as D
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    b = emb.where(F.col("label") >= LOOKUP_LABEL_MIN) \
+           .select("vec_id", D.vec_double("embedding").alias("v"))
+    i1 = b.agg(F.min("vec_id").alias("id1"))
+    # second-smallest id: min over the remainder, joined without a
+    # correlated subquery (both sides are 1-row broadcasts)
+    i2 = (b.crossJoin(F.broadcast(i1))
+           .where(F.col("vec_id") > F.col("id1"))
+           .agg(F.min("vec_id").alias("id2")))
+    va = (b.join(F.broadcast(i1), b.vec_id == i1.id1)
+           .select(F.col("v").alias("va")))
+    vb = (b.join(F.broadcast(i2), b.vec_id == i2.id2)
+           .select(F.col("v").alias("vb")))
+    q = (va.crossJoin(F.broadcast(vb))
+           .select(F.zip_with("va", "vb",
+                              lambda x, y: (x + y) / 2).alias("qvec"))
+           .withColumn("nq", D.norm("qvec")))
+    corpus = (emb.where(F.col("label") < LOOKUP_LABEL_MIN)
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    score = D.safe_div(D.dot("vec", "qvec"), F.col("nvec") * F.col("nq"))
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", "label",
+                          F.round(score, 6).alias("score"))
+                  .orderBy(F.desc("score"), "vec_id")
+                  .limit(10))
