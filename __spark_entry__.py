@@ -83,6 +83,11 @@ _PRIORITY = [
     "parent_agg", "runtime_field_agg", "span_or_search",
     "script_score_search", "search_after_page", "multi_target_knn",
     "recommend_lookup_from", "ngram_novelty",
+    # (f) r7 wave 3 (this round, past the budget line — queue for
+    # r7): highlight, term suggester, knn similarity cutoff, sliced
+    # scroll, full query_string, term vectors.
+    "highlight_search", "suggest_term", "knn_similarity_cutoff",
+    "sliced_scroll", "query_string_search", "term_vectors",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -96,6 +96,8 @@ HEADLINE = [
     "parent_agg", "runtime_field_agg", "span_or_search",
     "script_score_search", "search_after_page", "multi_target_knn",
     "recommend_lookup_from", "ngram_novelty",
+    "highlight_search", "suggest_term", "knn_similarity_cutoff",
+    "sliced_scroll", "query_string_search", "term_vectors",
 ]
 
 

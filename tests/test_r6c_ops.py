@@ -187,3 +187,96 @@ def test_script_score_monotone_in_label_boost(spark, sf_dir):
     for r in rows:
         cos = r.score - SCRIPT_SCORE_WEIGHT * math.log(1 + r.label)
         assert -1.0 - 1e-4 <= cos <= 1.0 + 1e-4
+
+
+# ----------------------------- r7 wave 3 (search_extras3) checks
+
+
+def test_sliced_scroll_is_disjoint_and_complete(spark, sf_dir):
+    # The census must partition the corpus: slice ids 0..N-1, counts
+    # summing to |documents| (disjointness + completeness — the
+    # property parallel export relies on).
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.search_extras3 import (
+        SCROLL_SLICES, sliced_scroll,
+    )
+
+    rows = sliced_scroll(spark, sf_dir).collect()
+    assert [r.slice_id for r in rows] == list(range(SCROLL_SLICES))
+    total = tables.load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+
+
+def test_suggest_term_finds_the_obvious_corrections(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras3 import (
+        SUGGEST_MAX_EDITS, suggest_term,
+    )
+
+    rows = suggest_term(spark, sf_dir).collect()
+    top = {r.qterm: r.suggestion for r in rows if r.rank == 1}
+    assert top["merg"] == "merge" and top["scann"] == "scan"
+    for r in rows:
+        assert r.suggestion[0] == r.qterm[0]        # prefix_length=1
+        assert 1 <= r.dist <= SUGGEST_MAX_EDITS
+
+
+def test_highlight_wraps_first_occurrence_in_window(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras3 import (
+        HL_TERM, HL_WINDOW, highlight_search,
+    )
+
+    rows = highlight_search(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        toks = r.fragment.split(" ")
+        assert f"<em>{HL_TERM}</em>" in toks
+        assert len(toks) <= 2 * HL_WINDOW + 1
+
+
+def test_knn_cutoff_is_a_filtered_topk(spark, sf_dir):
+    from unified_vector_database_spark.operators.knn import (
+        corpus_with_query, cosine_score, knn,
+    )
+    from unified_vector_database_spark.operators.search_extras3 import (
+        KNN_CUT_K, KNN_CUT_SIM, knn_similarity_cutoff,
+    )
+    import pyspark.sql.functions as F
+
+    got = knn_similarity_cutoff(spark, sf_dir).collect()
+    assert all(r.score >= KNN_CUT_SIM for r in got)
+    corpus, q = corpus_with_query(spark, sf_dir)
+    full = {r.vec_id for r in knn(corpus, q, k=KNN_CUT_K,
+                                  payload=("label",),
+                                  score=cosine_score()).collect()}
+    assert {r.vec_id for r in got} <= full
+
+
+def test_term_vectors_matches_python_recount(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from unified_vector_database_spark.operators.search_extras3 import (
+        TV_DOC_ID, term_vectors,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    text = dict(zip(t["doc_id"], t["text"]))[TV_DOC_ID]
+    toks = [w for w in text.strip().split(" ") if w]
+    tf = Counter(toks)
+    first = {}
+    for i, w in enumerate(toks):
+        first.setdefault(w, i + 1)
+    for r in term_vectors(spark, sf_dir).collect():
+        assert r.term_freq == tf[r.term]
+        assert r.first_pos == first[r.term]
+
+
+def test_query_string_field_clause_reaches_the_scan(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras3 import (
+        query_string_search,
+    )
+
+    df = query_string_search(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "lang" in pushed

@@ -716,6 +716,12 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the 25 LEAST novel docs (the removal candidates)."""
     from ..functions.text import ngram_array
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    # both consumers (min-owner agg, ownership join) re-derive the
+    # gram table; recomputing the map-side explode is CHEAPER than
+    # materializing it — the 64x probe measured the checkpointed form
+    # at 109 s (19M gram rows through block storage) vs 20 s for the
+    # double explode, which stays pipelined inside each consumer's
+    # scan stage
     grams = docs.select(
         "doc_id",
         F.explode(ngram_array(F.col("text"), _SHINGLE_N)).alias("g"))

@@ -61,6 +61,7 @@ def load_all() -> None:
         esagg4, esagg5, evaluation, geo, hybrid, index, inference, inverted,
         jpeg, knn, lifecycle, lm, matrix, multimodal, percolate,
         quality, rerank, sampling, search_extras, search_extras2,
+        search_extras3,
         search_more, simhash, simjoin, sketches, spans, sparse, stats,
         stats_more, suggest, textops, timeseries, tpch_extra,
         tpch_more,
