@@ -88,6 +88,9 @@ _PRIORITY = [
     # scroll, full query_string, term vectors.
     "highlight_search", "suggest_term", "knn_similarity_cutoff",
     "sliced_scroll", "query_string_search", "term_vectors",
+    # (g) r7 wave 4: the W12 streaming quality gate and the ES
+    # sampler∘significant_text composition.
+    "stream_quality_gate", "sampled_significant_terms",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

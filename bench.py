@@ -98,6 +98,7 @@ HEADLINE = [
     "recommend_lookup_from", "ngram_novelty",
     "highlight_search", "suggest_term", "knn_similarity_cutoff",
     "sliced_scroll", "query_string_search", "term_vectors",
+    "stream_quality_gate", "sampled_significant_terms",
 ]
 
 

@@ -280,3 +280,42 @@ def test_query_string_field_clause_reaches_the_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     assert "lang" in pushed
+
+
+# ----------------------------- r7 wave 4 checks
+
+
+def test_stream_quality_gate_equals_batch_census(spark, sf_dir):
+    # The streaming fixpoint must reproduce the batch Gopher census
+    # exactly (same imported rule expressions, order-free state).
+    from unified_vector_database_spark.operators.quality import (
+        gopher_quality_rules,
+    )
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_quality_gate,
+    )
+
+    batch = {(r.lang, r.keep): (r.n_docs, r.total_words)
+             for r in gopher_quality_rules(spark, sf_dir).collect()}
+    stream = {(r.lang, r.keep): (r.n_docs, r.total_words)
+              for r in stream_quality_gate(spark, sf_dir).collect()}
+    assert stream == batch and batch
+
+
+def test_sampled_significant_terms_fg_is_sample_bounded(spark, sf_dir):
+    # Foreground doc counts can never exceed the sampled foreground
+    # size, and every term's fg_docs <= bg_docs (fg ⊆ corpus).
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.sampling import (
+        SAMPLER_SHARD_SIZE, SST_LANG, sampled_significant_terms,
+    )
+
+    rows = sampled_significant_terms(spark, sf_dir).collect()
+    assert rows
+    n_shards = tables.load(spark, sf_dir, "documents") \
+        .select("source").distinct().count()
+    cap = n_shards * SAMPLER_SHARD_SIZE
+    for r in rows:
+        assert 0 < r.fg_docs <= cap
+        assert r.fg_docs <= r.bg_docs
+        assert r.jlh_score == r.jlh_score  # not NaN

@@ -63,7 +63,7 @@ def dominance_count(toks: F.Column) -> F.Column:
         lambda acc: acc.getField("best"))
 
 
-@register("gopher_quality_rules", oracle=f"""
+GOPHER_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, {_TOK} AS toks,
          length(text) - length(replace(text, '#', ''))
@@ -101,15 +101,28 @@ f AS (
 SELECT lang, keep, count(*) AS n_docs,
        CAST(sum(CAST(n_words AS BIGINT)) AS BIGINT) AS total_words
 FROM f GROUP BY 1, 2 ORDER BY 1, 2
-""")
+"""
+
+
+@register("gopher_quality_rules", oracle=GOPHER_ORACLE)
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule gate census: per (lang, keep) — how many documents
     pass all five rules and how many words they carry. Every rule is
     map-side array math; the token-dominance rule is the sorted-run
     fold (dominance_count above — no explode). The
     production form returns the per-doc keep column; the census shape
-    is the driver-checkable rollup of exactly that column."""
+    is the driver-checkable rollup of exactly that column. The body
+    lives in gopher_census so the W12 streaming twin
+    (streaming/ingest.py) runs the IDENTICAL rule expressions over
+    the ingest stream."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    return gopher_census(docs)
+
+
+def gopher_census(docs: DataFrame) -> DataFrame:
+    """(lang, keep) census of the five Gopher rules over any docs
+    frame — batch or streaming (map-side rules + one groupBy; no
+    windows, so the plan is streamable in complete mode)."""
     toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
     n_sym = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
              + F.length("text")

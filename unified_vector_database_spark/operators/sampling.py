@@ -280,3 +280,87 @@ def random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .cast("double") / RS_PROB, 6)
                    .alias("est_total_value"))
              .orderBy("event_type"))
+
+
+# ------------------------------- sampler ∘ significant_terms composition
+
+SST_LANG = "en"
+SST_TOP = 10
+_SST_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+
+@register("sampled_significant_terms", oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT, doc_id) AS rn
+  FROM documents),
+samp AS (SELECT doc_id, lang, text FROM d WHERE rn <= {SAMPLER_SHARD_SIZE}),
+fgt AS (
+  SELECT DISTINCT doc_id, unnest({_SST_TOK}) AS token
+  FROM samp WHERE lang = '{SST_LANG}'),
+bgt AS (
+  SELECT DISTINCT doc_id, unnest({_SST_TOK}) AS token FROM documents),
+tot AS (
+  SELECT (SELECT count(*) FROM samp WHERE lang = '{SST_LANG}') AS nfg,
+         (SELECT count(DISTINCT doc_id) FROM documents) AS nall),
+fc AS (SELECT token, count(*) AS fg_docs FROM fgt GROUP BY token),
+bc AS (SELECT token, count(*) AS bg_docs FROM bgt GROUP BY token)
+SELECT fc.token, CAST(fg_docs AS BIGINT) AS fg_docs,
+       CAST(bg_docs AS BIGINT) AS bg_docs,
+       round((fg_docs * 1.0 / nfg - bg_docs * 1.0 / nall)
+             * (fg_docs * 1.0 / nfg) / (bg_docs * 1.0 / nall), 6)
+         AS jlh_score
+FROM fc JOIN bc ON fc.token = bc.token CROSS JOIN tot
+ORDER BY jlh_score DESC, fc.token LIMIT {SST_TOP}
+""")
+def sampled_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES's documented cost-control composition: a `sampler` agg
+    WRAPPING `significant_text` (the ES significant-text docs
+    recommend exactly this pairing) — foreground statistics come from
+    the per-shard sample (shard_size first-by-md5 docs, the
+    sampler_agg draw) restricted to the query match (lang=
+    '{SST_LANG}'), while the BACKGROUND stays the full index term
+    dictionary, exactly ES's semantics (sampler scopes the sub-agg's
+    foreground; background_filter defaults to the whole index).
+
+    Scale shape: the expensive side flips — the foreground tokenize
+    runs over O(shards·shard_size) sampled docs instead of every
+    match (WindowGroupLimit prunes each shard before the draw
+    shuffle), and the background doc-frequency is the one
+    full-corpus pass an index would serve from its term dictionary;
+    the tiny foreground vocabulary then prunes the join. JLH scored,
+    exact integer doc counts, one end division per term."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_int32
+    from ..functions.text import tokens
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    w = (W.partitionBy("source")
+          .orderBy(md5_int32(F.col("doc_id").cast("string")), "doc_id"))
+    samp = (docs.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= SAMPLER_SHARD_SIZE))
+    fg = samp.where(F.col("lang") == SST_LANG)
+    fgt = fg.select("doc_id", F.explode(tokens("text")).alias("token")) \
+            .distinct()
+    fc = fgt.groupBy("token").agg(F.count("*").alias("fg_docs"))
+    bgt = docs.select("doc_id", F.explode(tokens("text")).alias("token")) \
+              .distinct()
+    bc = bgt.groupBy("token").agg(F.count("*").alias("bg_docs"))
+    tot = (fg.agg(F.count("*").alias("nfg"))
+             .crossJoin(F.broadcast(
+                 docs.agg(F.countDistinct("doc_id").alias("nall")))))
+    fgp = F.col("fg_docs") / F.col("nfg")
+    bgp = F.col("bg_docs") / F.col("nall")
+    # fc is sample-bounded — broadcast it into the vocabulary join so
+    # the full-corpus side never shuffles on token
+    return (bc.join(F.broadcast(fc), "token")
+              .crossJoin(F.broadcast(tot))
+              .select("token",
+                      F.col("fg_docs").cast("long").alias("fg_docs"),
+                      F.col("bg_docs").cast("long").alias("bg_docs"),
+                      F.round((fgp - bgp) * fgp / bgp, 6)
+                       .alias("jlh_score"))
+              .orderBy(F.desc("jlh_score"), "token").limit(SST_TOP))

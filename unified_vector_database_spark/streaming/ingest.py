@@ -523,3 +523,27 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long").alias("exact"),
                        F.col("cms_est").cast("long").alias("cms_est"))
                .orderBy("term"))
+
+
+def _gopher_oracle() -> str:
+    from ..operators.quality import GOPHER_ORACLE
+    return GOPHER_ORACLE
+
+
+@register("stream_quality_gate", oracle=_gopher_oracle)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: streaming quality gate — the Gopher rule census
+    (X-family `gopher_quality_rules`) maintained over the document
+    ingest stream; the production shape of a quality filter is
+    exactly this (gate each ARRIVING doc, keep running admit
+    counters), not a batch sweep. The five rules are map-side
+    expressions IMPORTED from the batch operator (gopher_census), so
+    the twins cannot drift; streaming state is the (lang, keep)
+    census — counts and integer word sums, which ADD, so the
+    complete-mode fixpoint across the 4-file replay is merge-order-
+    free and hash-checks against the batch oracle."""
+    from ..operators.quality import gopher_census
+    stream = _replay_docs(spark, sf_dir, "qualgate") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = _run_to_memory(gopher_census(stream), "complete")
+    return out.orderBy("lang", "keep")
