@@ -91,6 +91,9 @@ _PRIORITY = [
     # (g) r7 wave 4: the W12 streaming quality gate and the ES
     # sampler∘significant_text composition.
     "stream_quality_gate", "sampled_significant_terms",
+    # (h) r7 wave 5: fixed-k weighted sampling (E-S), token-budget
+    # corpus trim.
+    "weighted_sample_k", "token_budget_trim",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -99,6 +99,7 @@ HEADLINE = [
     "highlight_search", "suggest_term", "knn_similarity_cutoff",
     "sliced_scroll", "query_string_search", "term_vectors",
     "stream_quality_gate", "sampled_significant_terms",
+    "weighted_sample_k", "token_budget_trim",
 ]
 
 

@@ -319,3 +319,63 @@ def test_sampled_significant_terms_fg_is_sample_bounded(spark, sf_dir):
         assert 0 < r.fg_docs <= cap
         assert r.fg_docs <= r.bg_docs
         assert r.jlh_score == r.jlh_score  # not NaN
+
+
+# ----------------------------- r7 wave 5 checks
+
+
+def test_weighted_sample_k_matches_python_es_model(spark, sf_dir):
+    # Independent Efraimidis-Spirakis re-derivation: same md5 coin,
+    # same weights, same key formula — the top-k sets must agree.
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from unified_vector_database_spark.operators.sampling import (
+        WSK_K, weighted_sample_k,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    keys = {}
+    for doc_id, text in zip(t["doc_id"], t["text"]):
+        toks = [w for w in text.strip().split(" ") if w]
+        if not toks:
+            continue
+        n = len(toks)
+        stop = sum(1 for w in toks if w in ("the", "a")) / n
+        avg = sum(len(w) for w in toks) / n
+        quality = (0.4 * min(n / 100.0, 1.0) + 0.3 * (1.0 - stop)
+                   + 0.3 * min(avg / 8.0, 1.0))
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15],
+                16) / float(1 << 60)
+        keys[doc_id] = round(u ** (1.0 / max(quality, 1e-6)), 6)
+    want = [d for _, d in
+            sorted(((k, d) for d, k in keys.items()),
+                   key=lambda p: (-p[0], p[1]))][:WSK_K]
+    got = [r.doc_id for r in weighted_sample_k(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_token_budget_trim_respects_the_budget(spark, sf_dir):
+    # full-tier tokens <= budget; full + boundary-bucket tokens
+    # could exceed it only by the fractional-admission variance, and
+    # full+partial+dropped must census the whole corpus.
+    import pyspark.sql.functions as F
+
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.cleanup import (
+        TBT_BUDGET_FRAC, token_budget_trim,
+    )
+    from unified_vector_database_spark.functions.text import tokens
+
+    rows = {r.tier: r for r in token_budget_trim(spark, sf_dir).collect()}
+    assert set(rows) <= {"a_full", "b_partial", "c_dropped"}
+    docs = tables.load(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(tokens("text"))).alias("t")) \
+                .collect()[0].t
+    budget = total // TBT_BUDGET_FRAC
+    kept_full = rows["a_full"].n_tokens if "a_full" in rows else 0
+    assert kept_full <= budget
+    assert sum(r.n_tokens for r in rows.values()) == total
+    assert sum(r.n_docs for r in rows.values()) == docs.where(
+        F.size(tokens("text")) > 0).count()

@@ -434,3 +434,113 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (F.col("n") * pad_to), 6)
                       .alias("pad_waste"))
              .orderBy("bucket_cap"))
+
+
+# ------------------------------------------------------ token budget trim
+
+TBT_BUDGET_FRAC = 4   # keep ~ total_tokens / 4 (exact integer division)
+
+
+@register("token_budget_trim", oracle=f"""
+WITH d AS (
+  SELECT doc_id, len({_TOK}) AS nt,
+         CAST(floor((0.4 * least(len({_TOK}) / 100.0, 1.0)
+           + 0.3 * (1.0 - len(list_filter({_TOK}, t -> t IN ('the', 'a')))
+                          / len({_TOK}))
+           + 0.3 * least((list_sum(list_transform({_TOK}, t -> length(t)))
+                          / len({_TOK})) / 8.0, 1.0)) * 100) AS INT) AS b
+  FROM documents WHERE len({_TOK}) > 0),
+pb AS (SELECT b, sum(nt) AS tk FROM d GROUP BY b),
+tot AS (SELECT CAST(sum(tk) AS BIGINT) // {TBT_BUDGET_FRAC} AS budget
+        FROM pb),
+cb AS (
+  SELECT b, tk,
+         coalesce(sum(tk) OVER (ORDER BY b DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM pb),
+th AS (
+  SELECT b AS t, tk AS tt, budget - cum_before AS rem
+  FROM cb, tot WHERE cum_before + tk > budget
+  ORDER BY b DESC LIMIT 1),
+tiers AS (
+  SELECT d.doc_id, d.nt,
+         CASE WHEN d.b > th.t THEN 'a_full'
+              WHEN d.b = th.t
+                   AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT / 1152921504606846976.0
+                       < th.rem * 1.0 / th.tt
+              THEN 'b_partial' ELSE 'c_dropped' END AS tier
+  FROM d, th)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM tiers GROUP BY tier ORDER BY tier
+""")
+def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus trim — "fit the best quality-weighted
+    corpus into B training tokens" (B = total/{TBT_BUDGET_FRAC}
+    here): keep quality buckets from the top until the budget line,
+    admit the boundary bucket FRACTIONALLY with the deterministic
+    md5 coin at rate remaining/bucket_tokens, drop the rest. The
+    standard alternative to a hard quality cutoff when the budget,
+    not the threshold, is the constraint.
+
+    Scale shape — the reason this is NOT a global quality sort: docs
+    map to ~100 quality buckets map-side; the only corpus shuffle is
+    the bucket rollup (101 partial-agg rows). The running total,
+    threshold bucket and boundary fraction come from ONE collected
+    bucket array folded on a 1-row frame (the stats_more
+    bucket-array-fold shape — no unpartitioned window anywhere),
+    broadcast back over the doc frame for the map-side tier verdict.
+    Budget uses exact integer division and integer token sums, so
+    the threshold is engine-identical; only the admit-rate compare
+    is floating (long/double division, IEEE-exact both sides)."""
+    from .sampling import hash_frac
+    from .textops import quality_score_t
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    q = quality_score_t(docs).where(F.col("n_tokens") > 0)
+    d = q.select("doc_id", F.col("n_tokens").alias("nt"),
+                 F.floor(F.col("quality") * 100).cast("int").alias("b"))
+    pb = d.groupBy("b").agg(F.sum("nt").cast("long").alias("tk"))
+    # buckets collapse to ONE row: desc-sorted array, exact-integer
+    # fold finds (threshold bucket, its size, remaining budget)
+    one = pb.agg(
+        F.reverse(F.array_sort(F.collect_list(F.struct("b", "tk"))))
+         .alias("arr"),
+        F.expr(f"CAST(sum(tk) AS BIGINT) div {TBT_BUDGET_FRAC}")
+         .alias("budget"))  # integer div: exact past 2^53, like //
+    acc0 = F.struct(F.lit(0).cast("long").alias("cum"),
+                    F.lit(-1).cast("int").alias("t"),
+                    F.lit(0).cast("long").alias("tt"),
+                    F.lit(0).cast("long").alias("rem"))
+
+    def step(acc, e):
+        found = acc.getField("t") >= 0
+        fits = acc.getField("cum") + e.getField("tk") <= F.col("budget")
+        return (F.when(found, acc)
+                 .when(fits, F.struct(
+                     (acc.getField("cum") + e.getField("tk")).alias("cum"),
+                     acc.getField("t").alias("t"),
+                     acc.getField("tt").alias("tt"),
+                     acc.getField("rem").alias("rem")))
+                 .otherwise(F.struct(
+                     acc.getField("cum").alias("cum"),
+                     e.getField("b").alias("t"),
+                     e.getField("tk").alias("tt"),
+                     (F.col("budget") - acc.getField("cum"))
+                     .alias("rem"))))
+
+    th = one.select(F.aggregate("arr", acc0, step).alias("a")) \
+            .select(F.col("a.t").alias("t"), F.col("a.tt").alias("tt"),
+                    F.col("a.rem").alias("rem"))
+    tier = (F.when(F.col("b") > F.col("t"), "a_full")
+             .when((F.col("b") == F.col("t"))
+                   & (hash_frac("doc_id")
+                      < F.col("rem") * 1.0 / F.col("tt")), "b_partial")
+             .otherwise("c_dropped"))
+    return (d.crossJoin(F.broadcast(th))
+             .select(tier.alias("tier"), "nt")
+             .groupBy("tier")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("nt").cast("long").alias("n_tokens"))
+             .orderBy("tier"))

@@ -364,3 +364,44 @@ def sampled_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round((fgp - bgp) * fgp / bgp, 6)
                        .alias("jlh_score"))
               .orderBy(F.desc("jlh_score"), "token").limit(SST_TOP))
+
+
+# ------------------------- weighted sampling without replacement (E-S)
+
+WSK_K = 20
+
+
+@register("weighted_sample_k", oracle=f"""
+WITH q AS ({_QUALITY_SQL}),
+keyed AS (
+  SELECT doc_id,
+         round(quality, 6) AS weight,
+         round(pow({_hash_frac_sql('doc_id')},
+                   1.0 / greatest(quality, 1e-6)), 6) AS key
+  FROM q)
+SELECT doc_id, weight, key FROM keyed
+ORDER BY key DESC, doc_id LIMIT {WSK_K}
+""")
+def weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): key = u^(1/w) with u the
+    deterministic md5 coin and w the document quality score; the
+    top-k keys ARE a weighted sample without replacement — the
+    exact primitive for drawing a quality-weighted eval or seed set
+    of a FIXED size, where quality_weighted_sample's Bernoulli
+    admission only controls the expectation.
+
+    Scale shape: key is map-side scan arithmetic; top-k is
+    TakeOrdered (per-partition heads + a k-row driver merge, no
+    global sort) — E-S's whole point is that a distributed top-k is
+    the entire algorithm. The pow lands only in the ROUNDED output
+    and ORDER BY uses the rounded key (tie-break doc_id), the T53
+    discipline, so libm ulps cannot reorder engines."""
+    from .textops import quality_score_t
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    q = quality_score_t(docs).select("doc_id", "quality")
+    key = F.round(F.pow(hash_frac("doc_id"),
+                        1.0 / F.greatest(F.col("quality"), F.lit(1e-6))), 6)
+    return (q.select("doc_id", F.round("quality", 6).alias("weight"),
+                     key.alias("key"))
+             .orderBy(F.desc("key"), "doc_id").limit(WSK_K))
