@@ -94,6 +94,10 @@ _PRIORITY = [
     # (h) r7 wave 5: fixed-k weighted sampling (E-S), token-budget
     # corpus trim.
     "weighted_sample_k", "token_budget_trim",
+    # (i) r7 wave 6: Holt-Winters k-step forecast, Matryoshka
+    # truncation recall curve (both re-register changed shared code:
+    # the R87 fold refactor).
+    "holt_winters_forecast", "matryoshka_recall_curve",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -100,6 +100,7 @@ HEADLINE = [
     "sliced_scroll", "query_string_search", "term_vectors",
     "stream_quality_gate", "sampled_significant_terms",
     "weighted_sample_k", "token_budget_trim",
+    "holt_winters_forecast", "matryoshka_recall_curve",
 ]
 
 

@@ -379,3 +379,43 @@ def test_token_budget_trim_respects_the_budget(spark, sf_dir):
     assert sum(r.n_tokens for r in rows.values()) == total
     assert sum(r.n_docs for r in rows.values()) == docs.where(
         F.size(tokens("text")) > 0).count()
+
+
+# ----------------------------- r7 wave 6 checks
+
+
+def test_hw_forecast_continues_the_fitted_state(spark, sf_dir):
+    # f_h = level_n + h*trend_n + seasonal[h] recomputed from the
+    # smoothing view's own last rows — the forecast must be the
+    # arithmetic continuation of the published fit.
+    from unified_vector_database_spark.operators.stats_more import (
+        HW_PERIOD, holt_winters_forecast, holt_winters_smoothing,
+    )
+
+    fit = holt_winters_smoothing(spark, sf_dir).collect()
+    assert len(fit) >= HW_PERIOD
+    last = fit[-1]
+    season = [r.seasonal for r in fit[-HW_PERIOD:]]
+    got = holt_winters_forecast(spark, sf_dir).collect()
+    assert [r.h for r in got] == list(range(1, HW_PERIOD + 1))
+    for r in got:
+        want = last.level + r.h * last.trend + season[r.h - 1]
+        # both sides round-6 independently; fit columns are rounded so
+        # the recomposition tolerance is a few 1e-6 ulps
+        assert abs(r.forecast - want) < 5e-6, (r.h, r.forecast, want)
+
+
+def test_matryoshka_curve_is_monotone_and_tops_out(spark, sf_dir):
+    # recall must reach 1.0 at the full dimension (the "truncation"
+    # IS the exact ranking there) and every recall is a valid k-frac.
+    from unified_vector_database_spark.operators.evaluation import (
+        MRL_DIMS, MRL_K, matryoshka_recall_curve,
+    )
+
+    rows = matryoshka_recall_curve(spark, sf_dir).collect()
+    assert [r.dim for r in rows] == list(MRL_DIMS)
+    by_dim = {r.dim: r for r in rows}
+    assert by_dim[MRL_DIMS[-1]].hits == MRL_K
+    for r in rows:
+        assert 0 <= r.hits <= MRL_K
+        assert r.recall == pytest.approx(r.hits / MRL_K, abs=1e-9)

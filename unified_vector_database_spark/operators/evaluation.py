@@ -215,3 +215,85 @@ def nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_candidates").cast("long")
                         .alias("n_candidates"))
                .orderBy("nprobe"))
+
+
+# ----------------------------------------- matryoshka recall curve
+
+MRL_DIMS = (8, 16, 32, 64)
+MRL_K = 10
+
+
+def _mrl_cos_sql(d: int) -> str:
+    v = f"(embedding::DOUBLE[])[1:{d}]"
+    q = f"qvec[1:{d}]"
+    return (f"list_dot_product({v}, {q})"
+            f" / (sqrt(list_dot_product({v}, {v}))"
+            f" * sqrt(list_dot_product({q}, {q})))")
+
+
+@register("matryoshka_recall_curve", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         {", ".join(f"{_mrl_cos_sql(d)} AS s{d}" for d in MRL_DIMS)}
+  FROM embeddings, q),
+exact AS (SELECT vec_id FROM s ORDER BY s{MRL_DIMS[-1]} DESC, vec_id
+          LIMIT {MRL_K}),
+cuts AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS dim, vec_id FROM "
+      f"(SELECT vec_id FROM s ORDER BY s{d} DESC, vec_id"
+      f" LIMIT {MRL_K})" for d in MRL_DIMS)})
+SELECT cuts.dim,
+       CAST(count(exact.vec_id) AS BIGINT) AS hits,
+       round(count(exact.vec_id) * 1.0 / {MRL_K}, 6) AS recall
+FROM cuts LEFT JOIN exact USING (vec_id)
+GROUP BY cuts.dim ORDER BY cuts.dim
+""")
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation tuning curve — recall@{MRL_K} of
+    each truncated-dimension search vs the full-dimension exact
+    top-{MRL_K} (I13's shape for the OTHER approximation axis:
+    nprobe tunes how many IVF cells to probe, this tunes how many
+    leading dimensions to keep). The number every MRL deployment
+    needs before picking its coarse dim (matryoshka_knn's 16 is
+    readable straight off the curve).
+
+    Scale shape: ONE corpus pass computes every truncation's cosine
+    as sliced map-side expressions (with a dimension-sliced column
+    layout each slice prunes bytes at the scan); the scored frame is
+    scalar-projected and checkpointed (the I13 pattern) so the
+    {len(MRL_DIMS)} per-dim cuts and the exact baseline re-read
+    {MRL_K}-row TakeOrdered results, not the corpus; recall joins
+    are broadcast-tiny."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+
+    def cos(d):
+        v, qv = F.slice("vec", 1, d), F.slice("qvec", 1, d)
+        return D.safe_div(D.dot(v, qv), D.norm(v) * D.norm(qv))
+
+    scored = (emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .crossJoin(F.broadcast(q))
+                 .select("vec_id",
+                         *[cos(d).alias(f"s{d}") for d in MRL_DIMS])
+                 .localCheckpoint(eager=False))
+    exact = (scored.orderBy(F.desc(f"s{MRL_DIMS[-1]}"), "vec_id")
+                   .limit(MRL_K).select("vec_id"))
+    cuts = None
+    for d in MRL_DIMS:
+        c = (scored.orderBy(F.desc(f"s{d}"), "vec_id").limit(MRL_K)
+                   .select(F.lit(d).alias("dim"), "vec_id"))
+        cuts = c if cuts is None else cuts.unionAll(c)
+    hit = F.when(F.col("e").isNotNull(), 1).otherwise(0)
+    return (cuts.join(F.broadcast(exact.select(
+                          F.col("vec_id").alias("vec_id"),
+                          F.lit(1).alias("e"))),
+                      "vec_id", "left")
+                .groupBy("dim")
+                .agg(F.sum(hit).cast("long").alias("hits"),
+                     F.round(F.sum(hit) / F.lit(MRL_K), 6)
+                      .alias("recall"))
+                .orderBy("dim"))

@@ -917,6 +917,21 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate the same ordered FP chain, so level/trend/seasonal are
     bit-identical before display rounding. Output starts at day L+1.
     Needs ≥ 2L buckets; shorter series yield zero rows."""
+    folded = _hw_folded(spark, sf_dir)
+    out = folded.select(F.explode(F.expr("slice(o, 2, size(o) - 1)"))
+                        .alias("s"))
+    return (out.select("s.day", "s.total",
+                       F.round(F.col("s.s"), 6).alias("level"),
+                       F.round(F.col("s.b"), 6).alias("trend"),
+                       F.round(F.col("s.c"), 6).alias("seasonal"))
+               .orderBy("day"))
+
+
+def _hw_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The holt-winters fold as a 1-row frame holding the full state
+    trajectory array `o` (day, total, s, b, c, ch per step) — shared
+    by the smoothing view and the k-step forecast so both read the
+    IDENTICAL FP chain."""
     ev = tables.load(spark, sf_dir, "events")
     d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
            .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("t")))
@@ -959,16 +974,76 @@ def holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'s', m1, 'b', b0, 'c', cast(null as double), "
         f"'ch', transform(slice(a, 1, {L}), "
         f"               x -> cast(x.t as double) - m1)))")
-    folded = with_seed.select(F.aggregate(
+    return with_seed.select(F.aggregate(
         F.expr(f"slice(a, {L + 1}, size(a) - {L})"), seed, step)
         .alias("o"))
-    out = folded.select(F.explode(F.expr("slice(o, 2, size(o) - 1)"))
-                        .alias("s"))
-    return (out.select("s.day", "s.total",
-                       F.round(F.col("s.s"), 6).alias("level"),
-                       F.round(F.col("s.b"), 6).alias("trend"),
-                       F.round(F.col("s.c"), 6).alias("seasonal"))
-               .orderBy("day"))
+
+
+@register("holt_winters_forecast", oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS t
+  FROM events GROUP BY 1),
+arr AS (SELECT list(struct_pack(day := day, t := t) ORDER BY day) AS a,
+               count(*) AS n
+        FROM d),
+seed AS (
+  SELECT
+    CAST(list_sum(list_transform(a[1:{HW_PERIOD}], e -> e.t))
+         AS DOUBLE) / {HW_PERIOD} AS m1,
+    (CAST(list_sum(list_transform(a[{HW_PERIOD + 1}:{2 * HW_PERIOD}],
+                                  e -> e.t)) AS DOUBLE) / {HW_PERIOD}
+     - CAST(list_sum(list_transform(a[1:{HW_PERIOD}], e -> e.t))
+            AS DOUBLE) / {HW_PERIOD}) / {HW_PERIOD} AS b0
+  FROM arr),
+r AS (
+  SELECT {HW_PERIOD} AS i, m1 AS s, b0 AS b,
+         list_transform(a[1:{HW_PERIOD}],
+                        e -> CAST(e.t AS DOUBLE) - m1) AS ch,
+         CAST(NULL AS DOUBLE) AS c
+  FROM arr, seed WHERE n >= {2 * HW_PERIOD}
+  UNION ALL
+  SELECT i + 1,
+         {_hw_snew_sql()},
+         {HW_BETA!r} * (({_hw_snew_sql()}) - s) + {1 - HW_BETA!r} * b,
+         list_append(ch[2:],
+             {HW_GAMMA!r} * (CAST(a[i + 1].t AS DOUBLE)
+                             - ({_hw_snew_sql()}))
+             + {1 - HW_GAMMA!r} * ch[1]),
+         {HW_GAMMA!r} * (CAST(a[i + 1].t AS DOUBLE)
+                         - ({_hw_snew_sql()}))
+           + {1 - HW_GAMMA!r} * ch[1]
+  FROM r, arr WHERE i < n),
+last AS (SELECT r.s, r.b, r.ch, a[n].day AS last_day
+         FROM r, arr WHERE i = n),
+steps AS (SELECT unnest(range(1, {HW_PERIOD + 1})) AS h)
+SELECT CAST(h AS INT) AS h,
+       CAST(last_day + h * INTERVAL 1 DAY AS DATE) AS day,
+       round(s + h * b + ch[h], 6) AS forecast
+FROM last, steps ORDER BY h
+""")
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters k-step-ahead FORECAST (the projection R87's
+    smoothing stops short of — the number a capacity planner actually
+    wants): from the final fitted state, f_h = level + h·trend +
+    seasonal[h] for h = 1..{HW_PERIOD}, where seasonal[h] is the
+    matching slot of the last seasonal cycle (ch[h] = c_{{n+h−L}}).
+    Both engines read the LAST element of the identical fold
+    trajectory (the proven-bit-identical R87 chain), so the
+    projection arithmetic — fresh, same order — is bit-identical
+    before the display round. Output is {HW_PERIOD} rows at any
+    corpus size; the plan cost is R87's one fold."""
+    folded = _hw_folded(spark, sf_dir)
+    last = folded.select(F.element_at("o", -1).alias("e"))
+    hs = F.sequence(F.lit(1), F.lit(HW_PERIOD))
+    ex = last.select(F.explode(hs).alias("h"), "e")
+    return (ex.select(
+                F.col("h").cast("int").alias("h"),
+                F.date_add(F.col("e.day"), F.col("h")).alias("day"),
+                F.round(F.col("e.s") + F.col("h") * F.col("e.b")
+                        + F.element_at(F.col("e.ch"), F.col("h")), 6)
+                 .alias("forecast"))
+              .orderBy("h"))
 
 
 # ---------------------------------------------------- weighted median
