@@ -98,6 +98,15 @@ _PRIORITY = [
     # truncation recall curve (both re-register changed shared code:
     # the R87 fold refactor).
     "holt_winters_forecast", "matryoshka_recall_curve",
+    # (j) r8 wave (past the budget line — queue for r7): the
+    # remaining ES query-language pieces (match_bool_prefix,
+    # cross_fields, constant_score, span_multi, fuzzy completion),
+    # the exists/is_empty/is_null payload trio, the Milvus ARRAY
+    # filter family, and the hex geo grid.
+    "match_bool_prefix_search", "multi_match_cross_fields",
+    "constant_score_search", "span_multi_search",
+    "suggest_completion_fuzzy", "exists_payload_filter",
+    "array_contains_filter", "geohex_grid_agg",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

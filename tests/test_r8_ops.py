@@ -1,0 +1,225 @@
+"""Round-6 r8-wave checks: independent Python re-derivations and
+plan/semantics tests for the new query-surface ops
+(match_bool_prefix, cross_fields, constant_score, span_multi, fuzzy
+completion, exists/is_empty, array_contains family, geohex grid) —
+the defect class the hash oracle cannot see when both engines share
+a bug.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _docs(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    return [(r.doc_id, r.text.strip().split(), r.lang, r.source)
+            for r in tables.load(spark, sf_dir, "documents").collect()]
+
+
+def test_match_bool_prefix_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        MBP_PREFIX, MBP_TERM, MBP_TOP, match_bool_prefix_search,
+    )
+
+    model = []
+    for doc_id, toks, _, _ in _docs(spark, sf_dir):
+        tf_t = sum(1 for t in toks if t == MBP_TERM)
+        tf_p = sum(1 for t in toks if t.startswith(MBP_PREFIX))
+        if tf_t + tf_p > 0:
+            model.append((-(tf_t + tf_p), doc_id, tf_t, tf_p))
+    model.sort()
+    want = [(d, t, p, -s) for s, d, t, p in model[:MBP_TOP]]
+    got = [(r.doc_id, r.tf_term, r.tf_prefix, r.score)
+           for r in match_bool_prefix_search(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_match_bool_prefix_plan_is_shuffle_free(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        match_bool_prefix_search,
+    )
+
+    plan = match_bool_prefix_search(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # map-side score + TakeOrdered: no aggregation/join exchange
+    assert "Exchange" not in plan
+
+
+def test_cross_fields_keyword_term_scores_via_source_field(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        XF_KEY_BOOST, XF_KEY_TERM, multi_match_cross_fields,
+    )
+
+    rows = multi_match_cross_fields(spark, sf_dir).collect()
+    assert rows
+    # AND semantics: both terms matched somewhere on every hit
+    assert all(r.s_t1 > 0 and r.s_t2 > 0 for r in rows)
+    # 'src3' never appears in text, so its clause can ONLY be the
+    # keyword-field boost — the cross_fields point
+    assert all(r.s_t2 == XF_KEY_BOOST for r in rows)
+    srcs = {r.doc_id for r in rows}
+    by_id = {d: s for d, _, _, s in _docs(spark, sf_dir)}
+    assert all(by_id[d] == XF_KEY_TERM for d in srcs)
+
+
+def test_constant_score_ignores_tf(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        CS_CLAUSES, CS_FILTER_LANG, constant_score_search,
+    )
+
+    rows = constant_score_search(spark, sf_dir).collect()
+    assert rows
+    allowed = {round(b1 + b2, 9)
+               for b1 in [0.0, CS_CLAUSES[0][1]]
+               for b2 in [0.0, CS_CLAUSES[1][1]]} - {0.0}
+    assert all(round(r.score, 9) in allowed for r in rows)
+    # a doc with tf>1 for a clause term still scores exactly the boost
+    by_id = {d: (toks, lang) for d, toks, lang, _ in _docs(spark, sf_dir)}
+    multi = [r for r in rows
+             if by_id[r.doc_id][0].count(CS_CLAUSES[0][0]) > 1
+             and CS_CLAUSES[1][0] not in by_id[r.doc_id][0]]
+    assert all(r.score == CS_CLAUSES[0][1] for r in multi)
+    assert all(by_id[r.doc_id][1] == CS_FILTER_LANG for r in rows)
+
+
+def test_constant_score_filter_reaches_the_scan(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        constant_score_search,
+    )
+
+    plan = constant_score_search(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "lang" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_span_multi_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        SM_LIT, SM_PREFIX, SM_SLOP, SM_TOP, span_multi_search,
+    )
+
+    model = []
+    for doc_id, toks, _, _ in _docs(spark, sf_dir):
+        pm = [i + 1 for i, t in enumerate(toks) if t.startswith(SM_PREFIX)]
+        pj = [i + 1 for i, t in enumerate(toks) if t == SM_LIT]
+        pairs = sum(1 for a in pm for b in pj if abs(a - b) <= SM_SLOP)
+        if pairs > 0:
+            model.append((-pairs, doc_id, len(pm)))
+    model.sort()
+    want = [(d, m, -s) for s, d, m in model[:SM_TOP]]
+    got = [(r.doc_id, r.n_multi, r.n_pairs)
+           for r in span_multi_search(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_completion_fuzzy_corrects_the_typo(spark, sf_dir):
+    from unified_vector_database_spark.operators.search_extras4 import (
+        CF_FUZZ, suggest_completion_fuzzy,
+    )
+
+    rows = suggest_completion_fuzzy(spark, sf_dir).collect()
+    by_input = {r.input: r for r in rows if r.rank == 1}
+    assert by_input["quary"].term == "query"
+    assert by_input["strem"].term == "stream"
+    # weight is the corpus frequency — recompute independently
+    freq = {}
+    for _, toks, _, _ in _docs(spark, sf_dir):
+        for t in toks:
+            freq[t] = freq.get(t, 0) + 1
+    for r in rows:
+        assert r.weight == freq[r.term]
+        # the matched prefix really is within CF_FUZZ edits
+        assert _lev(r.term[: len(r.input)], r.input) <= CF_FUZZ
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_exists_census_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.esagg6 import (
+        EX_NOTE_MARK, EX_TAG_MINLEN, exists_payload_filter,
+    )
+
+    parts = [(r.p_type, r.p_name)
+             for r in tables.load(spark, sf_dir, "part").collect()]
+    agg = {}
+    for ptype, name in parts:
+        tot, ex, emp = agg.get(ptype, (0, 0, 0))
+        has_note = EX_NOTE_MARK in name
+        tags = [t for t in name.split(" ") if len(t) >= EX_TAG_MINLEN]
+        agg[ptype] = (tot + 1, ex + has_note, emp + (not tags))
+    got = {(r.p_type): (r.n_total, r.n_note_exists, r.n_tags_empty)
+           for r in exists_payload_filter(spark, sf_dir).collect()}
+    assert got == agg
+    # exists + is_null partition the collection exactly
+    for r in exists_payload_filter(spark, sf_dir).collect():
+        assert r.n_note_exists + r.n_note_null == r.n_total
+
+
+def test_array_contains_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg6 import (
+        AC_ALL, AC_ANY, AC_HEAD, AC_MINLEN, AC_ONE, array_contains_filter,
+    )
+
+    agg = {}
+    for _, toks, lang, _ in _docs(spark, sf_dir):
+        tags = list(dict.fromkeys(toks[:AC_HEAD]))
+        c = agg.setdefault(lang, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += AC_ONE in tags
+        c[2] += any(t in tags for t in AC_ANY)
+        c[3] += all(t in tags for t in AC_ALL)
+        c[4] += len(tags) >= AC_MINLEN
+    got = {r.lang: [r.n_total, r.n_contains, r.n_any, r.n_all, r.n_len]
+           for r in array_contains_filter(spark, sf_dir).collect()}
+    assert got == agg
+
+
+def _hex_cell(lon: float, lat: float, size: float, s33: float):
+    q0 = (2.0 / 3.0 * lon) / size
+    r0 = ((-1.0 / 3.0) * lon + s33 * lat) / size
+    y0 = -q0 - r0
+    rx, ry, rz = (math.floor(q0 + 0.5), math.floor(y0 + 0.5),
+                  math.floor(r0 + 0.5))
+    dx, dy, dz = abs(rx - q0), abs(ry - y0), abs(rz - r0)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        ry = -rx - rz
+    else:
+        rz = -rx - ry
+    assert rx + ry + rz == 0  # the cube-coordinate invariant
+    return int(rx), int(rz)
+
+
+def test_geohex_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.esagg6 import (
+        HEX_SIZE, HEX_TOP, _SQRT3_3, geohex_grid_agg,
+    )
+
+    keys = [r.c_custkey for r in
+            tables.load(spark, sf_dir, "customer").collect()]
+    cells = {}
+    for k in keys:
+        lat = ((k * 9973) % 18000) / 100.0 - 90.0
+        lon = ((k * 7919) % 36000) / 100.0 - 180.0
+        q, r = _hex_cell(lon, lat, HEX_SIZE, _SQRT3_3)
+        cells[f"{q},{r}"] = cells.get(f"{q},{r}", 0) + 1
+    want = sorted(((-n, c) for c, n in cells.items()))[:HEX_TOP]
+    got = [(-r.n, r.cell) for r in geohex_grid_agg(spark, sf_dir).collect()]
+    assert got == want
+    # the top page is a real subset: totals over ALL cells == |customer|
+    assert sum(cells.values()) == len(keys)

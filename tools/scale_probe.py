@@ -103,6 +103,14 @@ def build(spark, n: int) -> str:
             .withColumn("user_id", F.col("user_id") + F.col("_r") * ub)
             .drop("_r").repartition(32)
             .write.mode("overwrite").parquet(f"{big}/events.parquet"))
+    if not os.path.exists(f"{big}/part.parquet"):
+        part = tables.load(spark, SRC, "part")
+        pb = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+        rep = part.select("*", F.explode(
+            F.sequence(F.lit(0), F.lit(n - 1))).alias("_r"))
+        (rep.withColumn("p_partkey", F.col("p_partkey") + F.col("_r") * pb)
+            .drop("_r").repartition(32)
+            .write.mode("overwrite").parquet(f"{big}/part.parquet"))
     if not os.path.exists(f"{big}/orders.parquet"):
         # orders + lineitem replicate with the SAME orderkey shift so
         # the parent/child relationship survives per replica
