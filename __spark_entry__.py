@@ -107,6 +107,9 @@ _PRIORITY = [
     "constant_score_search", "span_multi_search",
     "suggest_completion_fuzzy", "exists_payload_filter",
     "array_contains_filter", "geohex_grid_agg",
+    # (k) W13: watermark late-data drop semantics in append mode —
+    # the state-machine behavior the complete-mode twins can't see.
+    "stream_late_data",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

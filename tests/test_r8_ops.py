@@ -223,3 +223,49 @@ def test_geohex_matches_python_model(spark, sf_dir):
     assert got == want
     # the top page is a real subset: totals over ALL cells == |customer|
     assert sum(cells.values()) == len(keys)
+
+
+def test_stream_late_data_drops_and_matches_model(spark, sf_dir):
+    import datetime
+
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.streaming.ingest import (
+        LATE_BATCHES, LATE_DELAY_MS, LATE_SHIFT_MOD, stream_late_data,
+    )
+
+    ev = sorted((r.ts, r.event_id, r.event_type) for r in
+                tables.load_events(spark, sf_dir)
+                .select("ts", "event_id", "event_type").collect())
+    n = len(ev)
+    base, extra = divmod(n, LATE_BATCHES)
+    batches = {}
+    pos = 0
+    for q in range(LATE_BATCHES):
+        size = base + (q < extra)
+        for ts, eid, etype in ev[pos:pos + size]:
+            b = min(LATE_BATCHES - 1,
+                    q + (2 if eid % LATE_SHIFT_MOD == 0 else 0))
+            batches.setdefault(b, []).append((ts, etype))
+        pos += size
+    ms = lambda ts: int(ts.timestamp() * 1_000_000) // 1000
+    rm, run = {}, None
+    for b in range(LATE_BATCHES):
+        run = max(ms(ts) for ts, _ in batches[b]) if run is None else \
+            max(run, max(ms(ts) for ts, _ in batches[b]))
+        rm[b] = run
+    final_wm = rm[LATE_BATCHES - 1] - LATE_DELAY_MS
+    model, dropped = {}, 0
+    for b in range(LATE_BATCHES):
+        for ts, etype in batches[b]:
+            ws = ts.replace(minute=0, second=0, microsecond=0)
+            we = ms(ws + datetime.timedelta(hours=1))
+            if b >= 2 and we <= rm[b - 2] - LATE_DELAY_MS:
+                dropped += 1          # window evicted before arrival
+                continue
+            if we <= final_wm:
+                model[(ws, etype)] = model.get((ws, etype), 0) + 1
+    got = {(r.window_start, r.event_type): r.n
+           for r in stream_late_data(spark, sf_dir).collect()}
+    assert dropped > 0                # the late path is actually hit
+    assert got == model               # emitted census == state machine
+    assert sum(got.values()) < n      # drops + unemitted tail visible

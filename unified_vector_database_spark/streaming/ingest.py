@@ -547,3 +547,118 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     out = _run_to_memory(gopher_census(stream), "complete")
     return out.orderBy("lang", "keep")
+
+
+# ------------------------------------------------------- late-data drops
+
+LATE_DELAY = "95 minutes"        # watermark delay (odd on purpose: no
+LATE_DELAY_MS = 95 * 60 * 1000   # window boundary ever ties with a wm)
+LATE_BATCHES = 4
+LATE_SHIFT_MOD = 7               # every 7th event arrives 2 batches late
+
+
+def _replay_ordered_late(spark: SparkSession, sf_dir: str,
+                         tag: str) -> DataFrame:
+    """Deterministic ARRIVAL-ORDER replay with genuine late data:
+    events are split into {LATE_BATCHES} arrival batches by event-time
+    quartile (ntile over (ts, event_id) — a total order, so the split
+    is reproducible on both engines), except every
+    {LATE_SHIFT_MOD}th event arrives TWO batches after its quartile —
+    far enough behind the advancing watermark that its window has
+    already been evicted (a one-batch delay never drops: state
+    eviction runs after the batch's input is merged). Batch files are
+    written sequentially so the file source's modification-time order
+    replays them as separate micro-batches (maxFilesPerTrigger=1).
+
+    The global ntile sort exists only to FABRICATE a deterministic
+    arrival order for the replay harness — a production stream
+    arrives already ordered by arrival and pays none of this."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from .. import flags
+    ev = tables.load_events(spark, sf_dir) \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    if flags.SCHEMA_ONLY:
+        return ev.limit(0)
+    src = os.path.join(tempfile.gettempdir(),
+                       f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
+    if src not in _REPLAY_WRITTEN:
+        w = W.orderBy("ts", "event_id")
+        bno = F.least(
+            F.lit(LATE_BATCHES - 1),
+            F.ntile(LATE_BATCHES).over(w) - 1
+            + F.when(F.col("event_id") % LATE_SHIFT_MOD == 0, 2)
+               .otherwise(0))
+        evb = ev.withColumn("bno", bno)
+        for b in range(LATE_BATCHES):
+            (evb.where(F.col("bno") == b).drop("bno").coalesce(1)
+                .write.mode("append" if b else "overwrite").parquet(src))
+            _time.sleep(0.25)  # distinct mtimes fix the replay order
+        _REPLAY_WRITTEN.add(src)
+    return (spark.readStream
+            .schema("event_id bigint, ts timestamp, user_id bigint, "
+                    "event_type string, value double")
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+@register("stream_late_data", oracle=f"""
+WITH e AS (
+  SELECT event_id, ts, event_type,
+         least({LATE_BATCHES - 1},
+               ntile({LATE_BATCHES}) OVER (ORDER BY ts, event_id) - 1
+               + CASE WHEN event_id % {LATE_SHIFT_MOD} = 0 THEN 2
+                      ELSE 0 END) AS bno
+  FROM events),
+m AS (SELECT bno, max(epoch_ms(ts)) AS mb FROM e GROUP BY bno),
+r AS (SELECT bno, max(mb) OVER (ORDER BY bno) AS rm FROM m),
+k AS (
+  SELECT e.*,
+         date_trunc('hour', ts) AS window_start,
+         epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS we,
+         (SELECT max(rm) FROM r WHERE r.bno <= e.bno - 2)
+           AS evicted_rm,
+         (SELECT max(rm) FROM r) AS final_rm
+  FROM e)
+SELECT window_start, event_type, count(*) AS n
+FROM k
+WHERE (evicted_rm IS NULL OR we > evicted_rm - {LATE_DELAY_MS})
+  AND we <= final_rm - {LATE_DELAY_MS}
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: watermark LATE-DATA semantics driven end-to-end — the one
+    streaming behavior the complete-mode twins (W1-W12, watermark 0)
+    deliberately avoid. Tumbling 1-hour windows aggregate in APPEND
+    mode under a {LATE_DELAY} watermark over the ordered late-replay:
+    stragglers two batches behind find their window already evicted
+    and are DROPPED (numRowsDroppedByWatermark > 0, pinned by test);
+    windows emit exactly once when the watermark passes their end.
+
+    The oracle replicates Spark's state machine relationally: the
+    watermark in effect during batch b is max(event-ms through
+    b-1) - delay; a row is kept iff its window end survived every
+    eviction before its arrival batch (end > watermark through
+    b-2); a window is emitted iff end <= the final watermark (the
+    availableNow no-data batch flushes eligible state). Calibrated
+    against the real engine: merge-then-evict means a one-batch
+    straggler is never late, and the emitted census matches the
+    model EXACTLY (all boundary strictness variants agree because no
+    hour-aligned window end ever ties an odd-delay watermark).
+
+    Scale: state is O(live windows × types); late rows are filtered
+    against the store, never buffered; at 100 TB/day the same plan
+    runs on a Kafka source with the same watermark bound — the
+    replay harness only fabricates arrival order."""
+    stream = _replay_ordered_late(spark, sf_dir, "latedata")
+    agg = (stream
+           .withWatermark("ts", LATE_DELAY)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n")))
+    out = _run_to_memory(agg, "append")
+    return (out.select(F.col("w.start").alias("window_start"),
+                       "event_type", "n")
+               .orderBy("window_start", "event_type"))
