@@ -110,6 +110,10 @@ _PRIORITY = [
     # (k) W13: watermark late-data drop semantics in append mode —
     # the state-machine behavior the complete-mode twins can't see.
     "stream_late_data",
+    # (l) IVF_SQ8: the third FAISS/Milvus composite index beside
+    # IVF_FLAT and IVF_PQ, probing dequantized codes from the
+    # artifact.
+    "ivf_sq8_knn",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

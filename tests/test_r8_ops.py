@@ -269,3 +269,31 @@ def test_stream_late_data_drops_and_matches_model(spark, sf_dir):
     assert dropped > 0                # the late path is actually hit
     assert got == model               # emitted census == state machine
     assert sum(got.values()) < n      # drops + unemitted tail visible
+
+
+def test_ivf_sq8_recall_and_decode_error(spark, sf_dir):
+    import numpy as np
+
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.functions import distance as D
+    from unified_vector_database_spark.operators.index import ivf_sq8_knn
+    from unified_vector_database_spark.operators.knn import knn
+    import pyspark.sql.functions as F
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    flat = {r.vec_id for r in
+            knn(corpus, q, k=10, metric="l2").collect()}
+    got = ivf_sq8_knn(spark, sf_dir).collect()
+    recall = len(flat & {r.vec_id for r in got}) / 10
+    assert recall >= 0.6, f"IVF_SQ8 recall@10 too low: {recall}"
+    # SQ8's whole contract: the approx (decoded) distance sits within
+    # the quantization error bound of the exact distance — per dim
+    # the decode error is <= (hi-lo)/255/2, so the L2 gap is bounded
+    # by sqrt(dim) * max_range/510
+    vecs = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    rng = vecs.max(axis=0) - vecs.min(axis=0)
+    for r in got:
+        assert abs(r.approx - r.score) <= np.linalg.norm(rng / 510.0) + 1e-9

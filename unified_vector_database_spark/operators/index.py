@@ -1160,3 +1160,112 @@ def ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id", "label",
                         D.cosine("vec", "qvec").alias("score"))
                 .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+# ------------------------------------------------------------- IVF-SQ8
+
+SQ_SHORTLIST = 64
+
+
+def sq8_codes_artifact(spark: SparkSession, sf_dir: str,
+                       corpus: DataFrame) -> DataFrame:
+    """The IVF_SQ8 index as a persisted parquet artifact: per vector
+    (vec_id, cid, codes) — coarse cell from the shared centroid fit,
+    uint8 scalar codes from the shared per-dimension bounds. Built by
+    ONE distributed map pass (bounds agg + broadcast assign), then
+    every probe scans the artifact; no row ever touches the driver
+    (the pq_codes_artifact posture)."""
+    path = artifact_path("sq8_codes", sf_dir)
+
+    def build(p: str) -> None:
+        bounds = sq8_bounds(corpus)
+        cents = centroids_for(spark, sf_dir, corpus)
+        assigned = assign_cells(corpus, cents)
+        (sq8_quantize(corpus, bounds)
+         .select("vec_id", "codes").join(assigned, "vec_id")
+         .write.mode("overwrite").parquet(p))
+
+    _build_if_absent(path, build)
+    return spark.read.parquet(path)
+
+
+def _ivfsq8_oracle() -> str:
+    cents, _, _ = _oracle_artifacts()
+    return f"""
+WITH {_ivf_assign_ctes(cents)},
+px AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+bnd AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM px GROUP BY pos),
+b AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+      FROM bnd),
+cand AS (SELECT e.vec_id, e.vec
+         FROM e JOIN assigned a USING (vec_id) JOIN qc ON a.cid = qc.cid),
+dec AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> b.lo[i]
+                + CAST(round((vec[i] - b.lo[i])
+                        / (CASE WHEN b.hi[i] - b.lo[i] = 0 THEN 1.0
+                                ELSE b.hi[i] - b.lo[i] END) * 255) AS INT)
+                  * ((b.hi[i] - b.lo[i]) / 255.0e0)) AS dv
+  FROM cand, b),
+approx AS (
+  SELECT d.vec_id, {_l2_sql('d.dv', 'q.vec')} AS approx
+  FROM dec d, q),
+short AS (SELECT vec_id, approx FROM approx
+          ORDER BY approx, vec_id LIMIT {SQ_SHORTLIST})
+SELECT e.vec_id, s.approx, {_l2_sql('e.vec', 'q.vec')} AS score
+FROM e JOIN short s USING (vec_id), q
+ORDER BY score, e.vec_id LIMIT 10
+"""
+
+
+@register("ivf_sq8_knn", oracle=_ivfsq8_oracle)
+def ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS `IndexIVFScalarQuantizer` / Milvus index type `IVF_SQ8`
+    (reference README.md:96 `faiss-cpu`; Milvus index docs): the
+    third member of the IVF composite-index family beside IVF_FLAT
+    (ivf_knn) and IVF_PQ (ivfpq_knn). Probe for query vec_id=0:
+    nprobe cells by centroid distance -> ASYMMETRIC L2 between the
+    DEQUANTIZED candidate codes (lo + c*(hi-lo)/255, the SQ8 linear
+    map) and the raw query -> {SQ_SHORTLIST}-deep shortlist -> exact
+    L2 rerank.
+
+    Scale shape: the full pass touches 1-byte-per-dim codes inside
+    the probed cells only (4-8x less I/O than raw vectors — the
+    reason this index type exists); bounds and centroids are
+    broadcast-sized artifacts; exact vectors are read for the
+    shortlist rows alone. Decode order (lo + c*((hi-lo)/255))
+    matches the oracle term-for-term, and the L2 folds through the
+    established sequential twin (functions/distance.py), so the
+    approx scores are bit-identical across engines."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    first = emb.where(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in first.embedding]
+    q = spark.createDataFrame([Row(qvec=qvec)])
+    cents = centroids_for(spark, sf_dir, corpus)
+    codes = sq8_codes_artifact(spark, sf_dir, corpus)
+    bounds = sq8_bounds(corpus)
+    qcells = (cents.crossJoin(F.broadcast(q))
+              .select("cid", D.l2("cvec", "qvec").alias("d"))
+              .orderBy("d", "cid").limit(NPROBE).select("cid"))
+    cand = codes.join(F.broadcast(qcells), "cid")
+    dec = F.zip_with(
+        "codes",
+        F.zip_with("lo", "hi",
+                   lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))),
+        lambda c, bb: bb.lo + c.cast("double")
+        * ((bb.hi - bb.lo) / F.lit(255.0)))
+    short = (cand.crossJoin(F.broadcast(bounds))
+                 .withColumn("dv", dec)
+                 .crossJoin(F.broadcast(q))
+                 .select("vec_id", D.l2("dv", "qvec").alias("approx"))
+                 .orderBy("approx", "vec_id").limit(SQ_SHORTLIST))
+    return (corpus.join(F.broadcast(short), "vec_id")
+                  .crossJoin(F.broadcast(q))
+                  .select("vec_id", "approx",
+                          D.l2("vec", "qvec").alias("score"))
+                  .orderBy("score", "vec_id").limit(10))

@@ -593,11 +593,18 @@ def _replay_ordered_late(spark: SparkSession, sf_dir: str,
             F.ntile(LATE_BATCHES).over(w) - 1
             + F.when(F.col("event_id") % LATE_SHIFT_MOD == 0, 2)
                .otherwise(0))
-        evb = ev.withColumn("bno", bno)
-        for b in range(LATE_BATCHES):
-            (evb.where(F.col("bno") == b).drop("bno").coalesce(1)
-                .write.mode("append" if b else "overwrite").parquet(src))
-            _time.sleep(0.25)  # distinct mtimes fix the replay order
+        # persist the sorted assignment: the 4 per-batch writes would
+        # otherwise each recompute the global ntile sort (the probe
+        # measured the 4x recompute before this landed)
+        evb = ev.withColumn("bno", bno).persist()
+        try:
+            evb.count()
+            for b in range(LATE_BATCHES):
+                (evb.where(F.col("bno") == b).drop("bno").coalesce(1)
+                    .write.mode("append" if b else "overwrite").parquet(src))
+                _time.sleep(0.25)  # distinct mtimes fix the replay order
+        finally:
+            evb.unpersist()
         _REPLAY_WRITTEN.add(src)
     return (spark.readStream
             .schema("event_id bigint, ts timestamp, user_id bigint, "
