@@ -101,6 +101,14 @@ HEADLINE = [
     "stream_quality_gate", "sampled_significant_terms",
     "weighted_sample_k", "token_budget_trim",
     "holt_winters_forecast", "matryoshka_recall_curve",
+    # r8 wave: the remaining ES query-language pieces, the payload
+    # null/array filter families, the hex geo grid, watermark
+    # late-data semantics, and the IVF_SQ8 composite index
+    "match_bool_prefix_search", "multi_match_cross_fields",
+    "constant_score_search", "span_multi_search",
+    "suggest_completion_fuzzy", "exists_payload_filter",
+    "array_contains_filter", "geohex_grid_agg",
+    "stream_late_data", "ivf_sq8_knn",
 ]
 
 

@@ -62,6 +62,10 @@ DOC_OPS = [
     "combined_fields_search", "match_phrase_prefix_search",
     "context_search", "edge_ngram_index",
     "suggest_phrase", "significant_text_agg",
+    # r8 standing additions: the token-position query pieces and the
+    # two artifact/replay-backed ops worth watching
+    "match_bool_prefix_search", "span_multi_search",
+    "suggest_completion_fuzzy", "ivf_sq8_knn", "stream_late_data",
 ]
 
 
