@@ -114,6 +114,9 @@ _PRIORITY = [
     # IVF_FLAT and IVF_PQ, probing dequantized codes from the
     # artifact.
     "ivf_sq8_knn",
+    # (m) catalog compositions: ES PIT + search_after (snapshot-
+    # isolated deep paging) and the rollover/ILM write-alias cycle.
+    "pit_search_after", "alias_rollover",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -297,3 +297,157 @@ def test_ivf_sq8_recall_and_decode_error(spark, sf_dir):
     rng = vecs.max(axis=0) - vecs.min(axis=0)
     for r in got:
         assert abs(r.approx - r.score) <= np.linalg.norm(rng / 510.0) + 1e-9
+
+
+def test_r8_ops_survive_degenerate_corpora(spark, tmp_path):
+    """r8-wave twin of the standing edge gates: the new doc/part/
+    customer/event operators must survive empty / single-short-doc /
+    whitespace corpora (schema stays, rows degrade gracefully)."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+
+    from unified_vector_database_spark.operators import esagg6 as E6
+    from unified_vector_database_spark.operators import (
+        search_extras4 as S4,
+    )
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_late_data,
+    )
+
+    def mk(name, table, schema, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        spark.createDataFrame(rows, schema) \
+            .write.mode("overwrite").parquet(f"{sf}/{table}.parquet")
+        return sf
+
+    doc_schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+    d_empty = mk("r8_d_empty", "documents", doc_schema, [])
+    d_single = mk("r8_d_single", "documents", doc_schema,
+                  [Row(doc_id=0, text="a", lang="en", source="s",
+                       n_chars=1)])
+    d_ws = mk("r8_d_ws", "documents", doc_schema,
+              [Row(doc_id=0, text="   ", lang="en", source="s",
+                   n_chars=3)])
+    doc_ops = [S4.match_bool_prefix_search, S4.multi_match_cross_fields,
+               S4.constant_score_search, S4.span_multi_search,
+               S4.suggest_completion_fuzzy, E6.array_contains_filter]
+    for sf in (d_empty, d_single, d_ws):
+        for op in doc_ops:
+            op(spark, sf).collect()  # must not raise
+
+    part_schema = ("p_partkey long, p_name string, p_brand string, "
+                   "p_type string, p_size int, p_retailprice double")
+    p_empty = mk("r8_p_empty", "part", part_schema, [])
+    p_single = mk("r8_p_single", "part", part_schema,
+                  [Row(p_partkey=0, p_name="red widget", p_brand="B",
+                       p_type="ECONOMY", p_size=1, p_retailprice=1.0)])
+    for sf in (p_empty, p_single):
+        E6.exists_payload_filter(spark, sf).collect()
+    [r] = E6.exists_payload_filter(spark, p_single).collect()
+    assert (r.n_total, r.n_note_exists, r.n_tags_empty) == (1, 1, 0)
+
+    cust_schema = ("c_custkey long, c_name string, c_nationkey long, "
+                   "c_acctbal double, c_mktsegment string")
+    c_empty = mk("r8_c_empty", "customer", cust_schema, [])
+    c_single = mk("r8_c_single", "customer", cust_schema,
+                  [Row(c_custkey=7, c_name="x", c_nationkey=0,
+                       c_acctbal=0.0, c_mktsegment="m")])
+    assert E6.geohex_grid_agg(spark, c_empty).collect() == []
+    [r] = E6.geohex_grid_agg(spark, c_single).collect()
+    assert r.n == 1 and "," in r.cell
+
+    ev_schema = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    e_empty = mk("r8_e_empty", "events", ev_schema, [])
+    e_single = mk("r8_e_single", "events", ev_schema,
+                  [Row(event_id=0, ts=t0, user_id=1, event_type="click",
+                       value=5.0, props="{}")])
+    for sf in (e_empty, e_single):
+        stream_late_data(spark, sf).collect()  # must not raise
+    # one event, one batch, watermark never passes its window ->
+    # nothing ever emits in append mode (state, not output)
+    assert stream_late_data(spark, e_single).collect() == []
+
+
+def test_hex_rounding_picks_nearest_center_hypothesis():
+    """Independent-model property: cube rounding must assign every
+    point to the hex cell whose center is nearest in the euclidean
+    plane (ties excluded by the open sample space) — checked against
+    a brute-force scan of the 5x5 neighborhood of candidate cells."""
+    from hypothesis import given, settings, strategies as st
+
+    from unified_vector_database_spark.operators.esagg6 import (
+        HEX_SIZE, _SQRT3_3,
+    )
+
+    def center(q, r, size):
+        # flat-top axial -> pixel (inverse of the op's transform)
+        x = size * 1.5 * q
+        y = size * (3.0 ** 0.5) * (r + q / 2.0)
+        return x, y
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(-180, 180, allow_nan=False),
+           st.floats(-90, 90, allow_nan=False))
+    def check(lon, lat):
+        q, r = _hex_cell(lon, lat, HEX_SIZE, _SQRT3_3)
+        cx, cy = center(q, r, HEX_SIZE)
+        d0 = (lon - cx) ** 2 + (lat - cy) ** 2
+        best = min(
+            ((lon - center(q + dq, r + dr, HEX_SIZE)[0]) ** 2
+             + (lat - center(q + dq, r + dr, HEX_SIZE)[1]) ** 2)
+            for dq in range(-2, 3) for dr in range(-2, 3))
+        assert d0 <= best + 1e-9
+
+    check()
+
+
+def test_pit_page_is_isolated_from_head_mutations(spark, sf_dir):
+    from unified_vector_database_spark.operators.index import artifact_path
+    from unified_vector_database_spark.operators.lifecycle import (
+        PIT_PAGE, pit_search_after,
+    )
+    from unified_vector_database_spark.sources.catalog import Collection
+
+    page2 = [(r.o_orderkey, r.o_orderdate)
+             for r in pit_search_after(spark, sf_dir).collect()]
+    assert len(page2) == PIT_PAGE
+    # the op's head mutation deleted every o_orderkey % 5 == 0 — the
+    # PINNED page must still contain them (snapshot isolation), and
+    # the live head must not
+    assert any(k % 5 == 0 for k, _ in page2)
+    root = artifact_path("pit_page", sf_dir)
+    head = Collection.open(spark, root, "orders_pit").read()
+    head_keys = {r.o_orderkey for r in head.collect()}
+    from unified_vector_database_spark.operators.lifecycle import PIT_MAX
+    # (head-INSERTED keys live at +PIT_MAX and may hit any residue)
+    assert all(k % 5 != 0 for k in head_keys if k < PIT_MAX)
+    deleted_in_page = [k for k, _ in page2 if k % 5 == 0]
+    assert all(k not in head_keys for k in deleted_in_page)
+
+
+def test_rollover_generations_partition_the_stream(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.index import artifact_path
+    from unified_vector_database_spark.operators.lifecycle import (
+        ROLL_MAX_DOCS, alias_rollover,
+    )
+    from unified_vector_database_spark.sources.catalog import Collection
+
+    rows = alias_rollover(spark, sf_dir).collect()
+    n_total = tables.load_events(spark, sf_dir).count()
+    # generations partition the ingest exactly (no loss, no dup)
+    assert sum(r.n_events for r in rows) == n_total
+    assert [r.gen for r in rows] == list(range(1, len(rows) + 1))
+    # every rolled (non-final) generation hit the rollover condition
+    for r in rows[:-1]:
+        assert r.n_events >= ROLL_MAX_DOCS
+    # the write alias points at the LAST generation
+    root = artifact_path("rollover", sf_dir)
+    assert Collection.list_aliases(root)["events_write"] \
+        == f"events_{rows[-1].gen:06d}"

@@ -237,3 +237,162 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("old_label", "new_label")
              .agg(F.count("*").alias("n"))
              .orderBy("old_label", "new_label"))
+
+
+# ------------------------------------------------- PIT + search_after
+
+PIT_MAX = 2000      # bounded collection slice (the CAT_MAX_ID posture)
+PIT_PAGE = 20
+
+
+@register("pit_search_after", oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderkey < {PIT_MAX}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM base),
+cur AS (SELECT o_orderdate AS cd, o_orderkey AS ck
+        FROM ranked WHERE rn = {PIT_PAGE})
+SELECT b.o_orderkey, b.o_orderdate, b.o_totalprice
+FROM base b, cur
+WHERE (b.o_orderdate, b.o_orderkey) > (cur.cd, cur.ck)
+ORDER BY b.o_orderdate, b.o_orderkey LIMIT {PIT_PAGE}
+""")
+def pit_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES point-in-time (PIT) + search_after: deep pagination pinned
+    to a CONSISTENT snapshot while the live index keeps mutating —
+    the API ES built because a plain search_after page can shift when
+    refreshes land mid-scroll (I6 ∘ T63). The query creates a real
+    on-disk collection, pins a PIT snapshot, then mutates the head
+    (deletes + upserts — exactly the refresh traffic that breaks
+    unpinned paging), and serves page 2 from the PINNED version: the
+    page still contains head-deleted rows and none of the
+    head-inserted ones (divergence pinned by test). The oracle
+    recomputes both pages relationally from the unmutated base — the
+    hash proves snapshot isolation end to end.
+
+    Scale shape: a snapshot read is just a different scan path
+    (immutable version dirs, zero copy); the cursor page is two
+    TakeOrdered passes and a 1-row broadcast cursor — never a global
+    sort, and at warehouse scale the cursor lands as a pushed range
+    predicate exactly as search_after_page proves."""
+    base_df = (tables.load(spark, sf_dir, "orders")
+               .select("o_orderkey", "o_orderdate", "o_totalprice")
+               .where(F.col("o_orderkey") < PIT_MAX))
+    if flags.SCHEMA_ONLY:
+        pinned = base_df.limit(0)
+    else:
+        root = artifact_path("pit_page", sf_dir)
+        if os.path.exists(root):
+            shutil.rmtree(root)  # deterministic rebuild per call
+        c = Collection.create(spark, root, "orders_pit",
+                              id_col="o_orderkey")
+        c.upsert(base_df)
+        c.snapshot("pit")
+        # head keeps moving underneath the open PIT
+        c.delete(F.col("o_orderkey") % 5 == 0)
+        c.upsert(base_df.limit(50).select(
+            (F.col("o_orderkey") + PIT_MAX).alias("o_orderkey"),
+            "o_orderdate", "o_totalprice"))
+        pinned = c.read(tag="pit")
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    page1 = (pinned.orderBy("o_orderdate", "o_orderkey").limit(PIT_PAGE)
+                   .agg(F.max(key).alias("cur")))
+    return (pinned.crossJoin(F.broadcast(page1))
+                  .where(key > F.col("cur"))
+                  .select("o_orderkey", "o_orderdate", "o_totalprice")
+                  .orderBy("o_orderdate", "o_orderkey").limit(PIT_PAGE))
+
+
+# ---------------------------------------------------- alias rollover
+
+ROLL_CHUNKS = 4          # ingest arrives in 4 deterministic chunks
+ROLL_MAX_DOCS = 500      # ES rollover condition: max_docs per index
+
+
+@register("alias_rollover", oracle=f"""
+WITH RECURSIVE ch AS (
+  SELECT CAST(event_id % {ROLL_CHUNKS} AS INT) AS chunk,
+         count(*) AS cnt
+  FROM events GROUP BY 1),
+sim AS (
+  SELECT 0 AS chunk, 1 AS gen, cnt AS size FROM ch WHERE chunk = 0
+  UNION ALL
+  SELECT s.chunk + 1,
+         CASE WHEN s.size >= {ROLL_MAX_DOCS} THEN s.gen + 1
+              ELSE s.gen END,
+         CASE WHEN s.size >= {ROLL_MAX_DOCS} THEN c.cnt
+              ELSE s.size + c.cnt END
+  FROM sim s JOIN ch c ON c.chunk = s.chunk + 1),
+assign AS (
+  SELECT e.event_id, e.event_type, s.gen
+  FROM events e JOIN sim s
+    ON CAST(e.event_id % {ROLL_CHUNKS} AS INT) = s.chunk)
+SELECT gen,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_click,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM assign GROUP BY gen ORDER BY gen
+""")
+def alias_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rollover API / ILM hot-phase: ingest lands through a WRITE
+    ALIAS; when the current generation index exceeds `max_docs`
+    ({ROLL_MAX_DOCS}), a new generation is created and the write
+    alias moves — readers query ALL generations (the read-alias
+    span). The query drives the real mechanics against the on-disk
+    catalog: {ROLL_CHUNKS} deterministic ingest chunks, a rollover
+    check after each, then the per-generation census read back from
+    EVERY generation collection. The oracle replays the same
+    admission simulation as a 4-row recursive CTE over the chunk
+    counts — data-driven, so the same SQL is correct at every sf
+    (at sf0.001 a chunk is 250 rows and generations hold two chunks;
+    at sf0.1 every chunk rolls immediately).
+
+    Scale shape: rollover is O(1) catalog metadata per generation
+    (pointer swap — the ingest itself is the ordinary copy-on-write
+    commit); the read side unions immutable generation dirs, which
+    is exactly how a time-partitioned log reads at warehouse scale;
+    the census is one partial agg per generation."""
+    ev = (tables.load(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  (F.col("event_id") % ROLL_CHUNKS).cast("int")
+                  .alias("chunk")))
+    if flags.SCHEMA_ONLY:
+        gens: list[tuple[int, DataFrame]] = [(1, ev.limit(0))]
+    else:
+        root = artifact_path("rollover", sf_dir)
+        if os.path.exists(root):
+            shutil.rmtree(root)  # deterministic rebuild per call
+        gen = 1
+        c = Collection.create(spark, root, f"events_{gen:06d}",
+                              id_col="event_id")
+        Collection.set_alias(root, "events_write", f"events_{gen:06d}")
+        for chunk in range(ROLL_CHUNKS):
+            w = Collection.open_alias(spark, root, "events_write")
+            w.upsert(ev.where(F.col("chunk") == chunk).drop("chunk"))
+            if w.count() >= ROLL_MAX_DOCS and chunk < ROLL_CHUNKS - 1:
+                gen += 1
+                Collection.create(spark, root, f"events_{gen:06d}",
+                                  id_col="event_id")
+                Collection.set_alias(root, "events_write",
+                                     f"events_{gen:06d}")
+        gens = []
+        for name in sorted(Collection.list_collections(root)):
+            g = Collection.open(spark, root, name)
+            df = g.read()
+            if df is not None:
+                gens.append((int(name.rsplit("_", 1)[1]), df))
+    out = None
+    for gnum, df in gens:
+        part = df.select(F.lit(gnum).alias("gen"), "event_id",
+                         "event_type")
+        out = part if out is None else out.unionByName(part)
+    return (out.groupBy("gen")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum(F.when(F.col("event_type") == "click", 1)
+                           .otherwise(0)).cast("long").alias("n_click"),
+                    F.min("event_id").alias("min_id"),
+                    F.max("event_id").alias("max_id"))
+               .orderBy("gen"))
