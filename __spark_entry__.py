@@ -117,6 +117,9 @@ _PRIORITY = [
     # (m) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",
+    # (n) ELSER/SPLADE-shaped sparse expansion retrieval (model-free
+    # lift-association expansion through the sparse scoring plan).
+    "sparse_expansion_search",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

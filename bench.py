@@ -109,7 +109,7 @@ HEADLINE = [
     "suggest_completion_fuzzy", "exists_payload_filter",
     "array_contains_filter", "geohex_grid_agg",
     "stream_late_data", "ivf_sq8_knn",
-    "pit_search_after", "alias_rollover",
+    "pit_search_after", "alias_rollover", "sparse_expansion_search",
 ]
 
 

@@ -451,3 +451,43 @@ def test_rollover_generations_partition_the_stream(spark, sf_dir):
     root = artifact_path("rollover", sf_dir)
     assert Collection.list_aliases(root)["events_write"] \
         == f"events_{rows[-1].gen:06d}"
+
+
+def test_sparse_expansion_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark.operators.sparse import (
+        EXP_K, EXP_QTERM, EXP_TOP, sparse_expansion_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    nd = len(docs)
+    hasq = {d for d, toks, _, _ in docs if EXP_QTERM in toks}
+    df, dboth = {}, {}
+    for d, toks, _, _ in docs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+            if d in hasq:
+                dboth[t] = dboth.get(t, 0) + 1
+    lifts = sorted(
+        ((dboth[t] * nd) / (df[t] * len(hasq)), t)
+        for t in dboth)
+    exp = {t: round((dboth[t] * nd) / (df[t] * len(hasq)), 6)
+           for _, t in sorted(lifts, key=lambda x: (-x[0], x[1]))[:EXP_K]}
+    # the query term itself carries the max lift N/df(q)
+    assert EXP_QTERM in exp
+    from decimal import Decimal
+    model = []
+    for d, toks, _, _ in docs:
+        s = Decimal(0)
+        n_terms = 0
+        for t, w in exp.items():
+            f = toks.count(t)
+            if f:
+                s += f * Decimal(str(w))
+                n_terms += 1
+        if n_terms:
+            model.append((-float(s), d, n_terms))
+    model.sort()
+    want = [(d, -s, n) for s, d, n in model[:EXP_TOP]]
+    got = [(r.doc_id, r.score, r.n_terms)
+           for r in sparse_expansion_search(spark, sf_dir).collect()]
+    assert got == want

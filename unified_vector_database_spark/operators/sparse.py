@@ -275,3 +275,90 @@ def hybrid_tri_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(sr, "doc_id", "full_outer")
               .select("doc_id", F.round(contrib, 9).alias("rrf_score"))
               .orderBy(F.desc("rrf_score"), "doc_id").limit(15))
+
+
+# ------------------------------------------------ expansion retrieval
+
+EXP_QTERM = "vector"   # the user's query term
+EXP_K = 6              # expansion terms kept (incl. the query term)
+EXP_TOP = 20
+
+
+@register("sparse_expansion_search", oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS toks FROM documents),
+n AS (SELECT count(*) AS nd FROM t),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+hasq AS (SELECT doc_id FROM ex WHERE term = '{EXP_QTERM}'),
+dfq AS (SELECT count(*) AS dq FROM hasq),
+stats AS (
+  SELECT e.term, count(*) AS df,
+         CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS dboth
+  FROM ex e LEFT JOIN hasq h USING (doc_id) GROUP BY e.term),
+expansion AS (
+  SELECT term,
+         CAST(round(CAST(dboth * nd AS DOUBLE) / (df * dq), 6)
+           AS DECIMAL(18,6)) AS w,
+         CAST(dboth * nd AS DOUBLE) / (df * dq) AS lift
+  FROM stats, n, dfq
+  WHERE dboth > 0 AND dq > 0
+  ORDER BY lift DESC, term LIMIT {EXP_K}),
+tf AS (
+  SELECT doc_id, term, count(*) AS f
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.f * e.w) AS DOUBLE) AS score,
+         count(*) AS n_terms
+  FROM tf JOIN expansion e USING (term)
+  GROUP BY tf.doc_id)
+SELECT doc_id, score, CAST(n_terms AS BIGINT) AS n_terms
+FROM scored ORDER BY score DESC, doc_id LIMIT {EXP_TOP}
+""")
+def sparse_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `semantic_text`/ELSER-SHAPED sparse expansion retrieval
+    (the SPLADE query path: a term expands into weighted associated
+    terms, and retrieval is a weighted sparse dot over the inverted
+    index). The expansion here is model-free and deterministic —
+    association by corpus LIFT, p(t|q)/p(t) = df(t∧q)·N/(df(t)·df(q))
+    over doc-level co-occurrence (the classic pseudo-relevance
+    association score) — so the op is testable end to end; a real
+    ELSER deployment swaps the expansion table for model output and
+    the retrieval plan is UNCHANGED.
+
+    Scale shape: expansion stats are one distinct-token explode +
+    groupBy (the only corpus-wide shuffle) against a broadcast
+    has-query flag; the {EXP_K}-row expansion table broadcasts into
+    the tf join, so scoring shuffles only (doc, matched-term) rows.
+    Determinism: lift ranks by EXACT integer-ratio doubles; weights
+    quantize to DECIMAL(18,6) before the merge-order-free decimal
+    sum; no logs, no transcendentals."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    t = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    ex = t.select("doc_id", F.explode("toks").alias("term"))
+    hasq = ex.where(F.col("term") == EXP_QTERM).select("doc_id")
+    nd = t.count()
+    dq = hasq.count()
+    stats = (ex.join(F.broadcast(hasq.withColumn("_q", F.lit(1))),
+                     "doc_id", "left")
+               .groupBy("term")
+               .agg(F.count("*").alias("df"),
+                    F.sum(F.when(F.col("_q").isNotNull(), 1).otherwise(0))
+                     .cast("long").alias("dboth")))
+    lift = F.try_divide((F.col("dboth") * nd).cast("double"),
+                        (F.col("df") * dq).cast("double"))
+    expansion = (stats.where((F.col("dboth") > 0) & (F.lit(dq) > 0))
+                      .select("term", lift.alias("lift"),
+                              F.round(lift, 6).cast("decimal(18,6)")
+                               .alias("w"))
+                      .orderBy(F.desc("lift"), "term").limit(EXP_K)
+                      .select("term", "w"))
+    tf = (docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+              .groupBy("doc_id", "term").agg(F.count("*").alias("f")))
+    return (tf.join(F.broadcast(expansion), "term")
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("f") * F.col("w")).cast("double")
+                    .alias("score"),
+                   F.count("*").cast("long").alias("n_terms"))
+              .orderBy(F.desc("score"), "doc_id").limit(EXP_TOP))
