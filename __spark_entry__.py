@@ -120,6 +120,8 @@ _PRIORITY = [
     # (n) ELSER/SPLADE-shaped sparse expansion retrieval (model-free
     # lift-association expansion through the sparse scoring plan).
     "sparse_expansion_search",
+    # (o) FAISS PCAMatrix preprocessing: project-shortlist-rerank.
+    "pca_knn",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

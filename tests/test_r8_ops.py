@@ -491,3 +491,33 @@ def test_sparse_expansion_matches_python_model(spark, sf_dir):
     got = [(r.doc_id, r.score, r.n_terms)
            for r in sparse_expansion_search(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_pca_recall_and_variance_order(spark, sf_dir):
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.functions import distance as D
+    from unified_vector_database_spark.operators.index import (
+        KMEANS_SAMPLE, PCA_D, pca_fit, pca_knn,
+    )
+    from unified_vector_database_spark.operators.knn import knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    flat = {r.vec_id for r in knn(corpus, q, k=10, metric="l2").collect()}
+    got = {r.vec_id for r in pca_knn(spark, sf_dir).collect()}
+    assert len(flat & got) / 10 >= 0.6
+    # independent fit properties: components are orthonormal and
+    # capture variance in decreasing order
+    rows = (emb.orderBy("vec_id").limit(KMEANS_SAMPLE)
+               .select("embedding").collect())
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    mu, w = pca_fit(x)
+    W = np.array(w)
+    assert np.allclose(W @ W.T, np.eye(PCA_D), atol=1e-9)
+    var = ((x - np.array(mu)) @ W.T).var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(PCA_D - 1))

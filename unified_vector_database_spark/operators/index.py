@@ -1269,3 +1269,132 @@ def ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("vec_id", "approx",
                           D.l2("vec", "qvec").alias("score"))
                   .orderBy("score", "vec_id").limit(10))
+
+
+# ----------------------------------------------------- PCA preprocessing
+
+PCA_D = 16           # projected dimensionality (64 -> 16)
+PCA_SHORTLIST = 64
+
+
+def pca_fit(x):
+    """Deterministic PCA from a float64 sample: mean + top PCA_D
+    eigenvectors of the covariance (numpy eigh — symmetric, exact
+    same bits for the exact same sample on both fit paths), each
+    component sign-canonicalized so the entry of largest magnitude
+    is positive (eigh's sign is otherwise arbitrary)."""
+    import numpy as np
+
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = xc.T @ xc / (x.shape[0] - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_D]
+    w = vecs[:, order].T  # (PCA_D, dim)
+    for i in range(w.shape[0]):
+        j = int(np.abs(w[i]).argmax())
+        if w[i, j] < 0:
+            w[i] = -w[i]
+    return [float(v) for v in mu], [[float(v) for v in row] for row in w]
+
+
+_PCA_FIT_CACHE: dict[str, tuple] = {}
+
+
+def _pca_artifacts(sf_dir: str):
+    """(mu, W, qvec) refit Spark-free from the SAME rows kmeans_fit
+    samples (lowest KMEANS_SAMPLE vec_ids) — the _oracle_artifacts
+    protocol, so the Spark plan and the SQL oracle consume identical
+    literals."""
+    import duckdb
+    import numpy as np
+
+    if sf_dir not in _PCA_FIT_CACHE:
+        src = f"{sf_dir}/embeddings.parquet"
+        if os.path.isdir(src):  # Spark-written replica dirs
+            src = f"{src}/*.parquet"
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{src}' "
+            f"ORDER BY vec_id LIMIT {KMEANS_SAMPLE}").fetchall()
+        qrow = con.execute(
+            f"SELECT embedding FROM '{src}' "
+            "WHERE vec_id = 0").fetchone()
+        con.close()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        mu, w = pca_fit(x)
+        _PCA_FIT_CACHE[sf_dir] = (mu, w, [float(v) for v in qrow[0]])
+    return _PCA_FIT_CACHE[sf_dir]
+
+
+def _pca_oracle() -> str:
+    mu, w, _ = _pca_artifacts(_oracle_sf())
+    wlit = "[" + ",".join(_dlist(row) for row in w) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec FROM e WHERE vec_id = 0),
+proj AS (
+  SELECT vec_id,
+         list_transform({wlit},
+           w -> list_dot_product(
+                  list_transform(range(1, 65),
+                                 i -> vec[i] - ({_dlist(mu)})[i]), w))
+           AS yv
+  FROM e),
+qproj AS (
+  SELECT list_transform({wlit},
+           w -> list_dot_product(
+                  list_transform(range(1, 65),
+                                 i -> vec[i] - ({_dlist(mu)})[i]), w))
+           AS yv
+  FROM q),
+short AS (
+  SELECT p.vec_id, {_l2_sql('p.yv', 'qp.yv', dim=PCA_D)} AS approx
+  FROM proj p, qproj qp
+  ORDER BY approx, p.vec_id LIMIT {PCA_SHORTLIST})
+SELECT e.vec_id, s.approx, {_l2_sql('e.vec', 'q.vec')} AS score
+FROM e JOIN short s USING (vec_id), q
+ORDER BY score, e.vec_id LIMIT 10
+"""
+
+
+@register("pca_knn", oracle=_pca_oracle)
+def pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS `PCAMatrix` preprocessing (the `PCA{PCA_D},...` index
+    factory prefix; OPQ's rotation cousin): vectors project through a
+    broadcast (mean, {PCA_D}x64 component) artifact fitted on the
+    standard bounded sample, candidate shortlist by L2 in the
+    {PCA_D}-dim space (4x less distance math and memory traffic per
+    candidate), exact full-dim rerank on the survivors.
+
+    Scale shape: the fit is an offline driver-side artifact (the
+    kmeans_fit protocol — sampling, not corpus passes); projection
+    is map-side JVM fold math inside the scan (no UDF); the full
+    pass touches {PCA_D}-dim projections only. Determinism: both
+    fit paths consume the identical float64 sample so numpy eigh
+    returns identical components (sign-canonicalized); projections
+    and distances fold through the established sequential twin."""
+    mu, w, qvec = _pca_artifacts(sf_dir)
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    w_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in w])
+    q = spark.createDataFrame([Row(qvec=qvec)])
+
+    def project(vec_col):
+        xc = F.zip_with(vec_col, mu_lit, lambda x, m: x - m)
+        return F.transform(
+            w_lit, lambda wrow: F.aggregate(
+                F.zip_with(xc, wrow, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, t: acc + t))
+
+    proj = corpus.select("vec_id", project(F.col("vec")).alias("yv"))
+    qp = q.select(project(F.col("qvec")).alias("qyv"))
+    short = (proj.crossJoin(F.broadcast(qp))
+                 .select("vec_id", D.l2("yv", "qyv").alias("approx"))
+                 .orderBy("approx", "vec_id").limit(PCA_SHORTLIST))
+    return (corpus.join(F.broadcast(short), "vec_id")
+                  .crossJoin(F.broadcast(q))
+                  .select("vec_id", "approx",
+                          D.l2("vec", "qvec").alias("score"))
+                  .orderBy("score", "vec_id").limit(10))
