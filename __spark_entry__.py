@@ -122,6 +122,9 @@ _PRIORITY = [
     "sparse_expansion_search",
     # (o) FAISS PCAMatrix preprocessing: project-shortlist-rerank.
     "pca_knn",
+    # (p) W14/W15: update-mode emission history and sliding windows —
+    # the remaining output mode and window shape.
+    "stream_update_mode", "stream_sliding_windows",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

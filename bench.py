@@ -110,7 +110,7 @@ HEADLINE = [
     "array_contains_filter", "geohex_grid_agg",
     "stream_late_data", "ivf_sq8_knn",
     "pit_search_after", "alias_rollover", "sparse_expansion_search",
-    "pca_knn",
+    "pca_knn", "stream_update_mode", "stream_sliding_windows",
 ]
 
 

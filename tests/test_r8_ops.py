@@ -521,3 +521,32 @@ def test_pca_recall_and_variance_order(spark, sf_dir):
     assert np.allclose(W @ W.T, np.eye(PCA_D), atol=1e-9)
     var = ((x - np.array(mu)) @ W.T).var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(PCA_D - 1))
+
+
+def test_update_mode_emission_history(spark, sf_dir):
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_update_mode,
+    )
+
+    rows = stream_update_mode(spark, sf_dir).collect()
+    assert rows
+    # update mode emits per changed-batch: every day emits at least
+    # once; only quartile-boundary days emit more than once, so the
+    # total emission count is bounded by |days| + 2*(batches-1)
+    n_days = len(rows)
+    total_emissions = sum(r.n_emissions for r in rows)
+    assert all(1 <= r.n_emissions <= 4 for r in rows)
+    assert n_days <= total_emissions <= n_days + 2 * 3
+    assert sum(1 for r in rows if r.n_emissions > 1) >= 1
+
+
+def test_sliding_windows_double_membership(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_sliding_windows,
+    )
+
+    rows = stream_sliding_windows(spark, sf_dir).collect()
+    n_events = tables.load_events(spark, sf_dir).count()
+    # every event sits in exactly two 2h/1h windows
+    assert sum(r.n_events for r in rows) == 2 * n_events

@@ -573,6 +573,19 @@ def _replay_ordered_late(spark: SparkSession, sf_dir: str,
     The global ntile sort exists only to FABRICATE a deterministic
     arrival order for the replay harness — a production stream
     arrives already ordered by arrival and pays none of this."""
+    shift = F.when(F.col("event_id") % LATE_SHIFT_MOD == 0, 2) \
+             .otherwise(0)
+    return _replay_quartile(spark, sf_dir, tag, shift)
+
+
+def _replay_quartile(spark: SparkSession, sf_dir: str, tag: str,
+                     shift: F.Column) -> DataFrame:
+    """Shared ordered-replay substrate: events split into
+    {LATE_BATCHES} arrival batches by event-time quartile (ntile over
+    the (ts, event_id) total order), plus a per-row batch `shift`
+    column expression (0 for in-order arrival). Batch files are
+    written sequentially so the file source's modification-time order
+    replays them as separate micro-batches."""
     import os
     import tempfile
     import time as _time
@@ -588,11 +601,8 @@ def _replay_ordered_late(spark: SparkSession, sf_dir: str,
                        f"uvdb_{tag}_src_{abs(hash(sf_dir)) % 10 ** 8}")
     if src not in _REPLAY_WRITTEN:
         w = W.orderBy("ts", "event_id")
-        bno = F.least(
-            F.lit(LATE_BATCHES - 1),
-            F.ntile(LATE_BATCHES).over(w) - 1
-            + F.when(F.col("event_id") % LATE_SHIFT_MOD == 0, 2)
-               .otherwise(0))
+        bno = F.least(F.lit(LATE_BATCHES - 1),
+                      F.ntile(LATE_BATCHES).over(w) - 1 + shift)
         # persist the sorted assignment: the 4 per-batch writes would
         # otherwise each recompute the global ntile sort (the probe
         # measured the 4x recompute before this landed)
@@ -669,3 +679,88 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("w.start").alias("window_start"),
                        "event_type", "n")
                .orderBy("window_start", "event_type"))
+
+
+# ---------------------------------------------------- update mode
+
+@register("stream_update_mode", oracle=f"""
+WITH b AS (
+  SELECT *, ntile({LATE_BATCHES}) OVER (ORDER BY ts, event_id) AS bno
+  FROM events)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(DISTINCT bno) AS BIGINT) AS n_emissions,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM b GROUP BY 1 ORDER BY 1
+""")
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: UPDATE output-mode semantics driven end-to-end — the
+    third emission mode beside W1's complete and W13's append. A
+    per-day rollup over the time-ordered quartile replay emits, per
+    micro-batch, ONLY the keys that changed in that batch; the memory
+    sink therefore accumulates one row per (day, batch-that-touched-
+    it). The census reads the emission history back: `n_emissions`
+    per day equals the number of distinct replay batches containing
+    that day (most days live in one quartile, boundary days in two —
+    data-driven, pinned against the oracle's count(DISTINCT bno)),
+    and the LAST emission per key equals the batch fixpoint (counts
+    are monotone, so max == final == the relational total).
+
+    Scale: update mode is what a live dashboard sink consumes —
+    deltas, not the full state; state is O(days × 1) and emissions
+    are bounded by keys-touched-per-batch."""
+    stream = _replay_quartile(spark, sf_dir, "updmode", F.lit(0))
+    agg = (stream
+           .withWatermark("ts", "0 seconds")
+           .groupBy(F.date_trunc("day", "ts").alias("d"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("tv")))
+    out = _run_to_memory(agg, "update")
+    return (out.groupBy(F.col("d").cast("date").alias("day"))
+               .agg(F.count("*").cast("long").alias("n_emissions"),
+                    F.max("n").alias("n_events"),
+                    F.max("tv").cast("double").alias("total_value"))
+               .orderBy("day"))
+
+
+# ------------------------------------------------- sliding windows
+
+SLIDE_WIN = "2 hours"
+SLIDE_STEP = "1 hour"
+
+
+@register("stream_sliding_windows", oracle="""
+WITH w AS (
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0,
+         date_trunc('hour', ts) AS w1,
+         value
+  FROM events),
+x AS (
+  SELECT w0 AS window_start, value FROM w
+  UNION ALL
+  SELECT w1 AS window_start, value FROM w)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM x GROUP BY 1 ORDER BY 1
+""")
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: SLIDING (overlapping) event-time windows — window
+    {SLIDE_WIN} sliding every {SLIDE_STEP}, so each event belongs to
+    exactly two windows (the hour it is in, and the window starting
+    one hour earlier). Complete-mode fixpoint over the multi-batch
+    replay hash-checks against the relational two-membership
+    expansion — proving the overlap assignment, not just tumbling
+    W1. State is O(live windows × 2/step overlap), the standard
+    sliding-window cost."""
+    stream = _replay_events(spark, sf_dir, "slidewin")
+    agg = (stream
+           .withWatermark("ts", "0 seconds")
+           .groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .alias("tv")))
+    out = _run_to_memory(agg, "complete")
+    return (out.select(F.col("w.start").alias("window_start"),
+                       "n_events",
+                       F.col("tv").cast("double").alias("total_value"))
+               .orderBy("window_start"))
