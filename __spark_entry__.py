@@ -125,6 +125,8 @@ _PRIORITY = [
     # (p) W14/W15: update-mode emission history and sliding windows —
     # the remaining output mode and window shape.
     "stream_update_mode", "stream_sliding_windows",
+    # (q) Weaviate aggregate topOccurrences on a text property.
+    "top_occurrences_agg",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

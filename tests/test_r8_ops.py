@@ -550,3 +550,24 @@ def test_sliding_windows_double_membership(spark, sf_dir):
     n_events = tables.load_events(spark, sf_dir).count()
     # every event sits in exactly two 2h/1h windows
     assert sum(r.n_events for r in rows) == 2 * n_events
+
+
+def test_top_occurrences_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg6 import (
+        TOPOCC_K, top_occurrences_agg,
+    )
+
+    counts = {}
+    for _, toks, lang, _ in _docs(spark, sf_dir):
+        for t in toks:
+            counts[(lang, t)] = counts.get((lang, t), 0) + 1
+    model = []
+    langs = sorted({l for l, _ in counts})
+    for lang in langs:
+        terms = sorted(((-n, t) for (l, t), n in counts.items()
+                        if l == lang))
+        for rank, (n, t) in enumerate(terms[:TOPOCC_K], 1):
+            model.append((lang, rank, t, -n))
+    got = [(r.lang, r.rank, r.term, r.occurs)
+           for r in top_occurrences_agg(spark, sf_dir).collect()]
+    assert got == model

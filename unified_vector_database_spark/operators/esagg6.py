@@ -213,3 +213,44 @@ def geohex_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.select(cell.alias("cell"))
              .groupBy("cell").agg(F.count("*").alias("n"))
              .orderBy(F.desc("n"), "cell").limit(HEX_TOP))
+
+
+# ---------------------------------------------------- topOccurrences
+
+TOPOCC_K = 3
+
+
+@register("top_occurrences_agg", oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOK}) AS term FROM documents),
+c AS (SELECT lang, term, count(*) AS occurs
+      FROM tok GROUP BY lang, term),
+r AS (
+  SELECT lang, term, occurs,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY occurs DESC, term) AS rank
+  FROM c)
+SELECT lang, CAST(rank AS INT) AS rank, term, occurs
+FROM r WHERE rank <= {TOPOCC_K}
+ORDER BY lang, rank
+""")
+def top_occurrences_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `aggregate` on a text property with `topOccurrences`
+    (the {{value, occurs}} list Weaviate returns per group), grouped
+    by `lang`: the top-{TOPOCC_K} most frequent tokens per language
+    with their occurrence counts — the text-property twin of a terms
+    sub-aggregation.
+
+    Scale shape: ONE explode + (lang, term) partial-agg shuffle
+    (map-side combined, uniform keys); the per-group top-k window
+    runs on |langs × vocab| aggregated rows with WindowGroupLimit
+    pruning rank ≤ k map-side before the final shuffle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    from pyspark.sql import Window as W
+    c = (docs.select("lang", F.explode(tokens("text")).alias("term"))
+             .groupBy("lang", "term").agg(F.count("*").alias("occurs")))
+    w = W.partitionBy("lang").orderBy(F.desc("occurs"), "term")
+    return (c.withColumn("rank", F.row_number().over(w).cast("int"))
+             .where(F.col("rank") <= TOPOCC_K)
+             .select("lang", "rank", "term", "occurs")
+             .orderBy("lang", "rank"))
