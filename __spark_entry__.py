@@ -127,6 +127,10 @@ _PRIORITY = [
     "stream_update_mode", "stream_sliding_windows",
     # (q) Weaviate aggregate topOccurrences on a text property.
     "top_occurrences_agg",
+    # (r) ES nested-vector knn with inner_hits (max-passage parent
+    # scoring) — also re-proves rag_ingest_search on the shared
+    # chunk-scored substrate.
+    "nested_knn_inner_hits", "rag_ingest_search",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

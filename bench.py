@@ -111,7 +111,7 @@ HEADLINE = [
     "stream_late_data", "ivf_sq8_knn",
     "pit_search_after", "alias_rollover", "sparse_expansion_search",
     "pca_knn", "stream_update_mode", "stream_sliding_windows",
-    "top_occurrences_agg",
+    "top_occurrences_agg", "nested_knn_inner_hits",
 ]
 
 

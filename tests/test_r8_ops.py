@@ -571,3 +571,21 @@ def test_top_occurrences_matches_python_model(spark, sf_dir):
     got = [(r.lang, r.rank, r.term, r.occurs)
            for r in top_occurrences_agg(spark, sf_dir).collect()]
     assert got == model
+
+
+def test_nested_knn_parent_collapse(spark, sf_dir):
+    from unified_vector_database_spark.operators.inference import (
+        _chunk_scored, nested_knn_inner_hits,
+    )
+
+    rows = nested_knn_inner_hits(spark, sf_dir).collect()
+    assert rows
+    # one row per parent; parent score == max over its chunk scores
+    assert len({r.doc_id for r in rows}) == len(rows)
+    scored = {}
+    for r in _chunk_scored(spark, sf_dir).collect():
+        scored.setdefault(r.doc_id, []).append((r.score, r.chunk_idx))
+    for r in rows:
+        best = max(scored[r.doc_id], key=lambda t: (t[0], -t[1]))
+        assert (r.best_score, r.best_chunk_idx) == best
+        assert r.n_chunks == len(scored[r.doc_id])

@@ -272,6 +272,19 @@ def rag_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk+embed, one broadcast 1-row query frame, TakeOrdered page —
     at scale the knn step swaps for the IVF probe exactly as
     ivf_batch_knn does."""
+    scored = _chunk_scored(spark, sf_dir)
+    return (scored.orderBy(F.desc("score"), "doc_id", "chunk_idx")
+                  .limit(RAG_TOP))
+
+
+# ------------------------------------------- nested knn + inner_hits
+
+NESTED_TOP = 10
+
+
+def _chunk_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chunk→embed→score frame (doc_id, chunk_idx, score) —
+    the rag_ingest_search pipeline up to its ordering."""
     from ..functions import distance as D
     from .textops import chunk_sliding_t
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
@@ -286,10 +299,71 @@ def rag_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                            schema="doc_id long, chunk_idx int, "
                                   "emb array<double>")
               .select(F.col("emb").alias("qemb")))
-    scored = (embedded.crossJoin(F.broadcast(q))
-              .select("doc_id", "chunk_idx",
-                      F.round(D.safe_div(
-                          D.dot("emb", "qemb"),
-                          D.norm("emb") * D.norm("qemb")), 6).alias("score")))
-    return (scored.orderBy(F.desc("score"), "doc_id", "chunk_idx")
-                  .limit(RAG_TOP))
+    return (embedded.crossJoin(F.broadcast(q))
+            .select("doc_id", "chunk_idx",
+                    F.round(D.safe_div(
+                        D.dot("emb", "qemb"),
+                        D.norm("emb") * D.norm("qemb")), 6).alias("score")))
+
+
+def _nested_oracle() -> str:
+    from .textops import CHUNK_SIZE, CHUNK_STRIDE
+    cos = ("list_dot_product(emb, qemb)"
+           "/(sqrt(list_dot_product(emb, emb))"
+           "*sqrt(list_dot_product(qemb, qemb)))")
+    chunk = (f"substr(text, CAST(ci * {CHUNK_STRIDE} + 1 AS INT), "
+             f"{CHUNK_SIZE})")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(ceil((length(text) - {CHUNK_SIZE})
+                               / {CHUNK_STRIDE}.0) AS BIGINT) + 1) AS k
+  FROM documents),
+c AS (SELECT doc_id, text, unnest(range(0, k)) AS ci FROM s),
+e AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         {_emb_sql(chunk)} AS emb
+  FROM c),
+q AS (SELECT {_emb_sql(f"'{RAG_QUERY_TEXT}'")} AS qemb),
+scored AS (
+  SELECT doc_id, chunk_idx, round({cos}, 6) AS score FROM e, q),
+best AS (
+  SELECT doc_id, chunk_idx AS best_chunk_idx, score AS best_score,
+         CAST(n_chunks AS BIGINT) AS n_chunks
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, chunk_idx)
+                    AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n_chunks
+        FROM scored) WHERE rn = 1)
+SELECT doc_id, best_chunk_idx, best_score, n_chunks
+FROM best ORDER BY best_score DESC, doc_id LIMIT {NESTED_TOP}
+"""
+
+
+@register("nested_knn_inner_hits", oracle=_nested_oracle)
+def nested_knn_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn over NESTED dense_vector with `inner_hits` (the
+    passage-vector pattern ES 8 ships for long docs: each document
+    holds N chunk vectors; the hit list contains PARENT documents,
+    each scored by its best passage, with the winning passage
+    returned as the inner hit). Same chunk→embed substrate as
+    rag_ingest_search; the nested twist is the parent collapse —
+    per-doc argmax then top parents — which is exactly ES's
+    max-passage scoring semantics.
+
+    Scale shape: one chunk+embed corpus pass; the per-doc argmax is
+    a WindowGroupLimit-prunable rank over doc-partitioned chunk
+    rows (map-side prune to 1 row per doc before the final
+    TakeOrdered page)."""
+    from pyspark.sql import Window as W
+    scored = _chunk_scored(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "chunk_idx")
+    best = (scored.select("*", F.row_number().over(w).alias("rn"),
+                          F.count("*").over(W.partitionBy("doc_id"))
+                           .cast("long").alias("n_chunks"))
+                  .where(F.col("rn") == 1)
+                  .select("doc_id",
+                          F.col("chunk_idx").alias("best_chunk_idx"),
+                          F.col("score").alias("best_score"),
+                          "n_chunks"))
+    return best.orderBy(F.desc("best_score"), "doc_id").limit(NESTED_TOP)
