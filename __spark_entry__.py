@@ -131,6 +131,12 @@ _PRIORITY = [
     # scoring) — also re-proves rag_ingest_search on the shared
     # chunk-scored substrate.
     "nested_knn_inner_hits", "rag_ingest_search",
+    # (s) r9 wave: ES num_candidates shard curve, max/min_bucket,
+    # field_caps, Milvus JSON_CONTAINS, Weaviate cross-reference
+    # 2-hop filter, Milvus TTL expiry, W16 streaming upsert sink.
+    "shard_candidates_curve", "max_bucket_agg", "field_caps_census",
+    "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
+    "stream_upsert_collection",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -112,6 +112,12 @@ HEADLINE = [
     "pit_search_after", "alias_rollover", "sparse_expansion_search",
     "pca_knn", "stream_update_mode", "stream_sliding_windows",
     "top_occurrences_agg", "nested_knn_inner_hits",
+    # r9 wave: shard num_candidates curve, max/min_bucket keys,
+    # field_caps, JSON_CONTAINS family, cross-reference 2-hop
+    # filter, TTL expiry, streaming upsert sink
+    "shard_candidates_curve", "max_bucket_agg", "field_caps_census",
+    "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
+    "stream_upsert_collection",
 ]
 
 

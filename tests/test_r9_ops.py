@@ -1,0 +1,264 @@
+"""Round-6 r9-wave checks: independent Python re-derivations and
+plan-shape tests for the new ops (shard num_candidates curve,
+max/min_bucket, field_caps, JSON_CONTAINS family, cross-reference
+2-hop filter, TTL expiry scan, streaming upsert sink) — the defect
+class the hash oracle cannot see when both engines share a bug.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------- shard_candidates_curve
+
+def test_shard_curve_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.evaluation import (
+        SHARD_K, SHARD_N, SHARD_NC, shard_candidates_curve,
+    )
+
+    rows = tables.load(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    q = next(list(r.embedding) for r in rows if r.vec_id == 0)
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        d = sum(a * b for a, b in zip(v, q))
+        n = math.sqrt(sum(a * a for a in v))
+        return d / (n * qn)
+
+    scored = sorted(((cos(list(r.embedding)), r.vec_id) for r in rows),
+                    key=lambda t: (-t[0], t[1]))
+    exact = {vid for _, vid in scored[:SHARD_K]}
+    want = []
+    for nc in SHARD_NC:
+        seen: dict[int, int] = {}
+        cand = []
+        for s, vid in scored:                 # already globally sorted
+            sh = vid % SHARD_N
+            if seen.get(sh, 0) < nc:
+                seen[sh] = seen.get(sh, 0) + 1
+                cand.append((s, vid))
+        top = [vid for _, vid in
+               sorted(cand, key=lambda t: (-t[0], t[1]))[:SHARD_K]]
+        want.append((nc, len(cand),
+                     round(len(exact & set(top)) / SHARD_K, 6)))
+    got = [(r.num_candidates, r.n_candidates, r.recall_at_k)
+           for r in shard_candidates_curve(spark, sf_dir).collect()]
+    assert got == want
+    # num_candidates = k is exact by construction
+    assert got[-1][2] == 1.0
+
+
+def test_shard_curve_single_corpus_pass(spark, sf_dir):
+    from unified_vector_database_spark.operators.evaluation import (
+        shard_candidates_curve,
+    )
+
+    plan = _plan(shard_candidates_curve(spark, sf_dir))
+    # the corpus parquet is scanned once; downstream consumers read
+    # the checkpointed pruned frame
+    assert plan.count("embeddings.parquet") <= 1
+
+
+# ------------------------------------------------- max_bucket_agg
+
+def test_max_bucket_matches_python_model(spark, sf_dir, duck):
+    from unified_vector_database_spark.operators.esagg7 import (
+        max_bucket_agg,
+    )
+
+    buckets = {}
+    for mon, rev in duck.execute(
+            "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m'),"
+            " sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders"
+            " GROUP BY 1").fetchall():
+        buckets[mon] = float(rev)
+    hi, lo = max(buckets.values()), min(buckets.values())
+    want = [
+        ("max_bucket",
+         ",".join(sorted(k for k, v in buckets.items() if v == hi)), hi),
+        ("min_bucket",
+         ",".join(sorted(k for k, v in buckets.items() if v == lo)), lo),
+    ]
+    got = [(r.metric, r.keys, r.value)
+           for r in max_bucket_agg(spark, sf_dir).collect()]
+    assert [(m, k) for m, k, _ in got] == [(m, k) for m, k, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-9)
+
+
+# ----------------------------------------------- field_caps_census
+
+def test_field_caps_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.esagg7 import (
+        FC_HOT, FC_NOTE_TYPE, field_caps_census,
+    )
+
+    ev = tables.load(spark, sf_dir, "events") \
+        .select("event_type", "value").collect()
+    n = len(ev)
+    n_hot = sum(1 for r in ev if r.value > FC_HOT)
+    n_note = sum(1 for r in ev if r.event_type == FC_NOTE_TYPE)
+    want = [("et", "keyword", True, n),
+            ("hot", "boolean", True, n_hot),
+            ("k", "long", True, n),
+            ("note", "text", False, n_note)]
+    got = [(r.field, r.es_type, r.aggregatable, r.n_docs)
+           for r in field_caps_census(spark, sf_dir).collect()]
+    assert got == want
+    cov = {r.field: r.coverage
+           for r in field_caps_census(spark, sf_dir).collect()}
+    assert cov["et"] == 1.0 and cov["k"] == 1.0
+    assert cov["hot"] == pytest.approx(round(n_hot / n, 6))
+
+
+def test_field_caps_single_scan(spark, sf_dir):
+    from unified_vector_database_spark.operators.esagg7 import (
+        field_caps_census,
+    )
+
+    plan = _plan(field_caps_census(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
+
+
+# ------------------------------------------- json_contains_filter
+
+def test_json_contains_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.esagg7 import (
+        JC_ALL, JC_ANY, JC_HEAD, JC_ONE, JC_W_MIN, json_contains_filter,
+    )
+
+    want: dict[str, list[int]] = {}
+    for r in tables.load(spark, sf_dir, "documents").collect():
+        toks = [t for t in r.text.strip().split(" ") if t]
+        labels = list(dict.fromkeys(toks[:JC_HEAD]))
+        c = want.setdefault(r.lang, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += JC_ONE in labels
+        c[2] += any(t in labels for t in JC_ANY)
+        c[3] += all(t in labels for t in JC_ALL)
+        c[4] += r.n_chars >= JC_W_MIN
+    got = {r.lang: [r.n_total, r.n_contains, r.n_any, r.n_all, r.n_deep]
+           for r in json_contains_filter(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_json_contains_payload_is_real_json(spark, sf_dir):
+    """The Spark plan genuinely round-trips a serialized JSON payload
+    (to_json → get_json_object/from_json), not a direct array ref."""
+    import inspect
+
+    from unified_vector_database_spark.operators import esagg7
+
+    src = inspect.getsource(esagg7.json_contains_filter)
+    assert "to_json" in src and "get_json_object" in src
+
+
+# ------------------------------------------- crossref_2hop_filter
+
+def test_crossref_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.refs import (
+        REF_MIN_BAL, REF_PAGE, REF_REGION, crossref_2hop_filter,
+    )
+
+    nat = {r.n_nationkey: (r.n_name, r.n_regionkey)
+           for r in tables.load(spark, sf_dir, "nation").collect()}
+    reg = {r.r_regionkey: r.r_name
+           for r in tables.load(spark, sf_dir, "region").collect()}
+    want = []
+    for r in tables.load(spark, sf_dir, "customer").collect():
+        nname, rkey = nat[r.c_nationkey]
+        if reg[rkey] == REF_REGION and r.c_acctbal > REF_MIN_BAL:
+            want.append((r.c_custkey, r.c_name, nname, REF_REGION,
+                         float(r.c_acctbal)))
+    want = sorted(want)[:REF_PAGE]
+    got = [(r.c_custkey, r.c_name, r.nation, r.region, r.acctbal)
+           for r in crossref_2hop_filter(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_crossref_broadcasts_reference_chain(spark, sf_dir):
+    from unified_vector_database_spark.operators.refs import (
+        crossref_2hop_filter,
+    )
+
+    plan = _plan(crossref_2hop_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------- ttl_expiry_scan
+
+def test_ttl_matches_python_model(spark, sf_dir):
+    import datetime
+
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.lifecycle import (
+        TTL_DAYS, ttl_expiry_scan,
+    )
+
+    rows = tables.load_events(spark, sf_dir) \
+        .select("ts", "event_type", "value").collect()
+    now = max(r.ts for r in rows)
+    cut = now - datetime.timedelta(days=TTL_DAYS)
+    want: dict[str, list] = {}
+    for r in rows:
+        c = want.setdefault(r.event_type, [0, 0, 0.0])
+        if r.ts > cut:
+            c[0] += 1
+            c[2] += round(r.value, 2)
+        else:
+            c[1] += 1
+    got = {r.event_type: (r.n_live, r.n_expired, r.live_value)
+           for r in ttl_expiry_scan(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, (nl, ne, lv) in got.items():
+        assert (nl, ne) == tuple(want[k][:2])
+        assert lv == pytest.approx(want[k][2], abs=1e-6)
+    # everything is either live or expired
+    assert sum(nl + ne for nl, ne, _ in got.values()) == len(rows)
+
+
+# -------------------------------------- stream_upsert_collection
+
+def test_stream_upsert_last_writer_wins(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.streaming.ingest import (
+        LATE_BATCHES, stream_upsert_collection,
+    )
+
+    rows = tables.load_events(spark, sf_dir) \
+        .select("event_id", "ts", "user_id", "event_type", "value") \
+        .collect()
+    latest: dict[int, tuple] = {}
+    for r in rows:
+        k = (r.ts, r.event_id)
+        if r.user_id not in latest or k > latest[r.user_id][:2]:
+            latest[r.user_id] = (r.ts, r.event_id, r.event_type, r.value)
+    want: dict[str, list] = {}
+    for ts, _, et, v in latest.values():
+        c = want.setdefault(et, [0, 0.0, None])
+        c[0] += 1
+        c[1] += round(v, 2)
+        c[2] = ts if c[2] is None or ts > c[2] else c[2]
+    out = stream_upsert_collection(spark, sf_dir).collect()
+    got = {r.event_type: (r.n_users, r.total_value, r.last_ts, r.version)
+           for r in out}
+    assert set(got) == set(want)
+    for et, (n, tv, lt, ver) in got.items():
+        assert n == want[et][0]
+        assert tv == pytest.approx(want[et][1], abs=1e-6)
+        assert lt == want[et][2]
+        # one copy-on-write commit per replay micro-batch
+        assert ver == LATE_BATCHES

@@ -131,6 +131,13 @@ def build(spark, n: int) -> str:
         (repl.withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * ob)
              .drop("_r").repartition(32)
              .write.mode("overwrite").parquet(f"{big}/lineitem.parquet"))
+    for dim in ("nation", "region", "supplier"):
+        # dimension tables pass through UNCHANGED: at 100 TB the fact
+        # tables grow and the dims stay dimension-sized — replicating
+        # them would mismodel the broadcast side of every dim join
+        if not os.path.exists(f"{big}/{dim}.parquet"):
+            (tables.load(spark, SRC, dim).coalesce(1)
+             .write.mode("overwrite").parquet(f"{big}/{dim}.parquet"))
     return big
 
 

@@ -1,0 +1,249 @@
+"""ES pipeline/introspection stragglers + Milvus JSON payload
+filters, r9 wave: `max_bucket`/`min_bucket` (the sibling-pipeline
+pair returning the KEYS of extreme buckets, not just the value —
+stats_bucket beside it returns only values), the `_field_caps` API
+census over a dynamically-mapped JSON payload, and the Milvus
+`JSON_CONTAINS` filter family (the JSON twin of the typed-ARRAY
+family in esagg6.py).
+
+Reference parity: ES max_bucket / min_bucket pipeline aggregations
+(keys come back as an ARRAY — ties are all reported); ES field_caps
+(per-field type / searchable / aggregatable and how many indices —
+here documents — carry the field); Milvus JSON-field filtering
+(`json_contains`, `json_contains_any`, `json_contains_all`, and
+scalar path access `props["meta"]["w"]` in boolean expressions).
+
+Scale shapes: the bucket family runs one partial-agg shuffle of
+|months| rows and post-processes the bucket frame (pipeline aggs
+never re-touch the fact table); field_caps is map-side JSON
+extraction folded by ONE global partial agg (the per-field rows are
+unpivoted from a single aggregate row — no per-field scans); the
+JSON_CONTAINS census is map-side `from_json` + array ops in the scan
+stage feeding one |langs|-row rollup. At 100 TB the JSON parse
+happens once per row in the scan projection (schema-on-read), and
+the ingest-side answer — materialize a typed column — is the
+separately-proven `nested_payload_typed` path.
+
+Float determinism: money stays DECIMAL through the fold and casts to
+DOUBLE only in the last select on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..functions.text import tokens
+from ..registry import register
+
+# --------------------------------------------- max_bucket / min_bucket
+
+
+@register("max_bucket_agg", oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+x AS (SELECT max(rev) AS hi, min(rev) AS lo FROM m)
+SELECT 'max_bucket' AS metric,
+       string_agg(mon, ',' ORDER BY mon) AS keys,
+       CAST(any_value(x.hi) AS DOUBLE) AS value
+FROM m, x WHERE m.rev = x.hi
+UNION ALL
+SELECT 'min_bucket',
+       string_agg(mon, ',' ORDER BY mon),
+       CAST(any_value(x.lo) AS DOUBLE)
+FROM m, x WHERE m.rev = x.lo
+ORDER BY metric
+""")
+def max_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `max_bucket` + `min_bucket` pipeline aggregations over a
+    monthly date_histogram of order revenue: each returns the extreme
+    metric VALUE and the KEYS of every bucket achieving it (ES
+    reports ties as a keys array — here comma-joined in key order,
+    the repo's no-ARRAY-output policy). Completes the sibling
+    pipeline family beside stats_bucket / percentiles_bucket, which
+    reduce values but drop the keys.
+
+    Scale shape: one partial-agg shuffle of |months| rows builds the
+    bucket frame; the extremes are a 1-row aggregate broadcast back
+    onto it; ties collapse with a deterministic ordered string_agg.
+    The fact table is scanned exactly once."""
+    m = (tables.load(spark, sf_dir, "orders")
+         .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                "yyyy-MM").alias("mon"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .alias("rev")))
+    x = m.agg(F.max("rev").alias("hi"), F.min("rev").alias("lo"))
+    mb = (m.join(F.broadcast(x), m.rev == x.hi)
+           .agg(F.lit("max_bucket").alias("metric"),
+                F.array_join(F.array_sort(F.collect_list("mon")), ",")
+                 .alias("keys"),
+                F.any_value("hi").cast("double").alias("value")))
+    nb = (m.join(F.broadcast(x), m.rev == x.lo)
+           .agg(F.lit("min_bucket").alias("metric"),
+                F.array_join(F.array_sort(F.collect_list("mon")), ",")
+                 .alias("keys"),
+                F.any_value("lo").cast("double").alias("value")))
+    return mb.unionAll(nb).orderBy("metric")
+
+
+# ------------------------------------------------------- field_caps
+
+FC_HOT = 30.0            # events hotter than this carry a `hot` flag
+FC_NOTE_TYPE = "error"   # events of this type carry a `note` field
+
+_FC_JSON_SQL = f"""
+  SELECT '{{"k":' || json_extract_string(props, '$.k')
+         || ',"et":"' || event_type || '"'
+         || CASE WHEN value > {FC_HOT!r} THEN ',"hot":true' ELSE '' END
+         || CASE WHEN event_type = '{FC_NOTE_TYPE}'
+                 THEN ',"note":"err"' ELSE '' END
+         || '}}' AS j
+  FROM events"""
+
+
+@register("field_caps_census", oracle=f"""
+WITH d AS ({_FC_JSON_SQL}),
+a AS (
+  SELECT count(*) AS n,
+         count(json_extract_string(j, '$.k')) AS n_k,
+         count(json_extract_string(j, '$.et')) AS n_et,
+         count(json_extract_string(j, '$.hot')) AS n_hot,
+         count(json_extract_string(j, '$.note')) AS n_note
+  FROM d)
+SELECT f.field, f.es_type, f.aggregatable, f.n_docs,
+       round(f.n_docs * 1.0 / a.n, 6) AS coverage
+FROM a, LATERAL (VALUES
+  ('et',   'keyword', TRUE,  a.n_et),
+  ('hot',  'boolean', TRUE,  a.n_hot),
+  ('k',    'long',    TRUE,  a.n_k),
+  ('note', 'text',    FALSE, a.n_note)) AS f(field, es_type,
+                                             aggregatable, n_docs)
+ORDER BY f.field
+""")
+def field_caps_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_field_caps` over a dynamically-mapped JSON payload: the
+    events payload is serialized with conditionally-present fields
+    (`hot` only on hot events, `note` only on '{FC_NOTE_TYPE}'
+    events), and the census reports, per field, its mapped type,
+    whether it is aggregatable (text is not — ES needs a keyword
+    sub-field), how many documents carry it, and its coverage
+    fraction — the mapping-introspection call every client fires
+    before building an aggregation UI.
+
+    Scale shape: presence checks are map-side JSON extraction in the
+    scan stage folded by ONE global partial agg; the per-field output
+    rows unpivot from that single aggregate row (a 4-row stack
+    expression), so the corpus is scanned once regardless of how
+    many fields the mapping grows."""
+    ev = tables.load(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"k":'), F.get_json_object("props", "$.k"),
+        F.lit(',"et":"'), F.col("event_type"), F.lit('"'),
+        F.when(F.col("value") > FC_HOT, F.lit(',"hot":true'))
+         .otherwise(F.lit("")),
+        F.when(F.col("event_type") == FC_NOTE_TYPE,
+               F.lit(',"note":"err"')).otherwise(F.lit("")),
+        F.lit("}"))
+    # parse ONCE per row into a typed struct — the repeated
+    # get_json_object form re-parses the payload per field and the
+    # 64x probe measured it 33x; one from_json is the scale answer
+    # (the same parse-once rule events_props_json documents)
+    s = F.from_json(j, "k long, et string, hot boolean, note string")
+    d = ev.select(s.alias("s"))
+    a = d.agg(
+        F.count("*").alias("n"),
+        F.count("s.k").alias("n_k"),
+        F.count("s.et").alias("n_et"),
+        F.count("s.hot").alias("n_hot"),
+        F.count("s.note").alias("n_note"))
+    rows = [("et", "keyword", True, "n_et"),
+            ("hot", "boolean", True, "n_hot"),
+            ("k", "long", True, "n_k"),
+            ("note", "text", False, "n_note")]
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(f).alias("field"), F.lit(t).alias("es_type"),
+                 F.lit(ag).alias("aggregatable"),
+                 F.col(c).alias("n_docs"))
+        for f, t, ag, c in rows])).alias("f")
+    return (a.select("n", stack)
+             .select(F.col("f.field").alias("field"),
+                     F.col("f.es_type").alias("es_type"),
+                     F.col("f.aggregatable").alias("aggregatable"),
+                     F.col("f.n_docs").alias("n_docs"),
+                     F.round(F.col("f.n_docs") / F.col("n"), 6)
+                      .alias("coverage"))
+             .orderBy("field"))
+
+
+# ------------------------------------------------- JSON_CONTAINS family
+
+JC_HEAD = 8
+JC_ONE = "data"
+JC_ANY = ("vector", "merge")
+JC_ALL = ("key", "row")
+JC_W_MIN = 600
+
+
+@register("json_contains_filter", oracle=f"""
+WITH a AS (
+  SELECT lang, n_chars,
+         list_distinct(list_slice(
+           list_filter(string_split(trim(text), ' '), t -> t <> ''),
+           1, {JC_HEAD})) AS labels
+  FROM documents)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN list_contains(labels, '{JC_ONE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+       CAST(sum(CASE WHEN list_has_any(labels, {list(JC_ANY)!r})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+       CAST(sum(CASE WHEN list_has_all(labels, {list(JC_ALL)!r})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+       CAST(sum(CASE WHEN n_chars >= {JC_W_MIN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deep
+FROM a GROUP BY lang ORDER BY lang
+""")
+def json_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus JSON-field filter family: each document carries a JSON
+    payload `{{"labels": [...], "meta": {{"w": n}}}}` (serialized
+    with to_json — genuinely a string column, the Milvus JSON field
+    type), and the per-language census counts docs passing
+    `JSON_CONTAINS(props["labels"], '{JC_ONE}')`,
+    `JSON_CONTAINS_ANY(..., {JC_ANY})`, `JSON_CONTAINS_ALL(...,
+    {JC_ALL})`, and the scalar path predicate `props["meta"]["w"] >=
+    {JC_W_MIN}` — the four JSON operators Milvus exposes. The Spark
+    side REALLY round-trips JSON (to_json → from_json + array ops /
+    get_json_object for the scalar path), proving the schema-on-read
+    plan; the oracle computes the same census from the source
+    columns (the serialization is content-preserving by
+    construction).
+
+    Scale shape: one parse per row in the scan projection, array
+    membership map-side, ONE |langs|-row partial-agg shuffle. The
+    ingest-side alternative — materialize typed columns once — is
+    the `nested_payload_typed` path next door."""
+    docs = tables.load(spark, sf_dir, "documents")
+    labels = F.array_distinct(F.slice(tokens("text"), 1, JC_HEAD))
+    j = F.to_json(F.struct(
+        labels.alias("labels"),
+        F.struct(F.col("n_chars").alias("w")).alias("meta")))
+    d = docs.select("lang", j.alias("props"))
+    lab = F.from_json(F.get_json_object("props", "$.labels"),
+                      "array<string>")
+    w = F.get_json_object("props", "$.meta.w").cast("long")
+    parsed = d.select("lang", lab.alias("labels"), w.alias("w"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return (parsed.groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 flag(F.array_contains("labels", JC_ONE))
+                  .alias("n_contains"),
+                 flag(F.arrays_overlap(
+                     "labels", F.array(*[F.lit(t) for t in JC_ANY])))
+                  .alias("n_any"),
+                 flag(F.array_contains("labels", JC_ALL[0])
+                      & F.array_contains("labels", JC_ALL[1]))
+                  .alias("n_all"),
+                 flag(F.col("w") >= JC_W_MIN).alias("n_deep"))
+            .orderBy("lang"))

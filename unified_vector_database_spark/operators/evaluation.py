@@ -297,3 +297,100 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.sum(hit) / F.lit(MRL_K), 6)
                       .alias("recall"))
                 .orderBy("dim"))
+
+
+# ------------------------------------- shard num_candidates curve
+
+SHARD_N = 4                  # index shards (hash-routed, ES default-ish)
+SHARD_NC = (1, 3, 10)        # num_candidates levels swept
+SHARD_K = 10
+
+
+@register("shard_candidates_curve", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, {_COS} AS score,
+         e.vec_id % {SHARD_N} AS shard
+  FROM embeddings e, q),
+r AS (
+  SELECT vec_id, score,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY score DESC, vec_id) AS rk
+  FROM s),
+p AS (SELECT * FROM r WHERE rk <= {SHARD_K}),
+exact AS (SELECT vec_id FROM p ORDER BY score DESC, vec_id
+          LIMIT {SHARD_K}),
+lv(nc) AS (VALUES {", ".join(f"({nc})" for nc in SHARD_NC)}),
+cand AS (SELECT lv.nc, p.vec_id, p.score
+         FROM lv JOIN p ON p.rk <= lv.nc),
+nn AS (SELECT nc, count(*) AS n_candidates FROM cand GROUP BY 1),
+top AS (
+  SELECT nc, vec_id FROM (
+    SELECT nc, vec_id,
+           row_number() OVER (PARTITION BY nc
+                              ORDER BY score DESC, vec_id) AS g
+    FROM cand) WHERE g <= {SHARD_K}),
+rec AS (SELECT top.nc, count(exact.vec_id) AS n_hit
+        FROM top LEFT JOIN exact USING (vec_id) GROUP BY 1)
+SELECT CAST(rec.nc AS INT) AS num_candidates,
+       CAST(nn.n_candidates AS BIGINT) AS n_candidates,
+       round(rec.n_hit / {SHARD_K}.0, 6) AS recall_at_k
+FROM rec JOIN nn ON rec.nc = nn.nc
+ORDER BY num_candidates
+""")
+def shard_candidates_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES approximate-knn `num_candidates` tuning curve: the index is
+    hash-routed across {SHARD_N} shards (vec_id % {SHARD_N} — the
+    doc-id routing every distributed index uses); each shard returns
+    its local top-`num_candidates` by cosine and the coordinator
+    merges them into the global top-{SHARD_K}. Recall@{SHARD_K} vs
+    the exact search at num_candidates ∈ {SHARD_NC} — the third
+    approximation axis beside I13's nprobe (cells probed) and I15's
+    matryoshka dim (dimensions kept). num_candidates = k is exact by
+    construction (each shard holds ≤ k of the true top-k inside its
+    own top-k) — the curve's built-in sanity anchor.
+
+    Scale shape: ONE scored corpus pass; the per-shard rank window
+    partitions on the shard key (the data's natural layout — on a
+    real cluster this window is map-side per index partition) and
+    WindowGroupLimit prunes to rk ≤ {SHARD_K} before anything
+    shuffles, so the merged frame is ≤ shards×k rows. Exact baseline,
+    per-level cuts and recall joins all run on that bounded frame —
+    no second corpus pass, broadcast-tiny merges."""
+    from pyspark.sql import Row, Window as W
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    first = emb.where(F.col("vec_id") == 0).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "num_candidates int, n_candidates long, recall_at_k double")
+    q = spark.createDataFrame(
+        [Row(qvec=[float(x) for x in first.embedding])])
+    scored = (emb.select("vec_id",
+                         D.vec_double("embedding").alias("vec"),
+                         (F.col("vec_id") % SHARD_N).alias("shard"))
+                 .crossJoin(F.broadcast(q))
+                 .select("vec_id", "shard",
+                         D.cosine("vec", "qvec").alias("score")))
+    wsh = W.partitionBy("shard").orderBy(F.desc("score"), "vec_id")
+    pruned = (scored.withColumn("rk", F.row_number().over(wsh))
+                    .where(F.col("rk") <= SHARD_K)
+                    .select("vec_id", "score", "rk")
+                    .localCheckpoint(eager=False))
+    exact = (pruned.orderBy(F.desc("score"), "vec_id").limit(SHARD_K)
+                   .select("vec_id", F.lit(1).alias("hit")))
+    lv = spark.createDataFrame([(nc,) for nc in SHARD_NC], "nc int")
+    cand = pruned.join(F.broadcast(lv), pruned.rk <= lv.nc)
+    nn = cand.groupBy("nc").agg(F.count("*").alias("n_candidates"))
+    wnc = W.partitionBy("nc").orderBy(F.desc("score"), "vec_id")
+    top = (cand.withColumn("g", F.row_number().over(wnc))
+               .where(F.col("g") <= SHARD_K))
+    rec = (top.join(F.broadcast(exact), "vec_id", "left")
+              .groupBy("nc").agg(F.coalesce(F.sum("hit"), F.lit(0))
+                                 .alias("n_hit")))
+    return (rec.join(nn, "nc")
+               .select(F.col("nc").cast("int").alias("num_candidates"),
+                       F.col("n_candidates").cast("long"),
+                       F.round(F.col("n_hit") / float(SHARD_K), 6)
+                        .alias("recall_at_k"))
+               .orderBy("num_candidates"))

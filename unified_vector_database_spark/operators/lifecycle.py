@@ -396,3 +396,52 @@ def alias_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min("event_id").alias("min_id"),
                     F.max("event_id").alias("max_id"))
                .orderBy("gen"))
+
+
+# ------------------------------------------------------- TTL expiry
+
+TTL_DAYS = 10
+
+
+@register("ttl_expiry_scan", oracle=f"""
+WITH x AS (SELECT max(ts) AS now FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN ts > now - INTERVAL {TTL_DAYS} DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN ts > now - INTERVAL {TTL_DAYS} DAY
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_expired,
+       CAST(sum(CASE WHEN ts > now - INTERVAL {TTL_DAYS} DAY
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS live_value
+FROM events, x GROUP BY event_type ORDER BY event_type
+""")
+def ttl_expiry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus collection TTL semantics (`collection.ttl.seconds`:
+    entities older than the TTL are invisible to queries immediately
+    and reaped by the next compaction — Qdrant/ES spell the same
+    thing as index lifecycle deletes): a scan-time expiry census
+    against a deterministic clock (the corpus max event time, so the
+    row is reproducible), per type counting the live rows a query
+    would see, the expired rows compaction would reap, and the live
+    value total.
+
+    Scale shape: the expiry cutoff is a 1-row aggregate broadcast
+    onto the scan; the filter is map-side column math feeding one
+    |types|-row partial agg. In a date-partitioned layout the cutoff
+    becomes a partition-pruning predicate — expired partitions never
+    leave the file listing, which is what makes TTL free at 100 TB
+    (drop whole partitions, never rewrite live ones)."""
+    ev = tables.load_events(spark, sf_dir)
+    x = ev.agg(F.max("ts").alias("now"))
+    live = F.col("ts") > F.col("now") - F.expr(
+        f"INTERVAL {TTL_DAYS} DAYS")
+    return (ev.crossJoin(F.broadcast(x))
+              .groupBy("event_type")
+              .agg(F.sum(F.when(live, 1).otherwise(0)).cast("long")
+                    .alias("n_live"),
+                   F.sum(F.when(live, 0).otherwise(1)).cast("long")
+                    .alias("n_expired"),
+                   F.sum(F.when(live, F.col("value")
+                                .cast("decimal(18,2)")))
+                    .cast("double").alias("live_value"))
+              .orderBy("event_type"))

@@ -58,10 +58,11 @@ def load_all() -> None:
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, esagg, esagg2, esagg3,
-        esagg4, esagg5, esagg6, evaluation, geo, hybrid, index, inference,
+        esagg4, esagg5, esagg6, esagg7, evaluation, geo, hybrid, index,
+        inference,
         inverted,
         jpeg, knn, lifecycle, lm, matrix, multimodal, percolate,
-        quality, rerank, sampling, search_extras, search_extras2,
+        quality, refs, rerank, sampling, search_extras, search_extras2,
         search_extras3, search_extras4,
         search_more, simhash, simjoin, sketches, spans, sparse, stats,
         stats_more, suggest, textops, timeseries, tpch_extra,

@@ -764,3 +764,92 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_events",
                        F.col("tv").cast("double").alias("total_value"))
                .orderBy("window_start"))
+
+
+# ------------------------------------------- streaming upsert sink
+
+@register("stream_upsert_collection", oracle=f"""
+WITH b AS (
+  SELECT *, ntile({LATE_BATCHES}) OVER (ORDER BY ts, event_id) AS bno
+  FROM events),
+last AS (
+  SELECT * FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+v AS (SELECT CAST(count(DISTINCT bno) AS BIGINT) AS version FROM b)
+SELECT event_type,
+       count(*) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_value,
+       max(ts) AS last_ts,
+       any_value(v.version) AS version
+FROM last, v GROUP BY event_type ORDER BY event_type
+""")
+def stream_upsert_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: the streaming SINK side driven end-to-end — foreachBatch
+    keep-latest upsert into a real on-disk versioned collection (the
+    reference's live ingest: every backend's streaming add/upsert
+    path), over the time-ordered quartile replay. Each micro-batch
+    reduces to its latest row per user (the standard CDC compaction
+    inside foreachBatch) and commits one copy-on-write upsert;
+    because arrival order follows event time, the collection's final
+    state is exactly last-writer-wins per user, and the commit
+    history is one version per micro-batch — both pinned by the
+    oracle (`version` = the number of replay batches, the census =
+    the relational argmax per user).
+
+    Scale shape: the per-batch reduction partitions on the upsert id
+    (one bounded shuffle per micro-batch of batch-sized rows); the
+    upsert anti-join broadcasts the batch against the collection
+    head. At 100 TB the same sink runs from a Kafka source with the
+    collection partitioned by id range so the anti-join prunes to
+    touched partitions; the replay harness only fabricates arrival
+    order."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ..operators.index import artifact_path
+    from ..sources.catalog import Collection
+
+    stream = _replay_quartile(spark, sf_dir, "upsertcol", F.lit(0))
+    if not stream.isStreaming:
+        # SCHEMA_ONLY: the replay substrate handed back an empty
+        # batch frame; emit the result schema without touching disk.
+        return spark.createDataFrame(
+            [], "event_type string, n_users bigint, total_value double,"
+                " last_ts timestamp, version bigint")
+    base = artifact_path("stream_upsert", sf_dir)
+    if os.path.exists(base):
+        shutil.rmtree(base)  # deterministic rebuild per call
+    col = Collection.create(spark, base, "users", id_col="user_id")
+    wl = W.partitionBy("user_id").orderBy(F.desc("ts"),
+                                          F.desc("event_id"))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = (batch_df.withColumn("rn", F.row_number().over(wl))
+                          .where(F.col("rn") == 1).drop("rn"))
+        col.upsert(latest)
+
+    ck = os.path.join(tempfile.gettempdir(),
+                      "uvdb_upsertcol_ck_" + uuid.uuid4().hex[:8])
+    q = (stream.writeStream.foreachBatch(_sink)
+               .option("checkpointLocation", ck)
+               .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    version = col.describe().version
+    return (col.read()
+               .groupBy("event_type")
+               .agg(F.count("*").alias("n_users"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("total_value"),
+                    F.max("ts").alias("last_ts"))
+               .withColumn("version", F.lit(version).cast("long"))
+               .orderBy("event_type"))
