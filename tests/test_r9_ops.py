@@ -262,3 +262,34 @@ def test_stream_upsert_last_writer_wins(spark, sf_dir):
         assert lt == want[et][2]
         # one copy-on-write commit per replay micro-batch
         assert ver == LATE_BATCHES
+
+
+def test_stream_update_mode_fixpoint_with_negative_values(spark, tmp_path):
+    """Review-caught regression: update-mode's final emission per key
+    must be the LAST one (selected via the monotone count), not
+    max(total_value) — they differ whenever a day's cumulative value
+    sum is non-monotone across batches (negative event values)."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_update_mode,
+    )
+
+    sf = str(tmp_path / "upd_neg")
+    os.makedirs(sf, exist_ok=True)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i),
+                user_id=1, event_type="click",
+                value=10.0 if i < 4 else -10.0, props="{}")
+            for i in range(8)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    [r] = stream_update_mode(spark, sf).collect()
+    # emissions per batch: tv = 20, 40, 20, 0 -> fixpoint is 0.0
+    assert r.n_emissions == 4 and r.n_events == 8
+    assert r.total_value == 0.0

@@ -695,12 +695,9 @@ def script_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain knn gets, the boost riding along for free. ln(1+label) on an
     INTEGER label is libm-identical on both engines; round-6 absorbs
     the ulp."""
-    from ..operators.knn import corpus_with_query, cosine_score
+    from ..operators.knn import corpus_with_query, cosine_score, knn
     corpus, q = corpus_with_query(spark, sf_dir)
     score = cosine_score() + F.lit(SCRIPT_SCORE_WEIGHT) \
         * F.log(F.lit(1.0) + F.col("label"))
-    return (corpus.crossJoin(F.broadcast(q))
-                  .select("vec_id", "label",
-                          F.round(score, 6).alias("score"))
-                  .orderBy(F.desc("score"), "vec_id")
-                  .limit(10))
+    return knn(corpus, q, k=10, payload=("label",),
+               score=F.round(score, 6))

@@ -195,13 +195,10 @@ def knn_similarity_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary cannot ulp-flip. Plan: the same zero-shuffle
     scan→score→TakeOrdered as plain knn plus a trivial post-filter
     on k rows."""
-    from .knn import corpus_with_query, cosine_score
+    from .knn import corpus_with_query, cosine_score, knn
     corpus, q = corpus_with_query(spark, sf_dir)
-    topk = (corpus.crossJoin(F.broadcast(q))
-                  .select("vec_id", "label",
-                          F.round(cosine_score(), 6).alias("score"))
-                  .orderBy(F.desc("score"), "vec_id")
-                  .limit(KNN_CUT_K))
+    topk = knn(corpus, q, k=KNN_CUT_K, payload=("label",),
+               score=F.round(cosine_score(), 6))
     return (topk.where(F.col("score") >= KNN_CUT_SIM)
                 .orderBy(F.desc("score"), "vec_id"))
 

@@ -328,27 +328,35 @@ def sparse_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retrieval plan is UNCHANGED.
 
     Scale shape: expansion stats are one distinct-token explode +
-    groupBy (the only corpus-wide shuffle) against a broadcast
-    has-query flag; the {EXP_K}-row expansion table broadcasts into
+    groupBy (the only corpus-wide shuffle) with the per-doc has-query
+    flag computed map-side in the same scan (no join) and the corpus
+    totals folded in as a broadcast 1-row aggregate — zero eager
+    driver actions; the {EXP_K}-row expansion table broadcasts into
     the tf join, so scoring shuffles only (doc, matched-term) rows.
     Determinism: lift ranks by EXACT integer-ratio doubles; weights
     quantize to DECIMAL(18,6) before the merge-order-free decimal
     sum; no logs, no transcendentals."""
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    t = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
-    ex = t.select("doc_id", F.explode("toks").alias("term"))
-    hasq = ex.where(F.col("term") == EXP_QTERM).select("doc_id")
-    nd = t.count()
-    dq = hasq.count()
-    stats = (ex.join(F.broadcast(hasq.withColumn("_q", F.lit(1))),
-                     "doc_id", "left")
-               .groupBy("term")
+    t = (docs.select("doc_id",
+                     F.array_distinct(tokens("text")).alias("toks"))
+             .withColumn("_q", F.array_contains("toks", EXP_QTERM)))
+    # corpus totals fold into the plan as a broadcast 1-row aggregate,
+    # and the per-doc has-query flag is map-side array math — the
+    # eager t.count()/hasq.count() form paid an extra corpus tokenize
+    # pass plus a driver sync before the main job (review-caught)
+    cnt = t.agg(F.count("*").alias("nd"),
+                F.sum(F.when(F.col("_q"), 1).otherwise(0))
+                 .cast("long").alias("dq"))
+    ex = t.select("doc_id", "_q", F.explode("toks").alias("term"))
+    stats = (ex.groupBy("term")
                .agg(F.count("*").alias("df"),
-                    F.sum(F.when(F.col("_q").isNotNull(), 1).otherwise(0))
-                     .cast("long").alias("dboth")))
-    lift = F.try_divide((F.col("dboth") * nd).cast("double"),
-                        (F.col("df") * dq).cast("double"))
-    expansion = (stats.where((F.col("dboth") > 0) & (F.lit(dq) > 0))
+                    F.sum(F.when(F.col("_q"), 1).otherwise(0))
+                     .cast("long").alias("dboth"))
+               .crossJoin(F.broadcast(cnt)))
+    lift = F.try_divide(
+        (F.col("dboth") * F.col("nd")).cast("double"),
+        (F.col("df") * F.col("dq")).cast("double"))
+    expansion = (stats.where((F.col("dboth") > 0) & (F.col("dq") > 0))
                       .select("term", lift.alias("lift"),
                               F.round(lift, 6).cast("decimal(18,6)")
                                .alias("w"))

@@ -716,10 +716,16 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n"),
                 F.sum(F.col("value").cast("decimal(18,2)")).alias("tv")))
     out = _run_to_memory(agg, "update")
+    # the LAST emission per key is the batch fixpoint. n (count) is
+    # strictly monotone per emission, so max over (n, tv) structs
+    # selects it; a bare max("tv") would be wrong whenever the value
+    # sum is non-monotone (negative event values — review-caught,
+    # reproduced on a synthetic corpus before landing)
+    last_tv = F.max(F.struct("n", "tv")).getField("tv")
     return (out.groupBy(F.col("d").cast("date").alias("day"))
                .agg(F.count("*").cast("long").alias("n_emissions"),
                     F.max("n").alias("n_events"),
-                    F.max("tv").cast("double").alias("total_value"))
+                    last_tv.cast("double").alias("total_value"))
                .orderBy("day"))
 
 
