@@ -136,7 +136,7 @@ _PRIORITY = [
     # 2-hop filter, Milvus TTL expiry, W16 streaming upsert sink.
     "shard_candidates_curve", "max_bucket_agg", "field_caps_census",
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
-    "stream_upsert_collection",
+    "stream_upsert_collection", "terms_enum",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

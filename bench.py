@@ -117,7 +117,7 @@ HEADLINE = [
     # filter, TTL expiry, streaming upsert sink
     "shard_candidates_curve", "max_bucket_agg", "field_caps_census",
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
-    "stream_upsert_collection",
+    "stream_upsert_collection", "terms_enum",
 ]
 
 

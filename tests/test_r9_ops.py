@@ -293,3 +293,119 @@ def test_stream_update_mode_fixpoint_with_negative_values(spark, tmp_path):
     # emissions per batch: tv = 20, 40, 20, 0 -> fixpoint is 0.0
     assert r.n_emissions == 4 and r.n_events == 8
     assert r.total_value == 0.0
+
+
+# --------------------------------------------------------- terms_enum
+
+def test_terms_enum_matches_python_model(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.suggest import (
+        TE_PAGE, TE_PAGES, TE_PREFIX, terms_enum,
+    )
+
+    vocab = set()
+    for r in tables.load(spark, sf_dir, "documents").collect():
+        vocab.update(t for t in r.text.strip().split(" ")
+                     if t and t.startswith(TE_PREFIX))
+    terms = sorted(vocab)[:TE_PAGE * TE_PAGES]
+    want = [((i // TE_PAGE) + 1, (i % TE_PAGE) + 1, t)
+            for i, t in enumerate(terms)]
+    got = [(r.page, r.pos, r.term)
+           for r in terms_enum(spark, sf_dir).collect()]
+    assert got == want
+    assert len(got) > 0  # non-vacuous at this sf
+
+
+def test_terms_enum_is_window_free(spark, sf_dir):
+    from unified_vector_database_spark.operators.suggest import terms_enum
+
+    plan = _plan(terms_enum(spark, sf_dir))
+    assert "WindowExec" not in plan and "Window" not in plan
+
+
+# ---------------------------------------- r9 degenerate-corpus gate
+
+def test_r9_ops_survive_degenerate_corpora(spark, tmp_path):
+    """r9-wave twin of the standing edge gates: empty / single-row
+    corpora must not raise; schemas stay; counts degrade gracefully."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+
+    from unified_vector_database_spark.operators import esagg7 as E7
+    from unified_vector_database_spark.operators.evaluation import (
+        shard_candidates_curve,
+    )
+    from unified_vector_database_spark.operators.lifecycle import (
+        ttl_expiry_scan,
+    )
+    from unified_vector_database_spark.operators.refs import (
+        crossref_2hop_filter,
+    )
+    from unified_vector_database_spark.operators.suggest import terms_enum
+
+    def mk(name, table, schema, rows):
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        spark.createDataFrame(rows, schema) \
+            .write.mode("overwrite").parquet(f"{sf}/{table}.parquet")
+        return sf
+
+    doc_schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+    d_empty = mk("r9_d_empty", "documents", doc_schema, [])
+    d_single = mk("r9_d_single", "documents", doc_schema,
+                  [Row(doc_id=0, text="solo", lang="en", source="s",
+                       n_chars=4)])
+    for sf in (d_empty, d_single):
+        E7.json_contains_filter(spark, sf).collect()
+        terms_enum(spark, sf).collect()
+    [r] = terms_enum(spark, d_single).collect()
+    assert (r.page, r.pos, r.term) == (1, 1, "solo")
+
+    ev_schema = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    e_empty = mk("r9_e_empty", "events", ev_schema, [])
+    e_single = mk("r9_e_single", "events", ev_schema,
+                  [Row(event_id=0, ts=t0, user_id=1, event_type="click",
+                       value=5.0, props='{"k": 1}')])
+    for sf in (e_empty, e_single):
+        E7.field_caps_census(spark, sf).collect()
+        ttl_expiry_scan(spark, sf).collect()
+    [r] = ttl_expiry_scan(spark, e_single).collect()
+    assert (r.n_live, r.n_expired) == (1, 0)  # now == its own ts: live
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    m_empty = mk("r9_m_empty", "embeddings", emb_schema, [])
+    # no vec 0 -> empty curve with the right schema, no raise
+    out = shard_candidates_curve(spark, m_empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == \
+        ["num_candidates", "n_candidates", "recall_at_k"]
+
+    ord_schema = ("o_orderkey long, o_custkey long, o_orderstatus string,"
+                  " o_totalprice double, o_orderdate timestamp,"
+                  " o_orderpriority string")
+    o_single = mk("r9_o_single", "orders", ord_schema,
+                  [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+                       o_totalprice=10.0,
+                       o_orderdate=datetime.datetime(2024, 3, 1),
+                       o_orderpriority="1-URGENT")])
+    got = {(r.metric, r.keys, r.value)
+           for r in E7.max_bucket_agg(spark, o_single).collect()}
+    # one bucket: max and min coincide on the same key
+    assert got == {("max_bucket", "2024-03", 10.0),
+                   ("min_bucket", "2024-03", 10.0)}
+
+    cust_schema = ("c_custkey long, c_name string, c_nationkey long, "
+                   "c_acctbal double, c_mktsegment string")
+    nat_schema = "n_nationkey long, n_name string, n_regionkey long"
+    reg_schema = "r_regionkey long, r_name string"
+    sf = mk("r9_ref", "customer", cust_schema, [])
+    for tbl, sch, rows in (("nation", nat_schema, []),
+                           ("region", reg_schema, [])):
+        spark.createDataFrame(rows, sch) \
+            .write.mode("overwrite").parquet(f"{sf}/{tbl}.parquet")
+    assert crossref_2hop_filter(spark, sf).collect() == []

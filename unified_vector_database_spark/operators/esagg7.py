@@ -172,7 +172,8 @@ def field_caps_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("f.es_type").alias("es_type"),
                      F.col("f.aggregatable").alias("aggregatable"),
                      F.col("f.n_docs").alias("n_docs"),
-                     F.round(F.col("f.n_docs") / F.col("n"), 6)
+                     F.round(F.try_divide(F.col("f.n_docs"),
+                                          F.col("n")), 6)
                       .alias("coverage"))
              .orderBy("field"))
 

@@ -241,3 +241,59 @@ def suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.countDistinct("doc_id").alias("n_docs"))
                .orderBy(F.desc("freq"), "suggestion")
                .limit(10))
+
+
+# --------------------------------------------------------- terms_enum
+
+TE_PREFIX = "s"
+TE_PAGE = 5
+TE_PAGES = 2
+
+
+@register("terms_enum", oracle=f"""
+WITH v AS (
+  SELECT DISTINCT token AS term
+  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                  t -> t <> '')) AS token
+        FROM documents)
+  WHERE token LIKE '{TE_PREFIX}%'),
+r AS (SELECT term, row_number() OVER (ORDER BY term) AS rn FROM v)
+SELECT CAST(floor((rn - 1) / {TE_PAGE}.0) AS INT) + 1 AS page,
+       CAST(rn - (CAST(floor((rn - 1) / {TE_PAGE}.0) AS INT))
+            * {TE_PAGE} AS INT) AS pos,
+       term
+FROM r WHERE rn <= {TE_PAGE * TE_PAGES}
+ORDER BY page, pos
+""")
+def terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_terms_enum` API: enumerate the index's term dictionary
+    for terms matching a prefix, in LEXICAL order (NOT
+    frequency-ranked — that is suggest_prefix next door), `size`
+    {TE_PAGE} per page with `search_after` resuming from the last
+    term of the previous page ({TE_PAGES} pages here; rank paging is
+    exactly the cursor semantics because the order is total). The
+    call autocomplete UIs use for low-latency keyword completion
+    straight off the term dictionary.
+
+    Scale shape: the term dictionary is ONE distinct-token
+    explode+groupBy pass with the prefix pushed below the distinct
+    (a real inverted index serves this from its sorted term file —
+    the inverted.py layout); the surviving vocabulary slice is
+    bounded, ranked window-free by the bounded-array shape, and the
+    page cut is map-side arithmetic."""
+    from .hybrid import bounded_ranks
+    vocab = (exploded_tokens(tables.load_parallel(
+                 spark, sf_dir, "documents", "doc_id"),
+                 "doc_id", "text")
+             .where(F.col("token").startswith(TE_PREFIX))
+             .select(F.col("token").alias("term")).distinct())
+    r = bounded_ranks(vocab.withColumn("_z", F.lit(0)), "_z", "term",
+                      "rn")
+    page = (F.floor((F.col("rn") - 1) / float(TE_PAGE)).cast("int")
+            + F.lit(1))
+    return (r.where(F.col("rn") <= TE_PAGE * TE_PAGES)
+             .select(page.alias("page"),
+                     (F.col("rn") - (page - 1) * TE_PAGE).cast("int")
+                      .alias("pos"),
+                     "term")
+             .orderBy("page", "pos"))
