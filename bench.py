@@ -118,6 +118,7 @@ HEADLINE = [
     "shard_candidates_curve", "max_bucket_agg", "field_caps_census",
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
     "stream_upsert_collection", "terms_enum",
+    "sq8_quantile_calibration", "stream_static_enrich",
 ]
 
 

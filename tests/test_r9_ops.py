@@ -409,3 +409,76 @@ def test_r9_ops_survive_degenerate_corpora(spark, tmp_path):
         spark.createDataFrame(rows, sch) \
             .write.mode("overwrite").parquet(f"{sf}/{tbl}.parquet")
     assert crossref_2hop_filter(spark, sf).collect() == []
+
+
+# ------------------------------------- sq8_quantile_calibration
+
+def test_sq8_calibration_matches_numpy_model(spark, sf_dir):
+    import numpy as np
+
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.operators.index import (
+        QCAL_HI, QCAL_LEVELS, QCAL_LO, sq8_quantile_calibration,
+    )
+
+    rows = tables.load(spark, sf_dir, "embeddings") \
+        .select("embedding").collect()
+    m = np.array([[float(x) for x in r.embedding] for r in rows])
+    out = sq8_quantile_calibration(spark, sf_dir).collect()
+    assert len(out) == m.shape[1]
+    for r in out:
+        col = m[:, r.pos - 1]
+        qlo = round(float(np.quantile(col, QCAL_LO)), 6)
+        qhi = round(float(np.quantile(col, QCAL_HI)), 6)
+        assert r.qlo == pytest.approx(qlo, abs=2e-6)
+        assert r.qhi == pytest.approx(qhi, abs=2e-6)
+        n_clip = int(((col < r.qlo) | (col > r.qhi)).sum())
+        assert r.n_clipped == n_clip
+        step = (r.qhi - r.qlo) / QCAL_LEVELS
+        code = np.round((np.clip(col, r.qlo, r.qhi) - r.qlo) / step)
+        mse = float(((col - (r.qlo + code * step)) ** 2).mean())
+        assert r.mse == pytest.approx(mse, abs=1e-8)
+        # reconstruction error is bounded by the grid: half a step
+        # inside the clip range, full outlier distance outside
+        assert r.mse < max(step * step, 1.0)
+
+
+def test_sq8_calibration_clips_fewer_than_min_max(spark, sf_dir):
+    """Quantile bounds genuinely clip (that is their point): some
+    values fall outside [p01, p99] on every dim of a continuous
+    corpus."""
+    from unified_vector_database_spark.operators.index import (
+        sq8_quantile_calibration,
+    )
+
+    out = sq8_quantile_calibration(spark, sf_dir).collect()
+    assert all(r.n_clipped > 0 for r in out)
+
+
+# ----------------------------------------- stream_static_enrich
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.streaming.ingest import (
+        stream_static_enrich,
+    )
+
+    rows = tables.load_events(spark, sf_dir) \
+        .select("event_type", "value").collect()
+    ref: dict[str, list] = {}
+    for r in rows:
+        ref.setdefault(r.event_type, []).append(r.value)
+    want = {}
+    for et, vals in ref.items():
+        avg = round(sum(vals) / len(vals), 6)
+        dev = sum(round(v - avg, 6) for v in vals)
+        want[et] = (len(vals), avg,
+                    sum(1 for v in vals if v > avg), dev)
+    got = {r.event_type: (r.n_events, r.ref_avg, r.n_above,
+                          r.total_dev)
+           for r in stream_static_enrich(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for et, (n, avg, above, dev) in got.items():
+        assert (n, above) == (want[et][0], want[et][2])
+        assert avg == pytest.approx(want[et][1], abs=1e-9)
+        assert dev == pytest.approx(want[et][3], abs=1e-4)

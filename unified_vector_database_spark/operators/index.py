@@ -1398,3 +1398,91 @@ def pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("vec_id", "approx",
                           D.l2("vec", "qvec").alias("score"))
                   .orderBy("score", "vec_id").limit(10))
+
+
+# -------------------------------------- quantile-calibrated SQ8
+
+QCAL_LO = 0.01
+QCAL_HI = 0.99
+QCAL_LEVELS = 255
+
+
+@register("sq8_quantile_calibration", oracle=f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+b AS (
+  SELECT pos,
+         round(quantile_cont(x, {QCAL_LO!r}), 6) AS qlo,
+         round(quantile_cont(x, {QCAL_HI!r}), 6) AS qhi
+  FROM ex GROUP BY pos),
+j AS (
+  SELECT ex.pos, ex.x, b.qlo, b.qhi,
+         (b.qhi - b.qlo) / {QCAL_LEVELS}.0 AS step
+  FROM ex JOIN b USING (pos)),
+c AS (
+  SELECT pos, x, qlo, qhi, step,
+         CASE WHEN step = 0 THEN 0.0
+              ELSE round((least(greatest(x, qlo), qhi) - qlo) / step, 0)
+         END AS code
+  FROM j)
+SELECT pos,
+       any_value(qlo) AS qlo, any_value(qhi) AS qhi,
+       CAST(sum(CASE WHEN x < qlo OR x > qhi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       round(CAST(sum(CAST((x - (qlo + code * step))
+                           * (x - (qlo + code * step))
+                           AS DECIMAL(26,14))) AS DOUBLE)
+             / count(*), 9) AS mse
+FROM c GROUP BY pos ORDER BY pos
+""")
+def sq8_quantile_calibration(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Quantile-calibrated scalar quantization census — the
+    calibration FAISS's ScalarQuantizer runs under
+    `QT_8bit` + rangestat=quantiles and ES's int8 dense_vector under
+    `confidence_interval`: per dimension, train bounds at the
+    [{QCAL_LO}, {QCAL_HI}] quantiles instead of min/max (outliers
+    stop stretching the grid), clip + quantize to {QCAL_LEVELS}
+    levels, and report the bounds, how many values were clipped, and
+    the reconstruction MSE — the numbers that decide whether int8 is
+    safe for a corpus before reindexing 100 TB of vectors.
+
+    Scale shape: one posexplode feeds a |dims|-group exact-percentile
+    agg (at production scale swap in approx_percentile's mergeable
+    t-digest — same plan shape, as stats.py documents); the 64-row
+    bounds frame broadcasts back onto the exploded scan; clip/code/
+    error are map-side column math; the error fold quantizes to
+    DECIMAL before summing so the census is merge-order-free.
+
+    Determinism: bounds round to 1e-6 on both engines before use (the
+    interpolated quantile is the only cross-engine-inexact input);
+    code rounding is on positive values where HALF_UP and
+    half-away-from-zero agree; the MSE fold is exact decimal."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    ex = (emb.select(F.posexplode("embedding").alias("p0", "xf"))
+             .select((F.col("p0") + 1).alias("pos"),
+                     F.col("xf").cast("double").alias("x")))
+    b = ex.groupBy("pos").agg(
+        F.round(F.percentile("x", F.lit(QCAL_LO)), 6).alias("qlo"),
+        F.round(F.percentile("x", F.lit(QCAL_HI)), 6).alias("qhi"))
+    j = ex.join(F.broadcast(b), "pos")
+    step = (F.col("qhi") - F.col("qlo")) / float(QCAL_LEVELS)
+    clipped = F.least(F.greatest(F.col("x"), F.col("qlo")),
+                      F.col("qhi"))
+    code = F.when(step == 0, F.lit(0.0)) \
+            .otherwise(F.round((clipped - F.col("qlo")) / step, 0))
+    deq = F.col("qlo") + code * step
+    err = ((F.col("x") - deq) * (F.col("x") - deq)) \
+        .cast("decimal(26,14)")
+    out_of = (F.col("x") < F.col("qlo")) | (F.col("x") > F.col("qhi"))
+    return (j.select("pos", "x", "qlo", "qhi", err.alias("err"),
+                     F.when(out_of, 1).otherwise(0).alias("clip"))
+             .groupBy("pos")
+             .agg(F.any_value("qlo").alias("qlo"),
+                  F.any_value("qhi").alias("qhi"),
+                  F.sum("clip").cast("long").alias("n_clipped"),
+                  F.round(F.sum("err").cast("double") / F.count("*"), 9)
+                   .alias("mse"))
+             .orderBy("pos"))

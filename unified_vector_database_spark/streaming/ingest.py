@@ -859,3 +859,56 @@ def stream_upsert_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("ts").alias("last_ts"))
                .withColumn("version", F.lit(version).cast("long"))
                .orderBy("event_type"))
+
+
+# -------------------------------------- stream-static enrichment
+
+@register("stream_static_enrich", oracle="""
+WITH d AS (SELECT event_type, round(avg(value), 6) AS ref_avg
+           FROM events GROUP BY 1)
+SELECT e.event_type,
+       count(*) AS n_events,
+       any_value(d.ref_avg) AS ref_avg,
+       CAST(sum(CAST(e.value - d.ref_avg AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_dev,
+       CAST(sum(CASE WHEN e.value > d.ref_avg THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM events e JOIN d USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: STREAM-STATIC join — the most common production streaming
+    pattern (enrich a live stream against batch reference data) and a
+    distinct Structured Streaming execution surface from the
+    stream-stream join (W9) and the stateful aggs: the static side is
+    planned once and broadcast into every micro-batch. The reference
+    frame here is per-type batch statistics (the 'reference data'
+    produced by an offline job); each streamed event joins its type's
+    reference average and the complete-mode rollup censuses count,
+    deviation sum, and how many events beat their reference — the
+    fixpoint hash-matches the all-batch relational join.
+
+    Scale shape: the static side is |types| rows — broadcast, no
+    shuffle added to the stream; the only streaming state is the
+    |types|-key aggregate. Deviations quantize to DECIMAL before the
+    sum so the fold is merge-order-free across micro-batches. At
+    100 TB/day this is the plan a feature-enrichment sink compiles
+    to, with the reference table refreshed by the batch pipeline."""
+    ref = (tables.load_events(spark, sf_dir)
+           .groupBy("event_type")
+           .agg(F.round(F.avg("value"), 6).alias("ref_avg")))
+    stream = _replay_events(spark, sf_dir, "enrich")
+    joined = stream.join(F.broadcast(ref), "event_type")
+    dev = (F.col("value") - F.col("ref_avg")).cast("decimal(18,6)")
+    agg = (joined.groupBy("event_type")
+                 .agg(F.count("*").alias("n_events"),
+                      F.any_value("ref_avg").alias("ref_avg"),
+                      F.sum(dev).alias("dv"),
+                      F.sum(F.when(F.col("value") > F.col("ref_avg"),
+                                   1).otherwise(0)).cast("long")
+                       .alias("n_above")))
+    out = _run_to_memory(agg, "complete")
+    return (out.select("event_type", "n_events", "ref_avg",
+                       F.col("dv").cast("double").alias("total_dev"),
+                       "n_above")
+               .orderBy("event_type"))
