@@ -138,6 +138,8 @@ _PRIORITY = [
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
     "stream_upsert_collection", "terms_enum",
     "sq8_quantile_calibration", "stream_static_enrich",
+    # (t) r10 wave: FAISS OPQ rotation + PQ.
+    "opq_pq_knn",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -119,6 +119,8 @@ HEADLINE = [
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
     "stream_upsert_collection", "terms_enum",
     "sq8_quantile_calibration", "stream_static_enrich",
+    # r10 wave
+    "opq_pq_knn",
 ]
 
 

@@ -1486,3 +1486,178 @@ def sq8_quantile_calibration(spark: SparkSession,
                   F.round(F.sum("err").cast("double") / F.count("*"), 9)
                    .alias("mse"))
              .orderBy("pos"))
+
+
+# --------------------------------------------------- OPQ rotation + PQ
+
+_OPQ_FIT_CACHE: dict[str, tuple] = {}
+
+
+def opq_fit(x):
+    """Deterministic OPQ rotation: the full-rank PCA eigenbasis of the
+    sample covariance, sign-canonicalized per component (largest-
+    magnitude entry positive). This is exactly how FAISS initializes
+    `OPQMatrix` (PCA with eigenvalue allocation) before its
+    alternating refinement; the PCA rotation alone already
+    decorrelates the dims so the per-subspace Lloyd quantizers stop
+    wasting codes on covariant axes. Returns (mu, R) with R (64, 64)
+    orthogonal — L2 distances are invariant under the shared
+    shift+rotation, so ADC in rotated space estimates original-space
+    distances."""
+    import numpy as np
+
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = xc.T @ xc / (x.shape[0] - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    r = vecs[:, order].T
+    for i in range(r.shape[0]):
+        j = int(np.abs(r[i]).argmax())
+        if r[i, j] < 0:
+            r[i] = -r[i]
+    return ([float(v) for v in mu],
+            [[float(v) for v in row] for row in r])
+
+
+def _opq_artifacts(sf_dir: str):
+    """(mu, R, codebooks, qvec) refit Spark-free from the standard
+    bounded sample (the _oracle_artifacts protocol): rotation from
+    opq_fit, then PQ codebooks Lloyd-fit on the ROTATED sample — the
+    Spark plan and the SQL oracle consume identical literals."""
+    import duckdb
+    import numpy as np
+
+    if sf_dir not in _OPQ_FIT_CACHE:
+        src = f"{sf_dir}/embeddings.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{src}' "
+            f"ORDER BY vec_id LIMIT {KMEANS_SAMPLE}").fetchall()
+        qrow = con.execute(
+            f"SELECT embedding FROM '{src}' WHERE vec_id = 0").fetchone()
+        con.close()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        mu, r = opq_fit(x)
+        # rotate the training sample with BLAS: the codebooks it
+        # trains are SHARED LITERALS between the Spark plan and the
+        # SQL oracle, so only the corpus/query rotation (engine folds,
+        # _rotate_col vs list_dot_product) needs cross-engine bit
+        # equality — training rotation just needs determinism.
+        y = (x - np.asarray(mu)) @ np.asarray(r).T
+        dsub = y.shape[1] // PQ_M
+        cbs = [
+            [[float(v) for v in cc]
+             for cc in _lloyd(y[:, j * dsub:(j + 1) * dsub], PQ_KSUB,
+                              KMEANS_ITERS)]
+            for j in range(PQ_M)]
+        qvec = [float(v) for v in qrow[0]]
+        _OPQ_FIT_CACHE[sf_dir] = (mu, r, cbs, qvec)
+    return _OPQ_FIT_CACHE[sf_dir]
+
+
+def _rotate_col(vec_col, mu, r):
+    """y = R @ (x - mu) as a JVM fold: zip_with subtract, then one
+    sequential multiply-add fold per component — the exact operand
+    order of DuckDB's list_dot_product, so both engines rotate to the
+    same bits (the pca_knn-proven equivalence)."""
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    r_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in r])
+    xc = F.zip_with(vec_col, mu_lit, lambda x, m: x - m)
+    return F.transform(
+        r_lit, lambda rrow: F.aggregate(
+            F.zip_with(xc, rrow, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, t: acc + t))
+
+
+def _opq_rotate_sql(mu, r, src: str = "e") -> str:
+    wlit = "[" + ",".join(_dlist(row) for row in r) + "]"
+    return f"""(
+  SELECT vec_id,
+         list_transform({wlit},
+           w -> list_dot_product(
+                  list_transform(range(1, 65),
+                                 i -> {src}.vec[i] - ({_dlist(mu)})[i]), w))
+           AS vec
+  FROM {src})"""
+
+
+def _opq_oracle() -> str:
+    mu, r, cbs, qvec = _opq_artifacts(_oracle_sf())
+    import numpy as np
+
+    qrot = [float(sum_)
+            for sum_ in _seq_rotate(np.asarray(qvec, dtype=np.float64),
+                                    np.asarray(mu), np.asarray(r))]
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec FROM e WHERE vec_id = 0),
+rot AS {_opq_rotate_sql(mu, r)},
+{_pq_ctes(cbs, qrot, enc_src='rot')}
+SELECT e.vec_id, s.adc, {_l2_sql('e.vec', 'q.vec')} AS score
+FROM e JOIN short s USING (vec_id), q
+ORDER BY score, e.vec_id LIMIT 10
+"""
+
+
+def _seq_rotate(x, mu, r):
+    """One query vector rotated with the same sequential fold as the
+    plan/oracle (driver-side, 64x64 — trivial)."""
+    xi = x - mu
+    out = []
+    for c in range(r.shape[0]):
+        acc = 0.0
+        for t in xi * r[c]:
+            acc += t
+        out.append(acc)
+    return out
+
+
+def opq_codes_artifact(spark: SparkSession, sf_dir: str,
+                       rotated: DataFrame, cbs) -> DataFrame:
+    path = artifact_path("opq_codes", sf_dir)
+    _build_if_absent(path, lambda p: pq_encode(rotated, cbs)
+                     .write.mode("overwrite").parquet(p))
+    return spark.read.parquet(path)
+
+
+@register("opq_pq_knn", oracle=_opq_oracle)
+def opq_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I20 — FAISS `OPQ{PQ_M},PQ{PQ_M}x4` index-factory pipeline
+    (reference README.md:96 `faiss-cpu`; OPQMatrix + ProductQuantizer):
+    rotate every vector by a trained orthogonal matrix so the PQ
+    subspaces decorrelate, PQ-encode the ROTATED vectors, ADC
+    shortlist in rotated space, exact full-precision rerank on the
+    originals (L2 is rotation-invariant, so the exact reranker needs
+    no rotation at all).
+
+    Scale shape: (mu, R, codebooks) are one bounded offline
+    driver-side fit (KMEANS_SAMPLE rows; broadcast-sized — R is
+    64x64 floats); rotation + encode is ONE distributed map-only pass
+    persisted as a parquet codes artifact (the pq_codes_artifact
+    posture — no row touches the driver); every probe scans 8-byte
+    codes, and only the {PQ_SHORTLIST}-row shortlist ever touches
+    full vectors again. Determinism: both engines rotate with the
+    same sequential multiply-add fold and share fit literals."""
+    mu, r, cbs, qvec = _opq_artifacts(sf_dir)
+    import numpy as np
+
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    rotated = corpus.select(
+        "vec_id", _rotate_col(F.col("vec"), mu, r).alias("vec"))
+    codes = opq_codes_artifact(spark, sf_dir, rotated, cbs)
+    qrot = _seq_rotate(np.asarray(qvec, dtype=np.float64),
+                       np.asarray(mu), np.asarray(r))
+    short = (pq_adc_scores(codes, qrot, cbs)
+             .orderBy(F.col("adc").asc(), "vec_id")
+             .limit(PQ_SHORTLIST)
+             .select("vec_id", "adc"))
+    qdf = spark.createDataFrame([Row(qvec=[float(v) for v in qvec])])
+    return (corpus.join(F.broadcast(short), "vec_id")
+                  .crossJoin(F.broadcast(qdf))
+                  .select("vec_id", "adc", D.l2("vec", "qvec").alias("score"))
+                  .orderBy(F.col("score").asc(), "vec_id")
+                  .limit(10))
