@@ -138,8 +138,11 @@ _PRIORITY = [
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
     "stream_upsert_collection", "terms_enum",
     "sq8_quantile_calibration", "stream_static_enrich",
-    # (t) r10 wave: FAISS OPQ rotation + PQ.
-    "opq_pq_knn",
+    # (t) r10 wave: FAISS OPQ rotation + PQ, ES _mvt vector
+    # tiles, geo_shape envelope relations, Weaviate certainty,
+    # deterministic training-export shards, corpus drift KL.
+    "opq_pq_knn", "search_mvt_tile", "geo_shape_envelope",
+    "near_vector_certainty", "training_shards", "corpus_drift_kl",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

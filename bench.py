@@ -120,7 +120,8 @@ HEADLINE = [
     "stream_upsert_collection", "terms_enum",
     "sq8_quantile_calibration", "stream_static_enrich",
     # r10 wave
-    "opq_pq_knn",
+    "opq_pq_knn", "search_mvt_tile", "geo_shape_envelope",
+    "near_vector_certainty", "training_shards", "corpus_drift_kl",
 ]
 
 

@@ -106,3 +106,172 @@ def test_opq_probe_reads_codes_artifact_not_vectors(spark, sf_dir):
 
 
 # ------------------------------------------------------ search_mvt_tile
+
+def test_mvt_tile_matches_python_model(spark, sf_dir):
+    import duckdb
+
+    from unified_vector_database_spark.operators.esagg4 import (
+        MVT_GRID_BITS, MVT_X, MVT_Y, _MVT_FINE_N, _MVT_FINE_Z,
+        _slippy_xy, search_mvt_tile,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT c_custkey, c_acctbal FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    con.close()
+    cells = {}
+    for ck, bal in rows:
+        lat = ((ck * 9973) % 18000) / 100.0 - 90.0
+        lon = ((ck * 7919) % 36000) / 100.0 - 180.0
+        xt, yt = _slippy_xy(lat, lon, _MVT_FINE_Z)
+        if (xt >> MVT_GRID_BITS, yt >> MVT_GRID_BITS) != (MVT_X, MVT_Y):
+            continue
+        cells.setdefault((xt, yt), []).append((ck, bal))
+    want = []
+    for (xt, yt), hits in cells.items():
+        top = sorted(hits, key=lambda t: (-t[1], t[0]))[0]
+        want.append((f"{_MVT_FINE_Z}/{xt}/{yt}", len(hits),
+                     round(sum(b for _, b in hits), 2), top[0], top[1]))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = [(r.cell, r.n, r.sum_bal, r.top_custkey, r.top_bal)
+           for r in search_mvt_tile(spark, sf_dir).collect()]
+    assert got == want[:25]
+    assert len(got) > 0
+    # every returned cell really lives inside the target tile
+    for cell, *_ in got:
+        _, x, y = cell.split("/")
+        assert int(x) >> MVT_GRID_BITS == MVT_X
+        assert int(y) >> MVT_GRID_BITS == MVT_Y
+        assert int(x) < _MVT_FINE_N and int(y) < _MVT_FINE_N
+
+
+# --------------------------------------------------- geo_shape_envelope
+
+def test_geo_shape_relations_match_python_model(spark, sf_dir):
+    import duckdb
+
+    from unified_vector_database_spark.operators.geo import (
+        GS_Q_MAXLAT, GS_Q_MAXLON, GS_Q_MINLAT, GS_Q_MINLON,
+        geo_shape_envelope,
+    )
+
+    con = duckdb.connect()
+    keys = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'").fetchall()]
+    con.close()
+    want = []
+    for ck in sorted(keys):
+        lat = ((ck * 9973) % 18000) / 100.0 - 90.0
+        lon = ((ck * 7919) % 36000) / 100.0 - 180.0
+        dlat = ((ck * 31) % 500) / 100.0
+        dlon = ((ck * 17) % 500) / 100.0
+        mnla, mxla = lat - dlat, lat + dlat
+        mnlo, mxlo = lon - dlon, lon + dlon
+        if not (mnla <= GS_Q_MAXLAT and mxla >= GS_Q_MINLAT
+                and mnlo <= GS_Q_MAXLON and mxlo >= GS_Q_MINLON):
+            continue
+        if (mnla >= GS_Q_MINLAT and mxla <= GS_Q_MAXLAT
+                and mnlo >= GS_Q_MINLON and mxlo <= GS_Q_MAXLON):
+            rel = "WITHIN"
+        elif (mnla <= GS_Q_MINLAT and mxla >= GS_Q_MAXLAT
+                and mnlo <= GS_Q_MINLON and mxlo >= GS_Q_MAXLON):
+            rel = "CONTAINS"
+        else:
+            rel = "INTERSECTS"
+        want.append((ck, rel))
+    got = [(r.c_custkey, r.relation)
+           for r in geo_shape_envelope(spark, sf_dir).collect()]
+    assert got == want[:50]
+    assert len(got) > 0
+    # the classifier is exercised beyond the trivial single class
+    assert len({rel for _, rel in got}) >= 2
+
+
+# ------------------------------------------------ near_vector_certainty
+
+def test_certainty_threshold_cuts_below_limit(spark, sf_dir):
+    from unified_vector_database_spark.operators.knn import (
+        NV_CERTAINTY, NV_CERT_LIMIT, near_vector_certainty,
+    )
+
+    got = near_vector_certainty(spark, sf_dir).collect()
+    assert 0 < len(got) < NV_CERT_LIMIT  # the floor cuts, not the limit
+    assert all(r.certainty >= NV_CERTAINTY for r in got)
+    certs = [r.certainty for r in got]
+    assert certs == sorted(certs, reverse=True)
+    assert all(0.0 <= c <= 1.0 for c in certs)
+    # the query itself (vec_id 0) is certainty 1.0, the max
+    assert got[0].vec_id == 0 and got[0].certainty == 1.0
+
+
+# ----------------------------------------------------- training_shards
+
+def test_training_shards_balanced_and_complete(spark, sf_dir):
+    import duckdb
+
+    from unified_vector_database_spark.operators.sampling import (
+        SHARDS_N, training_shards,
+    )
+
+    got = training_shards(spark, sf_dir).collect()
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    con.close()
+    assert sum(r.n_docs for r in got) == n_docs     # every doc lands once
+    assert {r.shard for r in got} <= set(range(SHARDS_N))
+    # hash routing balances: no shard more than 4x the mean (small-N
+    # corpora are noisy; at scale the bound tightens as 1/sqrt(n))
+    mean = n_docs / SHARDS_N
+    assert max(r.n_docs for r in got) <= 4 * mean + 4
+
+
+def test_training_shards_deterministic_across_runs(spark, sf_dir):
+    from unified_vector_database_spark.operators.sampling import (
+        training_shards,
+    )
+
+    a = [tuple(r) for r in training_shards(spark, sf_dir).collect()]
+    b = [tuple(r) for r in training_shards(spark, sf_dir).collect()]
+    assert a == b
+
+
+# ----------------------------------------------------- corpus_drift_kl
+
+def test_corpus_drift_kl_matches_python_model(spark, sf_dir):
+    import math as m
+
+    import duckdb
+
+    from unified_vector_database_spark.operators.quality import (
+        corpus_drift_kl,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    con.close()
+    ca, cb = {}, {}
+    for did, text in rows:
+        tgt = ca if did % 2 == 0 else cb
+        for t in text.strip().split(" "):
+            if t:
+                tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(ca) | set(cb)
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    contribs = {}
+    for t in vocab:
+        p = (ca.get(t, 0) + 1) / (ta + v)
+        q = (cb.get(t, 0) + 1) / (tb + v)
+        contribs[t] = round(p * round(m.log(p / q), 6), 12)
+    got = corpus_drift_kl(spark, sf_dir).collect()
+    assert got[0].term == "[TOTAL_KL]"
+    assert got[0].ca == ta and got[0].cb == tb
+    assert m.isclose(got[0].contrib, sum(contribs.values()), abs_tol=1e-9)
+    # KL(A||A) would be 0; a same-corpus split should be small but the
+    # smoothed estimator is nonneg-biased — assert finite, not huge
+    assert 0 <= got[0].contrib < 1.0
+    top = sorted(contribs.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r.term, r.contrib) for r in got[1:]] \
+        == [(t, pytest.approx(c, abs=1e-9)) for t, c in top]

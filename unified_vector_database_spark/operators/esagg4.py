@@ -333,3 +333,125 @@ def terms_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tok.where(part == TERMS_PARTITION)
                .groupBy("term").agg(F.count("*").cast("long").alias("n"))
                .orderBy(F.desc("n"), "term").limit(25))
+
+
+# ------------------------------------------------------------ search_mvt
+
+MVT_Z = 1            # target tile zoom (the /{z}/{x}/{y} of the call)
+MVT_GRID_BITS = 4    # grid_precision: cells are z+4 subtiles (16x16)
+_MVT_FINE_Z = MVT_Z + MVT_GRID_BITS
+_MVT_FINE_N = 1 << _MVT_FINE_Z
+
+
+def _slippy_xy(lat: float, lon: float, z: int) -> tuple[int, int]:
+    """Driver-side twin of the geotile cell math (query tile pick)."""
+    n = 1 << z
+    latc = min(max(lat, -GEOTILE_LAT_LIM), GEOTILE_LAT_LIM)
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    rad = math.radians(latc)
+    y = min(max(int(math.floor(
+        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+        / 2.0 * n)), 0), n - 1)
+    return x, y
+
+
+MVT_X, MVT_Y = _slippy_xy(40.0, -74.0, MVT_Z)  # geo.py's query center
+
+
+def _fine_xy_sql() -> str:
+    return f"""
+g AS (
+  SELECT c_custkey, c_acctbal,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+c AS (
+  SELECT c_custkey, c_acctbal, lon,
+         least(greatest(lat, -{GEOTILE_LAT_LIM!r}), {GEOTILE_LAT_LIM!r})
+           AS latc
+  FROM g),
+t AS (
+  SELECT c_custkey, c_acctbal,
+    least(greatest(CAST(floor((lon + 180.0) / 360.0 * {_MVT_FINE_N})
+                        AS BIGINT), 0), {_MVT_FINE_N - 1}) AS xt,
+    least(greatest(CAST(floor(
+        (1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc)))
+               / {math.pi!r}) / 2.0 * {_MVT_FINE_N}) AS BIGINT),
+                   0), {_MVT_FINE_N - 1}) AS yt
+  FROM c)"""
+
+
+@register("search_mvt_tile", oracle=f"""
+WITH {_fine_xy_sql()},
+hit AS (
+  SELECT * FROM t
+  WHERE xt // {1 << MVT_GRID_BITS} = {MVT_X}
+    AND yt // {1 << MVT_GRID_BITS} = {MVT_Y}),
+ranked AS (
+  SELECT xt, yt, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY xt, yt
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM hit)
+SELECT '{_MVT_FINE_Z}/' || CAST(xt AS VARCHAR) || '/'
+         || CAST(yt AS VARCHAR) AS cell,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_bal,
+       max(CASE WHEN rn = 1 THEN c_custkey END) AS top_custkey,
+       CAST(max(CASE WHEN rn = 1 THEN c_acctbal END) AS DOUBLE)
+         AS top_bal
+FROM ranked GROUP BY xt, yt
+ORDER BY n DESC, cell LIMIT 25
+""")
+def search_mvt_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_mvt` vector-tile search (`GET /idx/_mvt/<field>/{MVT_Z}/
+    {MVT_X}/{MVT_Y}?grid_precision={MVT_GRID_BITS}`): everything the
+    tile response carries, relationally — hits inside ONE target
+    slippy tile bucketed into its {1 << MVT_GRID_BITS}x
+    {1 << MVT_GRID_BITS} sub-cell grid (the `aggs` layer: count +
+    sum), plus each cell's top feature by account balance (the `hits`
+    layer cut, size-per-cell 1).
+
+    Scale shape: cell coords are the geotile JVM column math in the
+    scan; the TILE FILTER is an integer shift of the fine coords (one
+    predicate, map-side — on a lat/lon-partitioned layout it becomes
+    partition pruning, which is why tile serving scales: each request
+    reads 1/4^z of the corpus); the hits-layer cut is a per-cell
+    WindowGroupLimit (rank 1), never a global sort; the aggs layer is
+    one partial-agg'd groupBy over ≤4^{MVT_GRID_BITS} cells."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    latc = F.least(F.greatest(F.col("lat"), F.lit(-GEOTILE_LAT_LIM)),
+                   F.lit(GEOTILE_LAT_LIM))
+    rad = F.radians(latc)
+    xt = F.least(F.greatest(
+        F.floor((F.col("lon") + 180.0) / 360.0 * _MVT_FINE_N).cast("long"),
+        F.lit(0)), F.lit(_MVT_FINE_N - 1))
+    yt = F.least(F.greatest(
+        F.floor((F.lit(1.0)
+                 - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+                 / F.lit(math.pi)) / F.lit(2.0) * _MVT_FINE_N).cast("long"),
+        F.lit(0)), F.lit(_MVT_FINE_N - 1))
+    hit = (cust.select("c_custkey", "c_acctbal",
+                       xt.alias("xt"), yt.alias("yt"))
+               .where((F.col("xt") / (1 << MVT_GRID_BITS))
+                      .cast("long") == MVT_X)
+               .where((F.col("yt") / (1 << MVT_GRID_BITS))
+                      .cast("long") == MVT_Y))
+    rn = F.row_number().over(
+        W.partitionBy("xt", "yt")
+         .orderBy(F.desc("c_acctbal"), "c_custkey"))
+    ranked = hit.withColumn("rn", rn)
+    cell = F.concat(F.lit(f"{_MVT_FINE_Z}/"),
+                    F.col("xt").cast("string"), F.lit("/"),
+                    F.col("yt").cast("string"))
+    return (ranked.groupBy("xt", "yt")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+                  .cast("double").alias("sum_bal"),
+                 F.max(F.when(F.col("rn") == 1, F.col("c_custkey")))
+                  .alias("top_custkey"),
+                 F.max(F.when(F.col("rn") == 1, F.col("c_acctbal")))
+                  .cast("double").alias("top_bal"))
+            .select(cell.alias("cell"), "n", "sum_bal",
+                    "top_custkey", "top_bal")
+            .orderBy(F.desc("n"), "cell").limit(25))

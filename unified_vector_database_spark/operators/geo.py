@@ -256,3 +256,94 @@ def geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                    .cast("double").alias("total_bal"))
              .orderBy("ring"))
+
+
+# ------------------------------------------------- geo_shape envelope
+
+# Query envelope (ES geo_shape `envelope` is [[minLon, maxLat],
+# [maxLon, minLat]] — top-left / bottom-right).
+GS_Q_MINLAT, GS_Q_MAXLAT = 30.0, 50.0
+GS_Q_MINLON, GS_Q_MAXLON = -90.0, -60.0
+# Per-customer indexed shape: a service-area box around the point,
+# half-extent up to 5 degrees, derived from the key.
+_GS_DLAT = "((c_custkey * 31) % 500) / 100.0"
+_GS_DLON = "((c_custkey * 17) % 500) / 100.0"
+
+
+@register("geo_shape_envelope", oracle=f"""
+WITH geo AS (
+  SELECT c_custkey,
+         ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+s AS (
+  SELECT c_custkey,
+         lat - {_GS_DLAT} AS minlat, lat + {_GS_DLAT} AS maxlat,
+         lon - {_GS_DLON} AS minlon, lon + {_GS_DLON} AS maxlon
+  FROM geo),
+hit AS (
+  SELECT * FROM s
+  WHERE minlat <= {GS_Q_MAXLAT!r} AND maxlat >= {GS_Q_MINLAT!r}
+    AND minlon <= {GS_Q_MAXLON!r} AND maxlon >= {GS_Q_MINLON!r})
+SELECT c_custkey,
+       round(minlat, 6) AS minlat, round(maxlat, 6) AS maxlat,
+       round(minlon, 6) AS minlon, round(maxlon, 6) AS maxlon,
+       CASE
+         WHEN minlat >= {GS_Q_MINLAT!r} AND maxlat <= {GS_Q_MAXLAT!r}
+          AND minlon >= {GS_Q_MINLON!r} AND maxlon <= {GS_Q_MAXLON!r}
+           THEN 'WITHIN'
+         WHEN minlat <= {GS_Q_MINLAT!r} AND maxlat >= {GS_Q_MAXLAT!r}
+          AND minlon <= {GS_Q_MINLON!r} AND maxlon >= {GS_Q_MAXLON!r}
+           THEN 'CONTAINS'
+         ELSE 'INTERSECTS'
+       END AS relation
+FROM hit ORDER BY c_custkey LIMIT 50
+""")
+def geo_shape_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_shape` query with an `envelope` against INDEXED SHAPES
+    (boxes, not points — the surface geo_bounding_box can't serve):
+    every customer carries a service-area box; the query envelope
+    returns each intersecting shape classified by its actual spatial
+    relation (WITHIN / CONTAINS / INTERSECTS — the three ES
+    `relation` modes, decided per hit like the BKD tree reports).
+
+    Scale shape: the intersection test is the separating-axis
+    interval overlap — four sargable comparisons on the box-bound
+    columns, map-side in the scan; on a corpus laid out by a
+    space-filling curve over (minlat, minlon) those predicates become
+    row-group pruning (the parquet min/max twin of Lucene's BKD
+    tree), so an envelope query reads only the overlapping stripe of
+    a 100 TB shape table. Relation classification is branch-free
+    column math on the hits only; no join, no shuffle before the
+    bounded ORDER BY."""
+    cust = with_coords(tables.load(spark, sf_dir, "customer"))
+    dlat = ((F.col("c_custkey") * 31) % 500) / 100.0
+    dlon = ((F.col("c_custkey") * 17) % 500) / 100.0
+    s = cust.select(
+        "c_custkey",
+        (F.col("lat") - dlat).alias("minlat"),
+        (F.col("lat") + dlat).alias("maxlat"),
+        (F.col("lon") - dlon).alias("minlon"),
+        (F.col("lon") + dlon).alias("maxlon"))
+    hit = s.where((F.col("minlat") <= GS_Q_MAXLAT)
+                  & (F.col("maxlat") >= GS_Q_MINLAT)
+                  & (F.col("minlon") <= GS_Q_MAXLON)
+                  & (F.col("maxlon") >= GS_Q_MINLON))
+    within = ((F.col("minlat") >= GS_Q_MINLAT)
+              & (F.col("maxlat") <= GS_Q_MAXLAT)
+              & (F.col("minlon") >= GS_Q_MINLON)
+              & (F.col("maxlon") <= GS_Q_MAXLON))
+    contains = ((F.col("minlat") <= GS_Q_MINLAT)
+                & (F.col("maxlat") >= GS_Q_MAXLAT)
+                & (F.col("minlon") <= GS_Q_MINLON)
+                & (F.col("maxlon") >= GS_Q_MAXLON))
+    rel = (F.when(within, "WITHIN")
+            .when(contains, "CONTAINS")
+            .otherwise("INTERSECTS"))
+    return (hit.select("c_custkey",
+                       F.round("minlat", 6).alias("minlat"),
+                       F.round("maxlat", 6).alias("maxlat"),
+                       F.round("minlon", 6).alias("minlon"),
+                       F.round("maxlon", 6).alias("maxlon"),
+                       rel.alias("relation"))
+               .orderBy("c_custkey").limit(50))

@@ -962,3 +962,42 @@ def knn_search_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("rk").cast("int").alias("rk"),
                          "vec_id", "label", "score")
                  .orderBy("rk"))
+
+
+# ------------------------------------------- Weaviate certainty search
+
+NV_CERTAINTY = 0.62   # Weaviate nearVector { certainty: ... }
+NV_CERT_LIMIT = 20
+
+
+@register("near_vector_certainty", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qvec)
+             / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qvec, qvec))) AS score
+      FROM embeddings, q)
+SELECT vec_id, (1.0 + score) / 2.0 AS certainty
+FROM s WHERE (1.0 + score) / 2.0 >= {NV_CERTAINTY!r}
+ORDER BY certainty DESC, vec_id LIMIT {NV_CERT_LIMIT}
+""")
+def near_vector_certainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V41 — Weaviate `nearVector` with a `certainty` threshold:
+    certainty = (1 + cosine) / 2 rescales cosine onto [0, 1] (the
+    Weaviate GraphQL `_additional {{ certainty }}` field), hits below
+    the floor are cut BEFORE the limit — Weaviate's contract that a
+    certainty search can return fewer than `limit` results rather
+    than pad with weak ones.
+
+    Scale shape: identical to range_search — the rescale is one
+    map-side affine on the cosine already in the scan projection, the
+    floor is a scan filter, the limit is TakeOrdered. Zero shuffle."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    cert = (F.lit(1.0) + cosine_score()) / F.lit(2.0)
+    return (corpus.crossJoin(F.broadcast(q))
+            .select("vec_id", cert.alias("certainty"))
+            .where(F.col("certainty") >= NV_CERTAINTY)
+            .orderBy(F.desc("certainty"), "vec_id")
+            .limit(NV_CERT_LIMIT))

@@ -305,3 +305,92 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("score"), F.col("neg_id"))
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
                  .where(F.col("rank") <= HN_K))
+
+
+# ------------------------------------------------- corpus drift (KL)
+
+DRIFT_TOP = 15
+
+
+@register("corpus_drift_kl", oracle="""
+WITH tok AS (
+  SELECT doc_id % 2 AS slice,
+         unnest(list_filter(string_split(trim(text), ' '),
+                            t -> t <> '')) AS term
+  FROM documents),
+cnt AS (
+  SELECT term,
+         CAST(count(*) FILTER (WHERE slice = 0) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE slice = 1) AS BIGINT) AS cb
+  FROM tok GROUP BY term),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cnt),
+con AS (
+  SELECT term, ca, cb,
+         CAST(round(
+             (CAST(ca + 1 AS DOUBLE) / (ta + v))
+             * CAST(round(ln((CAST(ca + 1 AS DOUBLE) / (ta + v))
+                             / (CAST(cb + 1 AS DOUBLE) / (tb + v))), 6)
+                    AS DOUBLE),
+             12) AS DECIMAL(16,12)) AS contrib
+  FROM cnt, tot),
+top AS (
+  SELECT term, ca, cb, CAST(contrib AS DOUBLE) AS contrib
+  FROM con ORDER BY contrib DESC, term LIMIT 15),
+total AS (
+  SELECT '[TOTAL_KL]' AS term, t.ta AS ca, t.tb AS cb,
+         CAST(sum(c.contrib) AS DOUBLE) AS contrib
+  FROM con c, tot t GROUP BY t.ta, t.tb)
+SELECT * FROM (SELECT * FROM total UNION ALL SELECT * FROM top) u
+ORDER BY u.term = '[TOTAL_KL]' DESC, contrib DESC, term
+""")
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 — corpus drift census between two ingest slices (even vs
+    odd doc_id here; in production, last week's crawl vs this
+    week's): add-one-smoothed unigram KL divergence KL(A||B) plus the
+    top terms by KL contribution — the monitoring number a training-
+    data pipeline alarms on before a shifted batch poisons a mix, and
+    the term list that says WHAT shifted.
+
+    Scale shape: ONE token explode feeds a per-term conditional-count
+    groupBy (the only token-volume shuffle, partial-agg'd map-side);
+    totals and vocab size are a 1-row broadcast; per-term
+    contributions are map-side column math over the |vocab| count
+    frame. Determinism: the libm ln rounds to 6 before use and each
+    term's contribution quantizes to DECIMAL(16,12) before the exact
+    total sum — merge-order-free (the DSIR discipline)."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(F.filter(F.split(F.trim("text"), " "),
+                           lambda t: t != "")).alias("term"))
+    cnt = (tok.groupBy("term")
+              .agg(F.sum(F.when(F.col("slice") == 0, 1).otherwise(0))
+                    .cast("long").alias("ca"),
+                   F.sum(F.when(F.col("slice") == 1, 1).otherwise(0))
+                    .cast("long").alias("cb"))
+              .localCheckpoint(eager=False))
+    tot = cnt.agg(F.sum("ca").cast("long").alias("ta"),
+                  F.sum("cb").cast("long").alias("tb"),
+                  F.count("*").cast("long").alias("v"))
+    p = (F.col("ca") + 1).cast("double") / (F.col("ta") + F.col("v"))
+    q = (F.col("cb") + 1).cast("double") / (F.col("tb") + F.col("v"))
+    contrib = F.round(p * F.round(F.log(p / q), 6), 12) \
+               .cast("decimal(16,12)")
+    con = (cnt.crossJoin(F.broadcast(tot))
+              .select("term", "ca", "cb", contrib.alias("contrib"))
+              .localCheckpoint(eager=False))
+    top = (con.select("term", "ca", "cb",
+                      F.col("contrib").cast("double").alias("contrib"))
+              .orderBy(F.desc("contrib"), "term").limit(DRIFT_TOP))
+    total = (con.crossJoin(F.broadcast(tot))
+                .groupBy("ta", "tb")
+                .agg(F.sum("contrib").cast("double").alias("contrib"))
+                .select(F.lit("[TOTAL_KL]").alias("term"),
+                        F.col("ta").alias("ca"), F.col("tb").alias("cb"),
+                        "contrib"))
+    return (total.unionAll(top)
+                 .orderBy(F.desc(F.col("term") == "[TOTAL_KL]"),
+                          F.desc("contrib"), "term"))

@@ -405,3 +405,56 @@ def weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (q.select("doc_id", F.round("quality", 6).alias("weight"),
                      key.alias("key"))
              .orderBy(F.desc("key"), "doc_id").limit(WSK_K))
+
+
+# --------------------------------------------- training export shards
+
+SHARDS_N = 32         # shard fan-out of the export
+SHARDS_SALT = "shard"
+
+
+@register("training_shards", oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS n_tokens,
+         (('0x' || substr(md5('{SHARDS_SALT}:'
+                              || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           % {SHARDS_N} AS shard
+  FROM documents)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM t GROUP BY shard ORDER BY shard
+""")
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 — deterministic training-export sharding census: every
+    document routes to shard md5(salt:doc_id) % {SHARDS_N} and the
+    census reports per-shard doc / token / char totals — the numbers
+    that prove the export is balanced BEFORE writing 100 TB of
+    training shards. Salted content-free hashing is the export
+    contract: reshuffling an epoch = changing the salt, resuming a
+    crashed export = same salt, and co-trained readers reproduce the
+    exact shard membership from (salt, doc_id) alone.
+
+    Scale shape: the shard id is map-side scan arithmetic (md5 —
+    engine-identical); the census is one partial-agg'd groupBy over
+    {SHARDS_N} keys. The EXPORT this censuses is
+    `df.repartition(N, shard_col).write` — hash routing, never the
+    `orderBy(rand())` global-sort anti-pattern, so no stage ever
+    materializes a total order of the corpus."""
+    from ..functions.text import tokens
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    shard = (md5_int60(F.concat(F.lit(f"{SHARDS_SALT}:"),
+                                F.col("doc_id").cast("string")))
+             % SHARDS_N).cast("int")
+    return (docs.select(shard.alias("shard"),
+                        F.size(tokens("text")).alias("n_tokens"),
+                        "n_chars")
+                .groupBy("shard")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("n_tokens"),
+                     F.sum("n_chars").cast("long").alias("n_chars"))
+                .orderBy("shard"))
