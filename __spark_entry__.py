@@ -143,6 +143,11 @@ _PRIORITY = [
     # deterministic training-export shards, corpus drift KL.
     "opq_pq_knn", "search_mvt_tile", "geo_shape_envelope",
     "near_vector_certainty", "training_shards", "corpus_drift_kl",
+    # (u) r11 wave: incremental IVF merge (FAISS merge_from),
+    # sparse IDF modifier, multistage prefetch + maxsim rescore,
+    # graded ERR/DCG rank_eval.
+    "ivf_merge_knn", "sparse_idf_knn", "prefetch_maxsim_rerank",
+    "err_rank_eval",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

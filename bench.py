@@ -122,6 +122,9 @@ HEADLINE = [
     # r10 wave
     "opq_pq_knn", "search_mvt_tile", "geo_shape_envelope",
     "near_vector_certainty", "training_shards", "corpus_drift_kl",
+    # r11 wave
+    "ivf_merge_knn", "sparse_idf_knn", "prefetch_maxsim_rerank",
+    "err_rank_eval",
 ]
 
 

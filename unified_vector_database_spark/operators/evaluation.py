@@ -394,3 +394,102 @@ def shard_candidates_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.col("n_hit") / float(SHARD_K), 6)
                         .alias("recall_at_k"))
                .orderBy("num_candidates"))
+
+
+# --------------------------------------- graded ERR / DCG rank_eval
+
+ERR_K = 10
+
+
+@register("err_rank_eval", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id = 0),
+ranked AS (
+  SELECT e.vec_id, e.label, q.qlabel,
+         row_number() OVER (ORDER BY {_COS} DESC, e.vec_id) AS pos
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY pos LIMIT {ERR_K}),
+graded AS (
+  SELECT pos,
+         CASE WHEN label = qlabel THEN 3
+              WHEN label % 2 = qlabel % 2 THEN 1 ELSE 0 END AS g
+  FROM ranked),
+probs AS (
+  SELECT pos, g, (pow(2, g) - 1) / 8.0 AS r,
+         coalesce(sum(ln(1 - (pow(2, g) - 1) / 8.0))
+                    OVER (ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS lp
+  FROM graded)
+SELECT round(sum(r / pos * exp(lp)), 6) AS err_at_k,
+       round(sum((pow(2, g) - 1) / log2(pos + 1)), 6) AS dcg_at_k,
+       CAST(count(*) FILTER (g > 0) AS BIGINT) AS n_graded_hits
+FROM probs
+""")
+def err_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_rank_eval` `expected_reciprocal_rank` + graded-gain `dcg`
+    (the two rank_eval metrics search_quality_eval's binary nDCG does
+    not cover). Graded judgments derive deterministically from the
+    label space (exact class -> 3, same parity -> 1, else 0 — a
+    3-level synthetic qrel). ERR uses the cascade model: stop
+    probability R_i = (2^g - 1)/2^g_max, ERR = sum_i R_i/i *
+    prod_{{j<i}} (1 - R_j); the prefix product evaluates as
+    exp(prefix-sum of ln(1-R)) on BOTH engines so the float path is
+    shared term-for-term.
+
+    Scale shape: the ranked list is the bounded TakeOrdered top-k;
+    the cascade window runs over {ERR_K} rows — a thousand-query eval
+    batch partitions the same window by query id and stays
+    shuffle-light (qrels broadcast)."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec"),
+                    F.col("label").alias("qlabel"))
+            .withColumn("nq", D.norm("qvec")))
+    corpus = (emb.where(F.col("vec_id") != 0)
+                 .select("vec_id", "label",
+                         D.vec_double("embedding").alias("vec"))
+                 .withColumn("nvec", D.norm("vec")))
+    score = D.safe_div(D.dot("vec", "qvec"), F.col("nvec") * F.col("nq"))
+    topk = (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", "label", "qlabel",
+                          score.alias("score"))
+                  .orderBy(F.desc("score"), "vec_id").limit(ERR_K))
+    arr = topk.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("score")).alias("_ns"), F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("label"),
+        F.col("qlabel").alias("qlabel")))).alias("a"))
+
+    # Bounded-array cascade: the ranked list is ONE k-element array,
+    # so the prefix products evaluate per element over array slices —
+    # no WindowExec anywhere (test_no_unpartitioned_windows gate).
+    def grade(s):
+        return (F.when(s.label == s.qlabel, F.lit(3.0))
+                 .when(s.label % 2 == s.qlabel % 2, F.lit(1.0))
+                 .otherwise(F.lit(0.0)))
+
+    def stop_p(g):
+        return (F.pow(F.lit(2.0), g) - 1) / F.lit(8.0)
+
+    garr = arr.select(F.transform("a", grade).alias("g"))
+    lp = F.transform(
+        "g", lambda g, i: F.aggregate(
+            F.slice("g", F.lit(1), i), F.lit(0.0),
+            lambda acc, gg: acc + F.log(1 - stop_p(gg))))
+    withlp = garr.select("g", lp.alias("lp"))
+    # positional division needs the index — zip r*exp(lp) with pos
+    terms = F.transform(
+        F.zip_with("g", "lp", lambda g, l: stop_p(g) * F.exp(l)),
+        lambda x, i: x / (i + 1).cast("double"))
+    dcg_terms = F.transform(
+        "g", lambda g, i: (F.pow(F.lit(2.0), g) - 1)
+        / F.log2((i + 1).cast("double") + 1))
+    return withlp.select(
+        F.round(F.aggregate(terms, F.lit(0.0),
+                            lambda a_, x: a_ + x), 6).alias("err_at_k"),
+        F.round(F.aggregate(dcg_terms, F.lit(0.0),
+                            lambda a_, x: a_ + x), 6).alias("dcg_at_k"),
+        F.aggregate("g", F.lit(0).cast("long"),
+                    lambda a_, g: a_ + (g > 0).cast("long"))
+         .alias("n_graded_hits"))

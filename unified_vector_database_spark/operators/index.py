@@ -1661,3 +1661,102 @@ def opq_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("vec_id", "adc", D.l2("vec", "qvec").alias("score"))
                   .orderBy(F.col("score").asc(), "vec_id")
                   .limit(10))
+
+
+# ------------------------------------------- incremental merge (I21)
+
+MERGE_MOD = 5          # gen0 = vec_id % 5 < 3 (60%), gen1 = the rest
+MERGE_BASE_RES = 3
+
+
+_MERGE_CENT_CACHE: dict[str, list] = {}
+
+
+def _merge_centroids(spark: SparkSession, sf_dir: str,
+                     base: DataFrame) -> DataFrame:
+    """Centroids trained on the BASE generation only — the FAISS
+    contract for `merge_from`/`add`: the coarse quantizer is trained
+    once and frozen; later batches reuse it unchanged."""
+    if sf_dir not in _MERGE_CENT_CACHE:
+        _MERGE_CENT_CACHE[sf_dir] = [
+            (r.cid, list(r.cvec)) for r in kmeans_fit(base).collect()]
+    return spark.createDataFrame(_MERGE_CENT_CACHE[sf_dir],
+                                 "cid int, cvec array<double>")
+
+
+def _merge_oracle() -> str:
+    """Relational twin of the MERGED two-generation index: refit the
+    base-only centroids Spark-free (same rows, same _lloyd), then the
+    standard assignment/probe SQL over the FULL corpus — a merged
+    index must answer exactly as if every row had been ingested into
+    one index trained on the base sample."""
+    import duckdb
+    import numpy as np
+
+    sf = _oracle_sf()
+    key = f"merge:{sf}"
+    if key not in _ORACLE_FIT_CACHE:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{sf}/embeddings.parquet' "
+            f"WHERE vec_id % {MERGE_MOD} < {MERGE_BASE_RES} "
+            f"ORDER BY vec_id LIMIT {KMEANS_SAMPLE}").fetchall()
+        con.close()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        cents = _lloyd(x, KMEANS_K, KMEANS_ITERS)
+        _ORACLE_FIT_CACHE[key] = [[float(v) for v in c] for c in cents]
+    cents = _ORACLE_FIT_CACHE[key]
+    return f"""
+WITH {_ivf_assign_ctes(cents)}
+SELECT e.vec_id, {_COS_EQ} AS score
+FROM e JOIN assigned a USING (vec_id) JOIN qc ON a.cid = qc.cid, q
+ORDER BY score DESC, e.vec_id LIMIT 10
+"""
+
+
+@register("ivf_merge_knn", oracle=_merge_oracle)
+def ivf_merge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index growth — the FAISS `IndexIVF.merge_from`
+    / `add`-after-train surface (also Milvus segment ingest: new
+    segments join an already-built collection without retraining the
+    index; reference stack ships faiss-cpu, README.md:93-96).
+
+    Build: the coarse quantizer trains ONCE on the base generation
+    (60% of the corpus); gen0 materializes as the cell-partitioned
+    parquet layout (I7). A later ingest batch (gen1) is assigned with
+    the SAME frozen broadcast centroids — one map-only pass — and
+    lands as its OWN cell-partitioned artifact; nothing in gen0 is
+    rewritten (no index rebuild, no data movement, the whole point of
+    merge_from). Probe: the nprobe cell filter prunes BOTH
+    generations at the file listing and the union is scored exactly —
+    identical answers to a single index containing every row, which
+    is precisely what the oracle recomputes relationally.
+
+    Scale shape: each ingest batch costs one broadcast-assign +
+    partitioned write of ITS OWN rows only — O(batch), not O(corpus);
+    generations accumulate as parquet dirs and a probe reads
+    nprobe/k of each. Compaction (C9) can later fold small
+    generations together; correctness never depends on it."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    from .knn import knn
+    from .. import flags
+    if flags.SCHEMA_ONLY:
+        return knn(corpus.limit(0), q, k=10)
+    gen = F.pmod("vec_id", F.lit(MERGE_MOD)) < MERGE_BASE_RES
+    base, delta = corpus.where(gen), corpus.where(~gen)
+    cents = _merge_centroids(spark, sf_dir, base)
+    p0 = artifact_path("ivfmerge_gen0", sf_dir)
+    p1 = artifact_path("ivfmerge_gen1", sf_dir)
+    _build_if_absent(p0, lambda p: ivf_write_partitioned(base, cents, p))
+    _build_if_absent(p1, lambda p: ivf_write_partitioned(delta, cents, p))
+    qcells = [r.cid for r in
+              (cents.crossJoin(F.broadcast(q))
+               .select("cid", D.l2("cvec", "qvec").alias("d"))
+               .orderBy("d", "cid").limit(NPROBE).collect())]
+    cand = (spark.read.parquet(p0).where(F.col("cid").isin(qcells))
+            .unionByName(
+                spark.read.parquet(p1).where(F.col("cid").isin(qcells))))
+    return knn(cand, q, k=10, metric="cosine")

@@ -757,11 +757,11 @@ MAXSIM_SUBVECS = 4   # 64-dim embedding sliced into 4 x 16-dim "tokens"
 MAXSIM_SUBDIM = 16
 
 
-def _maxsim_oracle() -> str:
-    """ColBERT maxsim as explicit SQL: sum over query subvectors of
-    the max cosine against the doc's subvectors — the 4x4 grid is
-    unrolled so both engines evaluate the identical expression tree
-    (exact-twin dot/sqrt ops, fixed summation order)."""
+def _maxsim_expr_sql() -> str:
+    """The unrolled 4x4 maxsim expression over columns (vec, qvec):
+    sum over query subvectors of the max cosine against the doc's
+    subvectors — shared by the brute-force oracle and the prefetch
+    rerank oracle so both engines evaluate the identical tree."""
     def cos(i: int, j: int) -> str:
         d = (f"list_dot_product(vec[{j * MAXSIM_SUBDIM + 1}:"
              f"{(j + 1) * MAXSIM_SUBDIM}], "
@@ -777,7 +777,11 @@ def _maxsim_oracle() -> str:
     per_q = [
         "greatest(" + ", ".join(cos(i, j) for j in range(MAXSIM_SUBVECS)) + ")"
         for i in range(MAXSIM_SUBVECS)]
-    maxsim = " + ".join(per_q)
+    return " + ".join(per_q)
+
+
+def _maxsim_oracle() -> str:
+    maxsim = _maxsim_expr_sql()
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
            WHERE vec_id = 0),
@@ -788,6 +792,24 @@ FROM d, q
 ORDER BY score DESC, vec_id
 LIMIT 10
 """
+
+
+def _maxsim_score_col() -> F.Column:
+    """JVM twin of _maxsim_expr_sql over columns (vec, qvec)."""
+    def sub(col: str, i: int) -> F.Column:
+        return F.slice(col, i * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM)
+
+    per_q = [
+        F.greatest(*[
+            D.safe_div(
+                D.dot(sub("vec", j), sub("qvec", i)),
+                D.norm(sub("vec", j)) * D.norm(sub("qvec", i)))
+            for j in range(MAXSIM_SUBVECS)])
+        for i in range(MAXSIM_SUBVECS)]
+    score = per_q[0]
+    for c in per_q[1:]:
+        score = score + c
+    return score
 
 
 @register("maxsim_knn", oracle=_maxsim_oracle())
@@ -808,25 +830,75 @@ def maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                         D.vec_double("embedding").alias("vec"))
     q = (emb.where(F.col("vec_id") == 0)
             .select(D.vec_double("embedding").alias("qvec")))
-
-    def sub(col: str, i: int) -> F.Column:
-        return F.slice(col, i * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM)
-
-    per_q = [
-        F.greatest(*[
-            D.safe_div(
-                D.dot(sub("vec", j), sub("qvec", i)),
-                D.norm(sub("vec", j)) * D.norm(sub("qvec", i)))
-            for j in range(MAXSIM_SUBVECS)])
-        for i in range(MAXSIM_SUBVECS)]
-    score = per_q[0]
-    for c in per_q[1:]:
-        score = score + c
+    score = _maxsim_score_col()
     return (corpus.crossJoin(F.broadcast(q))
                   .select("vec_id", "label",
                           F.round(score, 6).alias("score"))
                   .orderBy(F.desc("score"), "vec_id")
                   .limit(10))
+
+
+PREFETCH_LIMIT = 50
+
+
+def _prefetch_maxsim_oracle() -> str:
+    maxsim = _maxsim_expr_sql()
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+d AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+      FROM embeddings),
+pre AS (
+  SELECT vec_id, label, vec, qvec,
+         list_dot_product(vec, qvec)
+           / (sqrt(list_dot_product(vec, vec))
+              * sqrt(list_dot_product(qvec, qvec))) AS dscore
+  FROM d, q),
+short AS (SELECT * FROM pre ORDER BY dscore DESC, vec_id
+          LIMIT {PREFETCH_LIMIT})
+SELECT vec_id, label, round(dscore, 6) AS prefetch_score,
+       round({maxsim}, 6) AS score
+FROM short ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("prefetch_maxsim_rerank", oracle=_prefetch_maxsim_oracle)
+def prefetch_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant Query API multistage prefetch (the documented
+    "Multistage queries" pattern, also Milvus hybrid rerank): a FAST
+    single-vector prefetch — plain cosine, limit {PREFETCH_LIMIT} —
+    feeds a LATE-INTERACTION maxsim rescore that only ever touches
+    the shortlist. This is how ColBERT-class models deploy: the
+    multi-vector score is too expensive for the corpus pass, so a
+    cheap dense stage bounds the candidate set and the expensive
+    scorer runs on O(limit) rows.
+
+    Scale shape: stage 1 is the standard broadcast-query map-side
+    scan + TakeOrdered ({PREFETCH_LIMIT} rows cross the driver
+    boundary as a broadcast, never the corpus); stage 2's 4x4 cosine
+    grid evaluates on {PREFETCH_LIMIT} rows regardless of corpus
+    size. Adding stages (Qdrant allows arbitrary nesting) chains the
+    same shape: each stage's output is a broadcast-sized shortlist
+    for the next."""
+    return _prefetch_maxsim(spark, sf_dir, PREFETCH_LIMIT)
+
+
+def _prefetch_maxsim(spark: SparkSession, sf_dir: str,
+                     limit: int) -> DataFrame:
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", "label",
+                        D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") == 0)
+            .select(D.vec_double("embedding").alias("qvec")))
+    cos = D.METRICS["cosine"]
+    short = (corpus.crossJoin(F.broadcast(q))
+             .select("vec_id", "label", "vec", "qvec",
+                     cos("vec", "qvec").alias("dscore"))
+             .orderBy(F.desc("dscore"), "vec_id").limit(limit))
+    return (short.select("vec_id", "label",
+                         F.round("dscore", 6).alias("prefetch_score"),
+                         F.round(_maxsim_score_col(), 6).alias("score"))
+                 .orderBy(F.desc("score"), "vec_id").limit(10))
 
 
 # NOTE: the Qdrant `strategy=best_score` recommend lives in

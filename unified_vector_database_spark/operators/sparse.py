@@ -370,3 +370,56 @@ def sparse_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("score"),
                    F.count("*").cast("long").alias("n_terms"))
               .orderBy(F.desc("score"), "doc_id").limit(EXP_TOP))
+
+
+@register("sparse_idf_knn", oracle=f"""
+WITH {_SPARSE_CTE},
+nn AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT sp.dim, count(*) AS dfc FROM sp
+       WHERE sp.dim IN (SELECT dim FROM sq) GROUP BY sp.dim),
+qi AS (SELECT sq.dim,
+              sq.w * ln((nn.n - df.dfc + 0.5) / (df.dfc + 0.5) + 1) AS qw
+       FROM sq JOIN df USING (dim), nn)
+SELECT sp.doc_id, round(sum(sp.w * qi.qw), 6) AS score
+FROM sp JOIN qi USING (dim)
+GROUP BY sp.doc_id
+HAVING round(sum(sp.w * qi.qw), 6) > 0
+ORDER BY score DESC, doc_id LIMIT 15
+""")
+def sparse_idf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant sparse-vector `modifier: idf` search: stored sparse
+    values stay raw; at query time each QUERY weight is scaled by the
+    BM25-style IDF of its dimension, idf = ln((N - n + 0.5)/(n + 0.5)
+    + 1) over N collection points and n points containing the dim —
+    the statistic Qdrant maintains per sparse index so BM25/SPLADE
+    corpora rank rare dims above stopword dims.
+
+    Scale shape: the per-dim document frequencies are needed ONLY for
+    the query's dims — the df rollup is a broadcast semi-join of the
+    |q|-dim set into the long-form sparse table plus one partial-agg
+    count (uniform keys, each (doc, dim) row counts once); N is a
+    1-row scalar. The IDF-scaled query map then broadcasts exactly
+    like the unmodified knn_sparse map and scoring stays map-side in
+    the corpus scan (sparse_dot): zero corpus shuffle at any size."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    long = sparse_from_documents(docs)
+    n = docs.agg(F.count("*").alias("n"))
+    qdims = long.where(F.col("doc_id") == 0).select("dim", F.col("w").alias("qw"))
+    df = (long.join(F.broadcast(qdims.select("dim")), "dim")
+              .groupBy("dim").agg(F.count("*").alias("dfc")))
+    qmap = (qdims.join(df, "dim").crossJoin(F.broadcast(n))
+            .select("dim",
+                    (F.col("qw")
+                     * F.log((F.col("n") - F.col("dfc") + 0.5)
+                             / (F.col("dfc") + 0.5) + 1)).alias("wq"))
+            .groupBy()
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("dim", "wq"))))
+                .alias("qmap")))
+    vecs = sparse_vectors(docs)
+    return (vecs.crossJoin(F.broadcast(qmap))
+                .select("doc_id",
+                        F.round(sparse_dot(vecs, F.col("qmap")), 6)
+                         .alias("score"))
+                .where(F.col("score") > 0)
+                .orderBy(F.desc("score"), "doc_id").limit(15))
