@@ -148,6 +148,11 @@ _PRIORITY = [
     # graded ERR/DCG rank_eval.
     "ivf_merge_knn", "sparse_idf_knn", "prefetch_maxsim_rerank",
     "err_rank_eval",
+    # (v) r12 wave: EQL sequence, TSDB counter rate, Graph explore,
+    # Weaviate numeric Aggregate, Milvus substructure metrics,
+    # k-means inertia curve.
+    "eql_sequence", "counter_rate_resets", "graph_explore",
+    "mode_agg", "substructure_knn", "kmeans_inertia_curve",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -125,6 +125,9 @@ HEADLINE = [
     # r11 wave
     "ivf_merge_knn", "sparse_idf_knn", "prefetch_maxsim_rerank",
     "err_rank_eval",
+    # r12 wave
+    "eql_sequence", "counter_rate_resets", "graph_explore",
+    "mode_agg", "substructure_knn", "kmeans_inertia_curve",
 ]
 
 

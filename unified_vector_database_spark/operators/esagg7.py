@@ -248,3 +248,61 @@ def json_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_all"),
                  flag(F.col("w") >= JC_W_MIN).alias("n_deep"))
             .orderBy("lang"))
+
+
+# ------------------------------------------- Weaviate numeric Aggregate
+
+
+@register("mode_agg", oracle="""
+WITH c AS (
+  SELECT lang, n_chars, count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT lang, n_chars AS mode_n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, n_chars) AS rn
+  FROM c),
+s AS (
+  SELECT lang, count(*) AS n_docs,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_val,
+         round(quantile_cont(n_chars, 0.5), 6) AS median_val,
+         min(n_chars) AS min_val, max(n_chars) AS max_val
+  FROM documents GROUP BY lang)
+SELECT s.lang, s.n_docs, m.mode_n_chars, s.mean_val, s.median_val,
+       s.min_val, s.max_val
+FROM s JOIN m ON s.lang = m.lang AND m.rn = 1
+ORDER BY s.lang
+""")
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `Aggregate` over a numeric (int) property: per group
+    (lang), the full property census Weaviate returns — count, MODE
+    (most frequent value; ties resolve to the smallest, pinned on
+    both engines rather than left to engine whim), mean, exact
+    interpolated median, min, max. Completes the numeric side of the
+    Aggregate API beside the text side's `top_occurrences_agg`.
+
+    Scale shape: the mode needs the value histogram — ONE
+    (group, value) partial-agg shuffle, then a per-group
+    WindowGroupLimit-prunable rank over |distinct values| rows; the
+    moment census is a second partial agg over the same scan (mean
+    from exact integer sums; the exact median is the sf-scale
+    oracle-checked form — at 100 TB swap in percentile_approx, the
+    documented sketch path of the percentile family)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    c = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    m = (c.withColumn("rn", F.row_number().over(
+            W.partitionBy("lang").orderBy(F.desc("cnt"), "n_chars")))
+          .where(F.col("rn") == 1)
+          .select("lang", F.col("n_chars").alias("mode_n_chars")))
+    s = (docs.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.round(F.sum("n_chars").cast("double")
+                          / F.count("*"), 6).alias("mean_val"),
+                  F.round(F.median("n_chars"), 6).alias("median_val"),
+                  F.min("n_chars").alias("min_val"),
+                  F.max("n_chars").alias("max_val")))
+    return (s.join(m, "lang")
+             .select("lang", "n_docs", "mode_n_chars", "mean_val",
+                     "median_val", "min_val", "max_val")
+             .orderBy("lang"))

@@ -493,3 +493,107 @@ def err_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("g", F.lit(0).cast("long"),
                     lambda a_, g: a_ + (g > 0).cast("long"))
          .alias("n_graded_hits"))
+
+
+# -------------------------------------- k-means training introspection
+
+INERTIA_ITERS = (0, 1, 3)   # seed, one Lloyd step, the shipped fit
+
+
+def _inertia_oracle() -> str:
+    """Snapshot centroids refit Spark-free (same sample rows, same
+    _lloyd_history), embedded as literals; per-snapshot inertia is
+    min-over-centroids squared L2 summed over the WHOLE corpus with a
+    DECIMAL fold so the sum is exact and order-free on both engines."""
+    import duckdb
+    import numpy as np
+
+    from .index import (
+        KMEANS_ITERS, KMEANS_K, KMEANS_SAMPLE, _dlist, _l2_sql,
+        _lloyd_history, _oracle_sf,
+    )
+
+    assert max(INERTIA_ITERS) == KMEANS_ITERS
+    sf = _oracle_sf()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {KMEANS_SAMPLE}").fetchall()
+    con.close()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    hist = _lloyd_history(x, KMEANS_K, KMEANS_ITERS)
+    mins = []
+    for it in INERTIA_ITERS:
+        ds = ", ".join(_l2_sql("vec", f"({_dlist(c)})") for c in hist[it])
+        mins.append(f"least({ds})")
+    ls = ", ".join(f"{m} AS l{i}" for i, m in enumerate(mins))
+    ts = ", ".join(
+        f"CAST(round(l{i} * l{i}, 6) AS DECIMAL(28,6)) AS t{i}"
+        for i in range(len(INERTIA_ITERS)))
+    ss = ", ".join(f"sum(t{i}) AS s{i}"
+                   for i in range(len(INERTIA_ITERS)))
+    vals = ", ".join(f"({it}, a.s{i})"
+                     for i, it in enumerate(INERTIA_ITERS))
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
+l AS (SELECT {ls} FROM e),
+t AS (SELECT {ts} FROM l),
+a AS (SELECT count(*) AS n, {ss} FROM t)
+SELECT f.iter, round(CAST(f.s AS DOUBLE), 6) AS inertia,
+       round(CAST(f.s AS DOUBLE) / a.n, 6) AS mean_sq_dist
+FROM a, LATERAL (VALUES {vals}) AS f(iter, s)
+ORDER BY f.iter
+"""
+
+
+@register("kmeans_inertia_curve", oracle=_inertia_oracle)
+def kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS `Clustering` training introspection (the
+    `clustering_iteration_stats` objective curve faiss exposes per
+    iteration; reference stack ships faiss-cpu): CORPUS-WIDE k-means
+    inertia — sum of squared distance to the nearest centroid — at
+    the seed snapshot, after one Lloyd step, and at the shipped
+    KMEANS_ITERS fit. The curve is how an index builder decides
+    whether the quantizer has converged before committing an
+    IVF/PQ train, and the corpus-wide evaluation (not just the
+    training sample) is the honest number at scale.
+
+    Scale shape: the fit stays the bounded driver-side sample fit
+    every IVF op shares; the corpus pays ONE map-only scan — per row,
+    min distance to each snapshot's 16 broadcast-literal centroids
+    (48 codegen'd JVM folds), squared, rounded, folded as DECIMAL so
+    the global sum is exact and order-free — then a single partial
+    agg; the 3 output rows unpivot from that one aggregate row."""
+    import numpy as np
+
+    from .index import (
+        KMEANS_ITERS, KMEANS_K, KMEANS_SAMPLE, _lloyd_history,
+    )
+
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select(D.vec_double("embedding").alias("vec"))
+    rows = (corpus.sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id").limit(KMEANS_SAMPLE)
+            .select(D.vec_double("embedding").alias("v")).collect())
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    hist = _lloyd_history(x, KMEANS_K, KMEANS_ITERS)
+    cols = []
+    for i, it in enumerate(INERTIA_ITERS):
+        li = F.least(*[
+            D.l2("vec", F.array(*[F.lit(float(v)) for v in c]))
+            for c in hist[it]])
+        cols.append(F.round(li * li, 6).cast("decimal(28,6)").alias(f"t{i}"))
+    t = corpus.select(*cols)
+    a = t.agg(F.count("*").alias("n"),
+              *[F.sum(f"t{i}").alias(f"s{i}")
+                for i in range(len(INERTIA_ITERS))])
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(it).alias("iter"), F.col(f"s{i}").alias("s"))
+        for i, it in enumerate(INERTIA_ITERS)])).alias("f")
+    return (a.select("n", stack)
+             .select(F.col("f.iter").alias("iter"),
+                     F.round(F.col("f.s").cast("double"), 6)
+                      .alias("inertia"),
+                     F.round(F.col("f.s").cast("double") / F.col("n"), 6)
+                      .alias("mean_sq_dist"))
+             .orderBy("iter"))

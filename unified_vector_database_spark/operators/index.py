@@ -51,6 +51,24 @@ def _lloyd(x, k: int, iters: int):
     return cents
 
 
+def _lloyd_history(x, k: int, iters: int):
+    """_lloyd with per-iteration centroid snapshots (index 0 = the
+    deterministic seeds, index i = after iteration i). Kept in exact
+    lockstep with _lloyd — same assignment/update steps on the same
+    float64 sample — so snapshot[iters] equals _lloyd's output."""
+    cents = x[:k].copy()
+    hist = [cents.copy()]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = x[a == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+        hist.append(cents.copy())
+    return hist
+
+
 def kmeans_fit(corpus: DataFrame, k: int = KMEANS_K,
                iters: int = KMEANS_ITERS, id_col: str = "vec_id",
                vec_col: str = "vec", sample: int = KMEANS_SAMPLE) -> DataFrame:
@@ -954,6 +972,70 @@ def tanimoto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("vec_id", "n_and", "n_or",
                           tani.alias("tanimoto"))
                   .orderBy(F.desc("tanimoto"), "vec_id").limit(10))
+
+
+@register("substructure_knn", oracle="""
+WITH sig AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN (embedding::DOUBLE[])[j + 1] > 0
+                     THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN (embedding::DOUBLE[])[j + 33] > 0
+                     THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS hi
+  FROM embeddings),
+q AS (SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0),
+d AS (
+  SELECT vec_id,
+         CAST(bit_count(lo & qlo) + bit_count(hi & qhi) AS INT) AS n_and,
+         CAST(bit_count(lo) + bit_count(hi) AS INT) AS pop_s,
+         CAST(bit_count(qlo) + bit_count(qhi) AS INT) AS pop_q
+  FROM sig, q)
+SELECT vec_id, n_and,
+       round(CASE WHEN pop_s = 0 THEN 0.0e0
+                  ELSE 1.0 - CAST(n_and AS DOUBLE) / pop_s END, 6)
+         AS sub_dist,
+       round(CASE WHEN pop_q = 0 THEN 0.0e0
+                  ELSE 1.0 - CAST(n_and AS DOUBLE) / pop_q END, 6)
+         AS super_dist
+FROM d ORDER BY super_dist, sub_dist, vec_id LIMIT 10
+""")
+def substructure_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus BINARY_VECTOR `SUBSTRUCTURE` / `SUPERSTRUCTURE` metrics
+    (the chemical-fingerprint pair completing the binary metric
+    family beside HAMMING and JACCARD/TANIMOTO): with sign-bit
+    signatures s and query q, sub_dist = 1 − popcount(s∧q)/popcount(s)
+    (0 iff every bit of s is in q — s is a substructure of the query
+    structure) and super_dist = 1 − popcount(s∧q)/popcount(q) (0 iff
+    s covers every query bit — a superstructure match, the "find
+    molecules containing this fragment" search). Ranked by
+    superstructure distance; exact-0 rows are the structure matches
+    Milvus returns first.
+
+    Scale shape: identical to the Hamming/Tanimoto scan — two longs
+    per row, AND+popcount are codegen'd intrinsics in the scan stage,
+    exact integer numerators, one double division each, TakeOrdered
+    top-k. Zero shuffle at any corpus size."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .withColumn("lo", bq_signature("vec", 0))
+                 .withColumn("hi", bq_signature("vec", 1)))
+    q = (corpus.where(F.col("vec_id") == 0)
+               .select(F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))
+    n_and = (F.bit_count(F.col("lo").bitwiseAND(F.col("qlo")))
+             + F.bit_count(F.col("hi").bitwiseAND(F.col("qhi")))).cast("int")
+    pop_s = (F.bit_count("lo") + F.bit_count("hi")).cast("int")
+    pop_q = (F.bit_count("qlo") + F.bit_count("qhi")).cast("int")
+    dist = lambda pop: F.round(
+        F.when(pop == 0, F.lit(0.0))
+         .otherwise(1.0 - F.col("n_and").cast("double") / pop), 6)
+    return (corpus.crossJoin(F.broadcast(q))
+                  .select("vec_id", n_and.alias("n_and"),
+                          pop_s.alias("pop_s"), pop_q.alias("pop_q"))
+                  .select("vec_id", "n_and",
+                          dist(F.col("pop_s")).alias("sub_dist"),
+                          dist(F.col("pop_q")).alias("super_dist"))
+                  .orderBy("super_dist", "sub_dist", "vec_id").limit(10))
 
 
 # ------------------------------------------- cluster-balanced sampling
