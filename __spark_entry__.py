@@ -153,6 +153,10 @@ _PRIORITY = [
     # k-means inertia curve.
     "eql_sequence", "counter_rate_resets", "graph_explore",
     "mode_agg", "substructure_knn", "kmeans_inertia_curve",
+    # (w) r13 wave: the ES|QL translator trio, background_filter
+    # significance, curriculum pacing census.
+    "esql_stats", "esql_enrich", "esql_grok",
+    "sigterms_background_filter", "curriculum_schedule",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -128,6 +128,9 @@ HEADLINE = [
     # r12 wave
     "eql_sequence", "counter_rate_resets", "graph_explore",
     "mode_agg", "substructure_knn", "kmeans_inertia_curve",
+    # r13 wave
+    "esql_stats", "esql_enrich", "esql_grok",
+    "sigterms_background_filter", "curriculum_schedule",
 ]
 
 

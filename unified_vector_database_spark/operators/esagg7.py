@@ -306,3 +306,74 @@ def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("lang", "n_docs", "mode_n_chars", "mean_val",
                      "median_val", "min_val", "max_val")
              .orderBy("lang"))
+
+
+# --------------------------------- significant_terms background_filter
+
+SBF_LANG = "en"          # foreground: docs matching the query
+SBF_MIN_CHARS = 200      # background_filter: the comparison scope
+SBF_TOP = 10
+
+
+@register("sigterms_background_filter", oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang, n_chars,
+         unnest(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+           AS token
+  FROM documents),
+tot AS (
+  SELECT count(*) FILTER (lang = '{SBF_LANG}') AS nfg,
+         count(*) FILTER (n_chars >= {SBF_MIN_CHARS}) AS nbg
+  FROM documents),
+tc AS (
+  SELECT token,
+         sum(CASE WHEN lang = '{SBF_LANG}' THEN 1 ELSE 0 END) AS fg_docs,
+         sum(CASE WHEN n_chars >= {SBF_MIN_CHARS} THEN 1 ELSE 0 END)
+           AS bg_docs
+  FROM dt GROUP BY token)
+SELECT token, CAST(fg_docs AS BIGINT) AS fg_docs,
+       CAST(bg_docs AS BIGINT) AS bg_docs,
+       round((fg_docs * 1.0 / nfg - bg_docs * 1.0 / nbg)
+             * (fg_docs * 1.0 / nfg) / (bg_docs * 1.0 / nbg), 6)
+         AS jlh_score
+FROM tc, tot
+WHERE fg_docs >= 2 AND bg_docs > 0
+ORDER BY jlh_score DESC, token LIMIT {SBF_TOP}
+""")
+def sigterms_background_filter(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ES `significant_terms` with a `background_filter`: significance
+    is measured against a SCOPED background set (here docs with
+    n_chars >= {SBF_MIN_CHARS}) instead of the whole index — the ES
+    knob for "unusual vs comparable documents, not vs everything"
+    (e.g. crime types vs the same city, not vs the country). Same JLH
+    heuristic as the unfiltered family; only the background doc
+    frequencies and total change.
+
+    Scale shape: identical to significant_text — ONE distinct
+    (doc, token) explode with BOTH memberships as map-side flags
+    folded in a single vocab-keyed partial agg; the 2-value totals
+    frame broadcasts into the score projection. The background filter
+    adds zero passes."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    dt = (docs.select("doc_id", "lang", "n_chars",
+                      F.explode(tokens("text")).alias("token"))
+              .distinct())
+    tot = docs.agg(
+        F.count_if(F.col("lang") == SBF_LANG).alias("nfg"),
+        F.count_if(F.col("n_chars") >= SBF_MIN_CHARS).alias("nbg"))
+    tc = (dt.groupBy("token")
+            .agg(F.sum(F.when(F.col("lang") == SBF_LANG, 1).otherwise(0))
+                  .alias("fg_docs"),
+                 F.sum(F.when(F.col("n_chars") >= SBF_MIN_CHARS, 1)
+                        .otherwise(0)).alias("bg_docs")))
+    fgr = F.col("fg_docs") / F.col("nfg")
+    bgr = F.col("bg_docs") / F.col("nbg")
+    return (tc.crossJoin(F.broadcast(tot))
+              .where((F.col("fg_docs") >= 2) & (F.col("bg_docs") > 0))
+              .select("token",
+                      F.col("fg_docs").cast("long").alias("fg_docs"),
+                      F.col("bg_docs").cast("long").alias("bg_docs"),
+                      F.round((fgr - bgr) * fgr / bgr, 6)
+                       .alias("jlh_score"))
+              .orderBy(F.desc("jlh_score"), "token").limit(SBF_TOP))

@@ -1,0 +1,519 @@
+"""ES|QL — the piped query language of the ES backend (`POST
+/_query`, the modern ES query surface; reference README.md:82
+`VECTOR_DB=elastic`): a small but REAL translator from ES|QL pipeline
+strings to Spark DataFrame plans, plus registered queries driving it
+end-to-end against hand-written SQL oracles (the oracle is written
+against the SOURCE tables, independently of the translator, so a
+translator bug cannot cancel out).
+
+Supported commands (each `|`-piped stage maps to one DataFrame
+transformation, so Catalyst sees the whole pipeline as ONE logical
+plan — filters still push to the scan, EVALs collapse into
+projections, STATS becomes a partial-agg shuffle):
+
+  FROM <table>
+  WHERE <boolean expr>             (AND/OR, comparisons, arithmetic)
+  EVAL  <name> = <expr>[, ...]
+  STATS <name> = <agg>[, ...] BY <col>[, ...]
+  SORT  <col> [ASC|DESC][, ...]
+  LIMIT <n>
+  KEEP  <col>[, ...]
+  DROP  <col>[, ...]
+  ENRICH <policy> ON <key> [WITH <col>[, ...]]
+  GROK  <col> "<pattern>"
+  DISSECT <col> "<pattern>"
+
+Functions: DATE_TRUNC("unit", col), ROUND(x[, d]), CONCAT(...),
+TO_STRING / TO_LONG / TO_DOUBLE, ABS. Aggregates: COUNT(*), COUNT,
+COUNT_DISTINCT, SUM, AVG, MIN, MAX.
+
+Output policy: DECIMAL columns cast to DOUBLE in the final result
+(ES|QL numeric results are double/long; internally money stays
+DECIMAL through SUM so aggregation is exact and order-free).
+
+Scale shape: the translator only ever EMITS the declarative ops used
+everywhere else in this repo — scan filters, projections, one
+partial-agg shuffle per STATS, broadcast joins for ENRICH (policies
+are dimension tables by definition — ES materializes them as
+enrich indices on every node, the literal analog of a broadcast),
+TakeOrdered for SORT+LIMIT. Nothing row-at-a-time, no UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .. import tables
+from ..registry import register
+
+# ------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(r"""
+    \s*(
+        "(?:[^"\\]|\\.)*"          # string literal
+      | [A-Za-z_][A-Za-z0-9_.]*    # identifier / keyword
+      | \d+\.\d+ | \d+             # number
+      | == | != | >= | <= | [-+*/()=,<>]
+    )""", re.X)
+
+
+def _tokenize(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            if s[i:].strip():
+                raise ValueError(f"ES|QL: cannot tokenize at {s[i:]!r}")
+            break
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+def _split_pipes(q: str) -> list[str]:
+    """Split on top-level `|` (quote-aware)."""
+    parts, buf, in_str = [], [], False
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if ch == '"' and (i == 0 or q[i - 1] != "\\"):
+            in_str = not in_str
+        if ch == "|" and not in_str:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+# ------------------------------------------- expression parser (Pratt)
+
+_FUNCS = {
+    "ROUND": lambda a: F.round(a[0], 0) if len(a) == 1 else F.round(*a),
+    "ABS": lambda a: F.abs(a[0]),
+    "CONCAT": lambda a: F.concat(*a),
+    "TO_STRING": lambda a: a[0].cast("string"),
+    "TO_LONG": lambda a: a[0].cast("long"),
+    "TO_DOUBLE": lambda a: a[0].cast("double"),
+}
+
+
+class _ExprParser:
+    def __init__(self, tokens: list[str]):
+        self.t = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.t[self.i] if self.i < len(self.t) else None
+
+    def next(self) -> str:
+        tok = self.t[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got.upper() != tok:
+            raise ValueError(f"ES|QL: expected {tok}, got {got!r}")
+
+    def parse(self) -> Column:
+        e = self.parse_or()
+        if self.peek() is not None:
+            raise ValueError(f"ES|QL: trailing tokens {self.t[self.i:]}")
+        return e
+
+    def parse_or(self) -> Column:
+        e = self.parse_and()
+        while (p := self.peek()) and p.upper() == "OR":
+            self.next()
+            e = e | self.parse_and()
+        return e
+
+    def parse_and(self) -> Column:
+        e = self.parse_cmp()
+        while (p := self.peek()) and p.upper() == "AND":
+            self.next()
+            e = e & self.parse_cmp()
+        return e
+
+    def parse_cmp(self) -> Column:
+        e = self.parse_add()
+        p = self.peek()
+        if p in ("==", "!=", ">", ">=", "<", "<="):
+            op = self.next()
+            rhs = self.parse_add()
+            return {"==": e.__eq__, "!=": e.__ne__, ">": e.__gt__,
+                    ">=": e.__ge__, "<": e.__lt__, "<=": e.__le__}[op](rhs)
+        return e
+
+    def parse_add(self) -> Column:
+        e = self.parse_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            rhs = self.parse_mul()
+            e = e + rhs if op == "+" else e - rhs
+        return e
+
+    def parse_mul(self) -> Column:
+        e = self.parse_unary()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            rhs = self.parse_unary()
+            e = e * rhs if op == "*" else e / rhs
+        return e
+
+    def parse_unary(self) -> Column:
+        if self.peek() == "-":
+            self.next()
+            return -self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> Column:
+        tok = self.next()
+        if tok == "(":
+            e = self.parse_or()
+            self.expect(")")
+            return e
+        if tok.startswith('"'):
+            return F.lit(tok[1:-1].replace('\\"', '"'))
+        if re.fullmatch(r"\d+\.\d+", tok):
+            return F.lit(float(tok))
+        if re.fullmatch(r"\d+", tok):
+            return F.lit(int(tok))
+        # identifier or function call
+        if self.peek() == "(":
+            self.next()
+            args = []
+            if self.peek() != ")":
+                args.append(self.parse_or())
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.parse_or())
+            self.expect(")")
+            up = tok.upper()
+            if up == "DATE_TRUNC":
+                # DATE_TRUNC("unit", col) — unit arrives as a lit Column;
+                # re-read it from the token stream is messy, so accept the
+                # literal via a sentinel: args[0] must be a string literal.
+                raise ValueError("DATE_TRUNC handled in _call")
+            if up not in _FUNCS:
+                raise ValueError(f"ES|QL: unknown function {tok}")
+            return _FUNCS[up](args)
+        return F.col(tok)
+
+
+def _parse_expr(tokens: list[str]) -> Column:
+    # DATE_TRUNC needs its unit as a python string, not a Column —
+    # special-case it before the generic parser sees the call.
+    out = []
+    i = 0
+    while i < len(tokens):
+        if (tokens[i].upper() == "DATE_TRUNC" and i + 5 < len(tokens)
+                and tokens[i + 1] == "("):
+            unit = tokens[i + 2].strip('"')
+            assert tokens[i + 3] == ","
+            col = tokens[i + 4]
+            assert tokens[i + 5] == ")"
+            out.append(("__dt__", unit, col))
+            i += 6
+        else:
+            out.append(tokens[i])
+            i += 1
+    # substitute sentinels with temp names the parser resolves
+    subs: dict[str, Column] = {}
+    final = []
+    for j, t in enumerate(out):
+        if isinstance(t, tuple):
+            name = f"__dt{j}__"
+            subs[name] = F.date_trunc(t[1], F.col(t[2]))
+            final.append(name)
+        else:
+            final.append(t)
+    p = _ExprParser(final)
+    orig_primary = p.parse_primary
+
+    def primary() -> Column:
+        tok = p.peek()
+        if tok in subs:
+            p.next()
+            return subs[tok]
+        return orig_primary()
+
+    p.parse_primary = primary
+    return p.parse()
+
+
+# ------------------------------------------------------------- GROK
+
+_GROK_TYPES = {
+    "WORD": r"\\w+", "NOTSPACE": r"\\S+", "NUMBER": r"[-+]?\\d+(?:\\.\\d+)?",
+    "INT": r"[-+]?\\d+", "IP": r"\\d+\\.\\d+\\.\\d+\\.\\d+",
+    "GREEDYDATA": r".*",
+}
+_GROK_FIELD = re.compile(r"%\{(\w+):(\w+)(?::(\w+))?\}")
+
+
+def _grok_compile(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """GROK pattern -> (regex, [(field, cast_type)]) in group order."""
+    fields: list[tuple[str, str]] = []
+    regex_parts: list[str] = []
+    pos = 0
+    for m in _GROK_FIELD.finditer(pattern):
+        regex_parts.append(re.escape(pattern[pos:m.start()]))
+        kind, name, cast = m.group(1), m.group(2), m.group(3)
+        if kind not in _GROK_TYPES:
+            raise ValueError(f"GROK: unknown pattern %{{{kind}}}")
+        regex_parts.append("(" + _GROK_TYPES[kind].replace("\\\\", "\\") + ")")
+        fields.append((name, cast or "string"))
+        pos = m.end()
+    regex_parts.append(re.escape(pattern[pos:]))
+    return "".join(regex_parts), fields
+
+
+def _dissect_compile(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """DISSECT %{field} separators -> anchored non-greedy regex."""
+    fields: list[tuple[str, str]] = []
+    parts: list[str] = []
+    pos = 0
+    for m in re.finditer(r"%\{(\w+)\}", pattern):
+        parts.append(re.escape(pattern[pos:m.start()]))
+        parts.append("(.*?)")
+        fields.append((m.group(1), "string"))
+        pos = m.end()
+    parts.append(re.escape(pattern[pos:]))
+    return "^" + "".join(parts) + "$", fields
+
+
+_CASTS = {"string": "string", "long": "long", "int": "int",
+          "double": "double", "float": "double"}
+
+
+# ------------------------------------------------- ENRICH policies
+
+# ES enrich policies are named lookups materialized from an index —
+# dimension tables by definition. (table, match_key, enrich_fields)
+_POLICIES = {
+    "customers": ("customer", "c_custkey", ["c_mktsegment", "c_name"]),
+    "nations": ("nation", "n_nationkey", ["n_name", "n_regionkey"]),
+}
+
+_AGG_RE = re.compile(r"(\w+)\s*=\s*(\w+)\s*\(\s*(\*|[\w.]+)\s*\)")
+
+
+def _agg_col(fn: str, arg: str, name: str) -> Column:
+    fn = fn.upper()
+    if fn == "COUNT" and arg == "*":
+        c = F.count("*")
+    elif fn == "COUNT":
+        c = F.count(arg)
+    elif fn == "COUNT_DISTINCT":
+        c = F.countDistinct(arg).cast("long")
+    elif fn == "SUM":
+        c = F.sum(arg)
+    elif fn == "AVG":
+        c = F.avg(arg)
+    elif fn == "MIN":
+        c = F.min(arg)
+    elif fn == "MAX":
+        c = F.max(arg)
+    else:
+        raise ValueError(f"ES|QL: unknown aggregate {fn}")
+    return c.alias(name)
+
+
+def esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Translate one ES|QL pipeline string to a DataFrame."""
+    stages = _split_pipes(query)
+    if not stages or not stages[0].upper().startswith("FROM"):
+        raise ValueError("ES|QL: pipeline must start with FROM")
+    df = tables.load(spark, sf_dir, stages[0].split()[1].strip())
+    for stage in stages[1:]:
+        kw, _, rest = stage.partition(" ")
+        kw = kw.upper()
+        rest = rest.strip()
+        if kw == "WHERE":
+            df = df.where(_parse_expr(_tokenize(rest)))
+        elif kw == "EVAL":
+            # split assignments on top-level commas
+            for part in _split_assignments(rest):
+                name, _, expr = part.partition("=")
+                df = df.withColumn(name.strip(),
+                                   _parse_expr(_tokenize(expr)))
+        elif kw == "STATS":
+            aggs_part, _, by_part = _partition_kw(rest, "BY")
+            aggs = [_agg_col(fn, arg, name)
+                    for name, fn, arg in _AGG_RE.findall(aggs_part)]
+            keys = [k.strip() for k in by_part.split(",") if k.strip()]
+            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        elif kw == "SORT":
+            cols = []
+            for part in rest.split(","):
+                bits = part.split()
+                c = F.col(bits[0])
+                cols.append(c.desc() if len(bits) > 1
+                            and bits[1].upper() == "DESC" else c.asc())
+            df = df.orderBy(*cols)
+        elif kw == "LIMIT":
+            df = df.limit(int(rest))
+        elif kw == "KEEP":
+            df = df.select(*[c.strip() for c in rest.split(",")])
+        elif kw == "DROP":
+            df = df.drop(*[c.strip() for c in rest.split(",")])
+        elif kw == "ENRICH":
+            m = re.fullmatch(
+                r"(\w+)\s+ON\s+(\w+)(?:\s+WITH\s+(.*))?", rest, re.I)
+            if not m:
+                raise ValueError(f"ES|QL: bad ENRICH {rest!r}")
+            policy, key, with_cols = m.group(1), m.group(2), m.group(3)
+            tbl, match_key, fields = _POLICIES[policy]
+            cols = ([c.strip() for c in with_cols.split(",")]
+                    if with_cols else fields)
+            dim = (tables.load(spark, sf_dir, tbl)
+                   .select(F.col(match_key).alias(key), *cols))
+            df = df.join(F.broadcast(dim), key, "left")
+        elif kw in ("GROK", "DISSECT"):
+            m = re.fullmatch(r"([\w.]+)\s+\"(.*)\"", rest, re.S)
+            if not m:
+                raise ValueError(f"ES|QL: bad {kw} {rest!r}")
+            col, pattern = m.group(1), m.group(2)
+            compiled = (_grok_compile if kw == "GROK"
+                        else _dissect_compile)(pattern)
+            regex, fields = compiled
+            for idx, (name, cast) in enumerate(fields, start=1):
+                raw = F.regexp_extract(F.col(col), regex, idx)
+                # ES leaves fields null on no-match ("" from Spark)
+                v = F.when(raw == "", None).otherwise(raw)
+                df = df.withColumn(name, v.cast(_CASTS[cast]))
+        else:
+            raise ValueError(f"ES|QL: unknown command {kw}")
+    # ES|QL numeric results are long/double — exact DECIMAL folds
+    # (money SUMs) surface as DOUBLE in the response
+    from pyspark.sql.types import DecimalType
+    casts = [F.col(f.name).cast("double").alias(f.name)
+             if isinstance(f.dataType, DecimalType) else F.col(f.name)
+             for f in df.schema.fields]
+    return df.select(*casts)
+
+
+def _split_assignments(s: str) -> list[str]:
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == '"':
+            in_str = not in_str
+        elif not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0 and not in_str:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [p for p in out if p.strip()]
+
+
+def _partition_kw(s: str, kw: str) -> tuple[str, str, str]:
+    m = re.search(rf"\b{kw}\b", s, re.I)
+    if not m:
+        return s, "", ""
+    return s[:m.start()], kw, s[m.end():]
+
+
+# ------------------------------------------------- registered queries
+
+ESQL_STATS = """
+FROM orders
+| WHERE o_orderstatus == "F" AND o_totalprice > 1000.0
+| EVAL month = DATE_TRUNC("month", o_orderdate)
+| STATS n = COUNT(*), revenue = SUM(o_totalprice),
+        top = MAX(o_totalprice) BY month, o_orderpriority
+| SORT month, o_orderpriority
+| LIMIT 60
+"""
+
+
+@register("esql_stats", oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(max(o_totalprice) AS DOUBLE) AS top
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+GROUP BY 1, 2 ORDER BY month, o_orderpriority LIMIT 60
+""")
+def esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL aggregation pipeline end-to-end through the translator
+    (the oracle is written directly against the source table —
+    independent of the translation). One scan-stage filter + EVAL
+    projection, one partial-agg shuffle, TakeOrdered page; the money
+    SUM folds as DECIMAL internally and surfaces as DOUBLE per the
+    ES|QL output contract."""
+    df = esql(spark, sf_dir, ESQL_STATS)
+    return df.select("month", "o_orderpriority", "n",
+                     F.round("revenue", 6).alias("revenue"),
+                     F.round("top", 6).alias("top"))
+
+
+ESQL_ENRICH = """
+FROM orders
+| ENRICH customers ON o_custkey WITH c_mktsegment
+| STATS n = COUNT(*), revenue = SUM(o_totalprice),
+        buyers = COUNT_DISTINCT(o_custkey) BY c_mktsegment
+| SORT c_mktsegment
+"""
+
+
+@register("esql_enrich", oracle="""
+SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS buyers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""")
+def esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `ENRICH <policy> ON key WITH field` — ES materializes an
+    enrich policy's source index onto every node and joins at query
+    time; the exact Spark analog is a broadcast hash join against the
+    dimension table, which is what the translator emits (plan-pinned
+    in tests). STATS then shuffles |segments| partial rows."""
+    df = esql(spark, sf_dir, ESQL_ENRICH)
+    return df.select("c_mktsegment", "n",
+                     F.round("revenue", 6).alias("revenue"), "buyers")
+
+
+ESQL_GROK = """
+FROM events
+| EVAL line = CONCAT(event_type, " uid=", TO_STRING(user_id))
+| GROK line "%{WORD:etype} uid=%{NUMBER:uid:long}"
+| WHERE uid >= 0
+| STATS n = COUNT(*), users = COUNT_DISTINCT(uid),
+        hi = MAX(uid) BY etype
+| SORT etype
+"""
+
+
+@register("esql_grok", oracle="""
+SELECT event_type AS etype, count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       max(user_id) AS hi
+FROM events WHERE user_id >= 0
+GROUP BY 1 ORDER BY 1
+""")
+def esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK (the ingest-pipeline parse surface lifted into the
+    query language): a log-line string column — genuinely built with
+    CONCAT, then parsed BACK with a %-pattern compiled to a typed
+    regexp extraction (WORD/NUMBER patterns, :long cast, null on
+    no-match, exactly ES's grok processor contract). The oracle
+    computes the census from the source columns (the round-trip is
+    content-preserving by construction — the json_contains_filter
+    precedent). All map-side string ops in the scan projection, one
+    |types|-row partial agg."""
+    return esql(spark, sf_dir, ESQL_GROK)

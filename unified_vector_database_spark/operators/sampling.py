@@ -458,3 +458,64 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_tokens").cast("long").alias("n_tokens"),
                      F.sum("n_chars").cast("long").alias("n_chars"))
                 .orderBy("shard"))
+
+
+# ------------------------------------------------ curriculum pacing
+
+CURR_STAGES = 4
+
+
+@register("curriculum_schedule", oracle=f"""
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents),
+s AS (
+  SELECT CASE WHEN n_chars <= q.q1 THEN 0
+              WHEN n_chars <= q.q2 THEN 1
+              WHEN n_chars <= q.q3 THEN 2
+              ELSE 3 END AS stage,
+         n_chars
+  FROM documents, q)
+SELECT stage, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM s GROUP BY stage ORDER BY stage
+""")
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (the easy→hard pacing schedule of
+    curriculum-learning pipelines): documents bucket into
+    {CURR_STAGES} pacing stages by difficulty — doc length is the
+    classic proxy — with stage boundaries at the exact interpolated
+    quartiles, and the schedule census (docs, token mass, bounds per
+    stage) a trainer consumes to plan epochs. The stage column IS the
+    deterministic sort key: writing the corpus partitioned by it
+    yields the curriculum order without any global sort.
+
+    Scale shape: boundaries are a 1-row exact-percentile aggregate
+    broadcast back onto the scan (percentile_approx is the documented
+    100 TB swap, as everywhere in the percentile family); stage
+    assignment is a map-side CASE ladder; the census is one
+    {CURR_STAGES}-row partial agg. No global sort anywhere — the
+    curriculum materializes through partitioning, not ordering."""
+    docs = tables.load(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.50)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"))
+    stage = (F.when(F.col("n_chars") <= F.col("q1"), 0)
+              .when(F.col("n_chars") <= F.col("q2"), 1)
+              .when(F.col("n_chars") <= F.col("q3"), 2)
+              .otherwise(3))
+    s = docs.crossJoin(F.broadcast(q)).select(stage.alias("stage"),
+                                              "n_chars")
+    return (s.groupBy("stage")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("total_chars"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars"),
+                  F.round(F.sum("n_chars").cast("double") / F.count("*"),
+                          6).alias("mean_chars"))
+             .orderBy("stage"))
