@@ -157,6 +157,10 @@ _PRIORITY = [
     # significance, curriculum pacing census.
     "esql_stats", "esql_enrich", "esql_grok",
     "sigterms_background_filter", "curriculum_schedule",
+    # (x) r14 wave: ES|QL MV_EXPAND/LOOKUP, Qdrant formula rescore,
+    # batched rank_eval, span-corruption masking, reindex + script.
+    "esql_mv_expand", "esql_lookup", "formula_rescore",
+    "batch_rank_eval", "span_corruption_census", "reindex_transform",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -131,6 +131,9 @@ HEADLINE = [
     # r13 wave
     "esql_stats", "esql_enrich", "esql_grok",
     "sigterms_background_filter", "curriculum_schedule",
+    # r14 wave
+    "esql_mv_expand", "esql_lookup", "formula_rescore",
+    "batch_rank_eval", "span_corruption_census", "reindex_transform",
 ]
 
 

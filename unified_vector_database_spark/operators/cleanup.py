@@ -544,3 +544,106 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").cast("long").alias("n_docs"),
                   F.sum("nt").cast("long").alias("n_tokens"))
              .orderBy("tier"))
+
+
+# ---------------------------------------- span-corruption masking census
+
+SPAN_CORRUPT_LEN = 3            # mean/fixed span length (T5 uses ~3)
+# universal hash over the per-doc md5 base: flag iff
+# (A*h + B*(g+1)) % P < P * 0.15 — ONE md5 per document, constant
+# arithmetic per span (the per-span-md5 form measured 34x at 64x:
+# an interpreted hash+concat per sequence element; this is the same
+# determinism contract at ~100x less per-span cost)
+SPAN_CORRUPT_A = 670488
+SPAN_CORRUPT_B = 3163119785
+SPAN_CORRUPT_P = 4294967311          # smallest prime > 2^32
+SPAN_CORRUPT_CUT = 644245096         # ~0.15 * P
+
+
+@register("span_corruption_census", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS n
+  FROM documents),
+m AS (
+  SELECT lang, n,
+         CASE WHEN n = 0 THEN 0 ELSE
+           list_sum(list_transform(
+             range(0, CAST(ceil(n / {SPAN_CORRUPT_LEN}.0) AS BIGINT)),
+             g -> CASE WHEN ({SPAN_CORRUPT_A} * h
+                             + {SPAN_CORRUPT_B} * (g + 1))
+                            % {SPAN_CORRUPT_P} < {SPAN_CORRUPT_CUT}
+                  THEN least({SPAN_CORRUPT_LEN}, n - {SPAN_CORRUPT_LEN} * g)
+                  ELSE 0 END)) END AS masked,
+         CASE WHEN n = 0 THEN 0 ELSE
+           list_sum(list_transform(
+             range(0, CAST(ceil(n / {SPAN_CORRUPT_LEN}.0) AS BIGINT)),
+             g -> CASE WHEN ({SPAN_CORRUPT_A} * h
+                             + {SPAN_CORRUPT_B} * (g + 1))
+                            % {SPAN_CORRUPT_P} < {SPAN_CORRUPT_CUT}
+                  THEN 1 ELSE 0 END)) END AS n_spans
+  FROM t)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(masked) AS BIGINT) AS masked_tokens,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       round(CAST(sum(masked) AS DOUBLE) / sum(n), 6) AS noise_ratio
+FROM m GROUP BY lang ORDER BY lang
+""")
+def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan (the denoising objective
+    of encoder-decoder pretraining): token positions partition into
+    fixed {SPAN_CORRUPT_LEN}-token spans and each span masks iff a
+    universal hash of (doc hash, span index) clears ~15% —
+    DETERMINISTIC noise, the property that makes a masking plan
+    reproducible across engines, runs, and re-partitions (same
+    contract as hash_sample). The census a data loader consumes: per
+    language, token mass, masked mass, sentinel (span) count, and the
+    realized noise ratio vs the 15% target.
+
+    Scale shape: everything is map-side — ONE md5 per document, then
+    constant integer arithmetic per span inside a bounded fold
+    (terms stay < 2^52, exact in int64 on both engines), then ONE
+    |langs|-row partial agg. The md5-per-span form measured 34x at
+    64x and was rewritten (docs/SCALE.md r14 panel)."""
+    from ..functions.hashing import md5_int32
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    n = F.size(tokens("text"))
+    d = docs.select("lang", n.alias("n"),
+                    md5_int32(F.col("doc_id").cast("string")).alias("h"))
+
+    def flag(g):
+        return ((F.lit(SPAN_CORRUPT_A) * F.col("h")
+                 + F.lit(SPAN_CORRUPT_B) * (g + F.lit(1).cast("long")))
+                % F.lit(SPAN_CORRUPT_P)) < SPAN_CORRUPT_CUT
+
+    groups = F.sequence(
+        F.lit(0).cast("long"),
+        F.ceil(F.col("n") / float(SPAN_CORRUPT_LEN)).cast("long") - 1)
+    masked = F.aggregate(
+        groups, F.lit(0).cast("long"),
+        lambda acc, g: acc + F.when(
+            flag(g), F.least(F.lit(SPAN_CORRUPT_LEN).cast("long"),
+                             F.col("n") - SPAN_CORRUPT_LEN * g))
+        .otherwise(F.lit(0).cast("long")))
+    nspans = F.aggregate(
+        groups, F.lit(0).cast("long"),
+        lambda acc, g: acc + F.when(flag(g), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")))
+    zero = F.lit(0).cast("long")
+    m = d.select(
+        "lang", "n",
+        F.when(F.col("n") == 0, zero).otherwise(masked).alias("masked"),
+        F.when(F.col("n") == 0, zero).otherwise(nspans).alias("n_spans"))
+    return (m.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n").cast("long").alias("total_tokens"),
+                  F.sum("masked").cast("long").alias("masked_tokens"),
+                  F.sum("n_spans").cast("long").alias("n_spans"),
+                  F.round(F.sum("masked").cast("double") / F.sum("n"), 6)
+                   .alias("noise_ratio"))
+             .orderBy("lang"))

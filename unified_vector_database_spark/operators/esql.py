@@ -99,6 +99,11 @@ _FUNCS = {
     "TO_STRING": lambda a: a[0].cast("string"),
     "TO_LONG": lambda a: a[0].cast("long"),
     "TO_DOUBLE": lambda a: a[0].cast("double"),
+    # SPLIT is special-cased in parse_primary: its delimiter must be
+    # re.escape'd as a python string (ES|QL delims are plain strings,
+    # Spark's split() takes a regex).
+    "TRIM": lambda a: F.trim(a[0]),
+    "LENGTH": lambda a: F.length(a[0]),
 }
 
 
@@ -185,6 +190,17 @@ class _ExprParser:
         if re.fullmatch(r"\d+", tok):
             return F.lit(int(tok))
         # identifier or function call
+        if tok.upper() == "SPLIT" and self.peek() == "(":
+            # SPLIT(str, "delim"): ES|QL delimiters are plain strings,
+            # Spark's split() takes a regex — escape the literal here.
+            self.next()
+            arg = self.parse_or()
+            self.expect(",")
+            d = self.next()
+            if not d.startswith('"'):
+                raise ValueError("ES|QL: SPLIT delimiter must be a string")
+            self.expect(")")
+            return F.split(arg, re.escape(d[1:-1]), -1)
         if self.peek() == "(":
             self.next()
             args = []
@@ -375,6 +391,26 @@ def esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             dim = (tables.load(spark, sf_dir, tbl)
                    .select(F.col(match_key).alias(key), *cols))
             df = df.join(F.broadcast(dim), key, "left")
+        elif kw == "MV_EXPAND":
+            # one row per value of a multivalued field, other columns
+            # repeated — F.explode, the exact relational analog
+            others = [c for c in df.columns if c != rest]
+            df = df.select(*others, F.explode(rest).alias(rest))
+        elif kw == "RENAME":
+            m = re.fullmatch(r"([\w.]+)\s+AS\s+(\w+)", rest, re.I)
+            if not m:
+                raise ValueError(f"ES|QL: bad RENAME {rest!r}")
+            df = df.withColumnRenamed(m.group(1), m.group(2))
+        elif kw == "LOOKUP":
+            # LOOKUP JOIN <index> ON <key> — ES|QL joins a lookup-mode
+            # index by field-name equality; broadcast left join brings
+            # every lookup column (KEEP prunes downstream — and column
+            # pruning pushes the projection into the lookup scan).
+            m = re.fullmatch(r"JOIN\s+(\w+)\s+ON\s+(\w+)", rest, re.I)
+            if not m:
+                raise ValueError(f"ES|QL: bad LOOKUP {rest!r}")
+            dim = tables.load(spark, sf_dir, m.group(1))
+            df = df.join(F.broadcast(dim), m.group(2), "left")
         elif kw in ("GROK", "DISSECT"):
             m = re.fullmatch(r"([\w.]+)\s+\"(.*)\"", rest, re.S)
             if not m:
@@ -517,3 +553,60 @@ def esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent). All map-side string ops in the scan projection, one
     |types|-row partial agg."""
     return esql(spark, sf_dir, ESQL_GROK)
+
+
+ESQL_MV = """
+FROM documents
+| EVAL toks = SPLIT(TRIM(text), " ")
+| MV_EXPAND toks
+| WHERE toks != ""
+| RENAME toks AS token
+| STATS df = COUNT_DISTINCT(doc_id), n = COUNT(*) BY token
+| SORT df DESC, token
+| LIMIT 15
+"""
+
+
+@register("esql_mv_expand", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(trim(text), ' ')) AS token
+  FROM documents)
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       count(*) AS n
+FROM t WHERE token <> ''
+GROUP BY token ORDER BY df DESC, token LIMIT 15
+""")
+def esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue pipeline: `EVAL SPLIT | MV_EXPAND | STATS` —
+    the term-frequency census written AS an ES|QL pipeline (MV_EXPAND
+    is ES|QL's explode; SPLIT's plain-string delimiter is re-escaped
+    into Spark's regex split at parse time). The explode + vocab
+    partial agg is the same single-shuffle shape as every token
+    census in the repo — the translator emits it, it doesn't
+    reimplement it."""
+    return esql(spark, sf_dir, ESQL_MV)
+
+
+ESQL_LOOKUP = """
+FROM customer
+| RENAME c_nationkey AS n_nationkey
+| LOOKUP JOIN nation ON n_nationkey
+| STATS n = COUNT(*), acct = SUM(c_acctbal) BY n_name
+| SORT n_name
+"""
+
+
+@register("esql_lookup", oracle="""
+SELECT n.n_name AS n_name, count(*) AS n,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+""")
+def esql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `LOOKUP JOIN` (the 8.18+ join-against-a-lookup-index
+    command — field-name-equality join semantics, hence the RENAME
+    first): broadcast left join against the lookup table, STATS over
+    the joined frame. Money folds as DECIMAL, surfaces DOUBLE."""
+    df = esql(spark, sf_dir, ESQL_LOOKUP)
+    return df.select("n_name", "n", F.round("acct", 6).alias("acct"))

@@ -597,3 +597,74 @@ def kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("f.s").cast("double") / F.col("n"), 6)
                       .alias("mean_sq_dist"))
              .orderBy("iter"))
+
+
+# --------------------------------------------- batched rank_eval
+
+BATCH_EVAL_Q = 8
+BATCH_EVAL_K = 10
+
+
+@register("batch_rank_eval", oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
+  FROM embeddings WHERE vec_id < {BATCH_EVAL_Q}),
+sc AS (
+  SELECT q.qid, e.vec_id, q.qlabel, e.label,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qvec)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+             e.vec_id) AS rk
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+top AS (SELECT * FROM sc WHERE rk <= {BATCH_EVAL_K})
+SELECT qid,
+       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rel,
+       round(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+             / {BATCH_EVAL_K}.0, 6) AS p_at_k,
+       round(coalesce(max(CASE WHEN label = qlabel
+                          THEN 1.0 / rk END), 0.0), 6) AS mrr
+FROM top GROUP BY qid ORDER BY qid
+""")
+def batch_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_rank_eval` as it is actually called — a BATCH of rated
+    requests in one API call (here {BATCH_EVAL_Q} label-qrel queries),
+    returning per-query precision@k and reciprocal rank. This is the
+    multi-query twin the single-query eval ops' docstrings promise:
+    the query table broadcasts, the corpus is scanned ONCE for all
+    queries, and the per-query rank window partitions on qid so
+    WindowGroupLimit prunes each partition to k rows before the
+    metric rollup.
+
+    Scale shape: |Q|-row broadcast; one corpus scan computes all
+    Q·N scores map-side; the ranking shuffle carries (qid, score, id)
+    scalars only (vectors never shuffle); metrics are a |Q|-row
+    partial agg. A thousand-query eval batch is the same plan with a
+    bigger broadcast."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", "label",
+                        D.vec_double("embedding").alias("vec"))
+    q = (emb.where(F.col("vec_id") < BATCH_EVAL_Q)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("label").alias("qlabel"),
+                    D.vec_double("embedding").alias("qvec")))
+    from pyspark.sql import Window as W
+    sc = (corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id", "qlabel", "label",
+                        D.cosine("vec", "qvec").alias("score")))
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("score"), "vec_id"))
+    top = sc.withColumn("rk", rk).where(F.col("rk") <= BATCH_EVAL_K)
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    return (top.groupBy("qid")
+               .agg(F.sum(rel).cast("long").alias("n_rel"),
+                    F.round(F.sum(rel) / float(BATCH_EVAL_K), 6)
+                     .alias("p_at_k"),
+                    F.round(F.coalesce(
+                        F.max(F.when(F.col("label") == F.col("qlabel"),
+                                     1.0 / F.col("rk"))), F.lit(0.0)), 6)
+                     .alias("mrr"))
+               .orderBy("qid"))

@@ -1073,3 +1073,67 @@ def near_vector_certainty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("certainty") >= NV_CERTAINTY)
             .orderBy(F.desc("certainty"), "vec_id")
             .limit(NV_CERT_LIMIT))
+
+
+# ------------------------------------------ Qdrant formula rescoring
+
+FORMULA_PREFETCH = 50
+FORMULA_W = 0.3
+FORMULA_ORIGIN = 300.0   # gauss decay target on the payload field
+FORMULA_SCALE = 150.0
+_LN2 = 0.6931471805599453  # shared literal: no libm ln(2) divergence
+
+
+@register("formula_rescore", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+pre AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec, q.qvec))) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT {FORMULA_PREFETCH}),
+j AS (
+  SELECT pre.vec_id, pre.score,
+         exp(-{_LN2!r} * pow(abs(d.n_chars - {FORMULA_ORIGIN!r})
+                             / {FORMULA_SCALE!r}, 2)) AS decay
+  FROM pre JOIN documents d ON pre.vec_id = d.doc_id)
+SELECT vec_id, round(score, 6) AS prefetch_score,
+       round({FORMULA_W!r} * decay, 6) AS boost,
+       round(score + {FORMULA_W!r} * decay, 6) AS final_score
+FROM j ORDER BY final_score DESC, vec_id LIMIT 10
+""")
+def formula_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant Query API `formula` rescoring: a prefetch shortlist is
+    re-scored by an expression combining `$score` with payload-based
+    terms — here the documented `sum($score, mult(w, gauss_decay))`
+    shape, a gaussian decay on the point's payload field (n_chars,
+    the freshness/recency analog) with origin {FORMULA_ORIGIN} and
+    scale {FORMULA_SCALE}. ln(2) is a shared literal so both engines
+    evaluate the identical decay tree.
+
+    Scale shape: the prefetch is the standard zero-shuffle scan +
+    TakeOrdered; the payload join touches {FORMULA_PREFETCH} rows (in
+    Qdrant the payload is STORED WITH the point — the id join here
+    simulates that colocation, and at scale it's a broadcast of the
+    bounded shortlist into the payload scan); the formula is map-side
+    column math on the shortlist."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    pre = (corpus.crossJoin(F.broadcast(q))
+           .select("vec_id", cosine_score().alias("score"))
+           .orderBy(F.desc("score"), "vec_id").limit(FORMULA_PREFETCH))
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("vec_id"), "n_chars")
+    decay = F.exp(-F.lit(_LN2) * F.pow(
+        F.abs(F.col("n_chars") - FORMULA_ORIGIN) / FORMULA_SCALE, 2))
+    return (docs.join(F.broadcast(pre), "vec_id")
+                .select("vec_id",
+                        F.round("score", 6).alias("prefetch_score"),
+                        F.round(F.lit(FORMULA_W) * decay, 6)
+                         .alias("boost"),
+                        F.round(F.col("score")
+                                + F.lit(FORMULA_W) * decay, 6)
+                         .alias("final_score"))
+                .orderBy(F.desc("final_score"), "vec_id").limit(10))

@@ -445,3 +445,59 @@ def ttl_expiry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 .cast("decimal(18,2)")))
                     .cast("double").alias("live_value"))
               .orderBy("event_type"))
+
+
+# --------------------------------------------------- reindex + script
+
+REINDEX_SHORT = 120   # script: n_chars < this classifies "short"
+
+
+@register("reindex_transform", oracle=f"""
+WITH dest AS (
+  SELECT doc_id, upper(lang) AS lang_up,
+         CASE WHEN n_chars < {REINDEX_SHORT} THEN 'short'
+              ELSE 'long' END AS wclass,
+         n_chars
+  FROM documents)
+SELECT lang_up, wclass, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM dest GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def reindex_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_reindex` with an ingest script (also Milvus collection
+    copy / Qdrant migrate): the source collection copies into a NEW
+    destination collection with a per-document transform applied in
+    flight — here the script uppercases `lang` and derives a
+    `wclass` bucket — and the destination is then queried, not the
+    source. The census reads back THROUGH the destination collection
+    on disk, so the hash proves the copy is complete and the
+    transform landed (the catalog_semantics contract class); the
+    oracle recomputes the transform relationally from the source.
+
+    Scale shape: reindex IS one map-only pass (transform in the
+    select) + the catalog's partitioned commit — O(corpus) once,
+    embarrassingly parallel, no shuffle except the partition-by
+    commit; the destination census is one partial agg. ES runs
+    reindex exactly this way (scroll + bulk, a distributed copy)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    script = docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.when(F.col("n_chars") < REINDEX_SHORT, "short")
+         .otherwise("long").alias("wclass"),
+        "n_chars")
+    if flags.SCHEMA_ONLY:
+        dest = script.limit(0)
+    else:
+        base = artifact_path("reindex_dest", sf_dir)
+        try:
+            col = Collection.open(spark, base, "documents_v2")
+        except ValueError:
+            col = Collection.create(spark, base, "documents_v2",
+                                    id_col="doc_id")
+            col.upsert(script)
+        dest = col.read()
+    return (dest.groupBy("lang_up", "wclass")
+                .agg(F.count("*").alias("n"),
+                     F.sum("n_chars").cast("long").alias("total_chars"))
+                .orderBy("lang_up", "wclass"))
