@@ -161,6 +161,9 @@ _PRIORITY = [
     # batched rank_eval, span-corruption masking, reindex + script.
     "esql_mv_expand", "esql_lookup", "formula_rescore",
     "batch_rank_eval", "span_corruption_census", "reindex_transform",
+    # (y) r15 wave: streaming EQL state machine, PQ reconstruction
+    # error census, filtered aliases.
+    "stream_eql_sequence", "pq_reconstruct_error", "filtered_alias_scan",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -134,6 +134,10 @@ HEADLINE = [
     # r14 wave
     "esql_mv_expand", "esql_lookup", "formula_rescore",
     "batch_rank_eval", "span_corruption_census", "reindex_transform",
+    # r15 wave (stream_eql_sequence is driver-gated but not a bench
+    # headline: its cost is the ordered-replay harness + per-group
+    # pandas state calls at |users| cardinality — docs/SCALE.md r15)
+    "pq_reconstruct_error", "filtered_alias_scan",
 ]
 
 

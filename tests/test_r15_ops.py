@@ -1,0 +1,92 @@
+"""Round-6 r15-wave checks: streaming EQL state machine vs the batch
+twin, PQ reconstruction-error census vs numpy, filtered aliases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# -------------------------------------------- stream_eql_sequence
+
+def test_stream_eql_equals_batch_twin(spark, sf_dir):
+    """The union of update-mode emissions rolled into the day census
+    must equal the batch window-function operator exactly — same
+    matches, same spans."""
+    from unified_vector_database_spark.operators.timeseries import (
+        eql_sequence,
+    )
+    from unified_vector_database_spark.streaming.stateful import (
+        stream_eql_sequence,
+    )
+
+    batch = [(r.day, r.n_sequences, r.n_users, r.avg_span_s)
+             for r in eql_sequence(spark, sf_dir).collect()]
+    stream = [(r.day, r.n_sequences, r.n_users, r.avg_span_s)
+              for r in stream_eql_sequence(spark, sf_dir).collect()]
+    assert len(batch) > 0
+    assert stream == batch
+
+
+def test_stream_eql_state_is_three_scalars():
+    from unified_vector_database_spark.streaming.stateful import (
+        EQL_STATE_SCHEMA,
+    )
+
+    assert [f.name for f in EQL_STATE_SCHEMA.fields] == \
+        ["lv", "lc_ts", "lc_lv"]  # bounded O(1) per key forever
+
+
+# -------------------------------------------- pq_reconstruct_error
+
+def test_pq_reconstruction_error_matches_numpy(spark, duck, sf_dir):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.functions import distance as D
+    from unified_vector_database_spark.operators.index import (
+        PQ_M, pq_fit, pq_reconstruct_error,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    cbs = pq_fit(corpus)
+    x = np.array([r[0] for r in duck.execute(
+        "SELECT embedding FROM embeddings ORDER BY vec_id").fetchall()],
+        dtype=np.float64)
+    dsub = x.shape[1] // PQ_M
+    got = {r.subspace: r for r in
+           pq_reconstruct_error(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, PQ_M + 1))
+    for j in range(PQ_M):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        books = np.array(cbs[j])
+        d2 = ((sub[:, None, :] - books[None, :, :]) ** 2).sum(axis=2)
+        mins = np.round(d2.min(axis=1), 6)
+        r = got[j + 1]
+        assert r.mean_sq_err == pytest.approx(mins.mean(), abs=1e-6)
+        assert r.max_sq_err == pytest.approx(mins.max(), abs=1e-6)
+        assert r.mean_sq_err >= 0 and r.max_sq_err >= r.mean_sq_err
+
+
+# ------------------------------------------------ filtered aliases
+
+def test_filtered_alias_injects_predicate(spark, sf_dir, tmp_path):
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.sources.catalog import Collection
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    base = str(tmp_path / "fa")
+    c = Collection.create(spark, base, "docs", id_col="doc_id")
+    c.upsert(docs)
+    Collection.set_alias(base, "plain", "docs")
+    Collection.set_alias(base, "en", "docs", filter_sql="lang = 'en'")
+    allrows = Collection.read_alias(spark, base, "plain")
+    en = Collection.read_alias(spark, base, "en")
+    assert allrows.count() == docs.count()
+    assert en.count() == docs.where(F.col("lang") == "en").count()
+    assert en.where(F.col("lang") != "en").count() == 0
+    # open_alias stays filter-agnostic and resolves both formats
+    assert Collection.open_alias(spark, base, "en").name == "docs"
+    assert Collection.open_alias(spark, base, "plain").name == "docs"

@@ -1842,3 +1842,95 @@ def ivf_merge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(
                 spark.read.parquet(p1).where(F.col("cid").isin(qcells))))
     return knn(cand, q, k=10, metric="cosine")
+
+
+# ------------------------------------- PQ reconstruction error (I23)
+
+def _pq_recon_oracle() -> str:
+    """Per-subspace quantization error: the error of the NEAREST
+    codebook entry is exactly the min subvector distance — no decode
+    join needed. Same codebook literals and 8-accumulator distance
+    tree as the PQ encode oracle; DECIMAL folds keep the corpus sums
+    exact and order-free."""
+    _, cbs, _ = _oracle_artifacts()
+    vals = ",".join(
+        f"({j + 1}, {c}, {_dlist(cb)})"
+        for j, books in enumerate(cbs) for c, cb in enumerate(books))
+    # sequential-fold subvector distance — the exact twin of the Spark
+    # side's zip_with/aggregate fold (NOT _pq_dist_sql's numpy tree;
+    # this op's JVM side folds sequentially)
+    diff = "list_transform(range(1, 9), i -> e.vec[(cb.j - 1) * 8 + i] - cb.cvec[i])"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cb(j, c, cvec) AS (VALUES {vals}),
+d AS (
+  SELECT e.vec_id, cb.j,
+         min(list_dot_product({diff}, {diff})) AS d2
+  FROM e, cb GROUP BY e.vec_id, cb.j),
+t AS (SELECT j, CAST(round(d2, 6) AS DECIMAL(28,6)) AS d2 FROM d),
+a AS (SELECT j, count(*) AS n, sum(d2) AS s, max(d2) AS mx
+      FROM t GROUP BY j)
+SELECT CAST(j AS INT) AS subspace,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_sq_err,
+       round(CAST(mx AS DOUBLE), 6) AS max_sq_err
+FROM a ORDER BY subspace
+"""
+
+
+@register("pq_reconstruct_error", oracle=_pq_recon_oracle)
+def pq_reconstruct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS `IndexPQ.reconstruct` / `compute_residuals` introspection:
+    the PER-SUBSPACE reconstruction error of the product quantizer —
+    mean and max squared L2 between each stored subvector and its
+    nearest codebook entry (which IS the decode: reconstruct returns
+    that entry). The per-subspace census is how a builder finds the
+    subspace whose codebook starves (motivating OPQ's rotation, I20)
+    before committing a PQ index.
+
+    Scale shape: the codebooks are broadcast literals (m×ksub×dsub
+    bounded fit artifacts); each row pays m×ksub 8-dim distance
+    evaluations MAP-SIDE with no shuffle (the same bounded-literal
+    fold as the encode pass); per-subspace error terms round then
+    fold as DECIMAL so the corpus sums are exact and order-free; the
+    m output rows unpivot from one aggregate row."""
+    import numpy as np
+
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    if flags_schema_only():
+        return spark.createDataFrame(
+            [], "subspace int, mean_sq_err double, max_sq_err double")
+    cbs = pq_fit(corpus)
+    dsub = 64 // PQ_M
+    cols = []
+    for j in range(PQ_M):
+        sub = F.slice("vec", j * dsub + 1, dsub)
+        dists = [
+            F.aggregate(
+                F.zip_with(sub,
+                           F.array(*[F.lit(float(v)) for v in cb]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for cb in cbs[j]]
+        d2 = F.least(*dists)
+        cols.append(F.round(d2, 6).cast("decimal(28,6)").alias(f"d{j}"))
+    t = corpus.select(*cols)
+    a = t.agg(F.count("*").alias("n"),
+              *[F.sum(f"d{j}").alias(f"s{j}") for j in range(PQ_M)],
+              *[F.max(f"d{j}").alias(f"m{j}") for j in range(PQ_M)])
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(j + 1).alias("subspace"),
+                 F.col(f"s{j}").alias("s"), F.col(f"m{j}").alias("mx"))
+        for j in range(PQ_M)])).alias("f")
+    return (a.select("n", stack)
+             .select(F.col("f.subspace").alias("subspace"),
+                     F.round(F.col("f.s").cast("double") / F.col("n"), 6)
+                      .alias("mean_sq_err"),
+                     F.round(F.col("f.mx").cast("double"), 6)
+                      .alias("max_sq_err"))
+             .orderBy("subspace"))
+
+
+def flags_schema_only() -> bool:
+    from .. import flags
+    return flags.SCHEMA_ONLY

@@ -501,3 +501,67 @@ def reindex_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n"),
                      F.sum("n_chars").cast("long").alias("total_chars"))
                 .orderBy("lang_up", "wclass"))
+
+
+# ------------------------------------------------- filtered aliases
+
+FA_LANG = "en"
+FA_MIN_CHARS = 200
+
+
+@register("filtered_alias_scan", oracle=f"""
+SELECT 'all_docs' AS alias, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+UNION ALL
+SELECT 'en_docs', count(*), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE lang = '{FA_LANG}'
+UNION ALL
+SELECT 'long_docs', count(*), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE n_chars >= {FA_MIN_CHARS}
+ORDER BY alias
+""")
+def filtered_alias_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES FILTERED aliases (`POST /_aliases` with a `filter` body —
+    the standard scoped-view / soft-multi-tenancy surface; also
+    Qdrant's alias + stored-filter idiom): one on-disk collection,
+    three aliases — unfiltered, lang-scoped, length-scoped — each
+    read THROUGH `Collection.read_alias`, which auto-injects the
+    alias predicate. The census hash proves the filter injection is
+    applied per alias and content-preserving vs the relational
+    composition.
+
+    Scale shape: the injected predicate is a plain Catalyst filter on
+    the collection read, so it pushes into the parquet scan exactly
+    like a user filter (and on a partitioned commit it prunes
+    partitions); three bounded censuses, one partial agg each."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    if flags.SCHEMA_ONLY:
+        parts = [docs.limit(0).select(
+            F.lit("all_docs").alias("alias"),
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"))]
+        return parts[0]
+    base = artifact_path("filtered_alias", sf_dir)
+    try:
+        Collection.open(spark, base, "docs")
+    except ValueError:
+        c = Collection.create(spark, base, "docs", id_col="doc_id")
+        c.upsert(docs)
+    Collection.set_alias(base, "all_docs", "docs")
+    Collection.set_alias(base, "en_docs", "docs",
+                         filter_sql=f"lang = '{FA_LANG}'")
+    Collection.set_alias(base, "long_docs", "docs",
+                         filter_sql=f"n_chars >= {FA_MIN_CHARS}")
+    outs = []
+    for alias in ("all_docs", "en_docs", "long_docs"):
+        d = Collection.read_alias(spark, base, alias)
+        outs.append(d.agg(F.lit(alias).alias("alias"),
+                          F.count("*").alias("n"),
+                          F.sum("n_chars").cast("long")
+                           .alias("total_chars")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("alias")

@@ -102,13 +102,31 @@ class Collection:
         return fsio.read_json(p)
 
     @staticmethod
-    def set_alias(base: str, alias: str, name: str) -> None:
-        """Point `alias` at collection `name` (create or atomic swap)."""
+    def set_alias(base: str, alias: str, name: str,
+                  filter_sql: str | None = None) -> None:
+        """Point `alias` at collection `name` (create or atomic swap).
+
+        `filter_sql` makes it a FILTERED alias (the ES filtered-alias
+        surface: reads through the alias auto-inject the predicate —
+        the standard multi-tenant / scoped-view pattern). Stored as a
+        dict entry; plain string entries stay valid for unfiltered
+        aliases, so existing alias files keep working."""
         if not fsio.exists(fsio.join(base, name, "manifest.json")):
             raise ValueError(f"collection {name!r} does not exist")
         aliases = Collection._read_aliases(base)
-        aliases[alias] = name
+        aliases[alias] = (name if filter_sql is None
+                          else {"name": name, "filter": filter_sql})
         fsio.write_json(Collection._aliases_path(base), aliases)
+
+    @staticmethod
+    def _resolve_alias(base: str, alias: str) -> tuple[str, str | None]:
+        aliases = Collection._read_aliases(base)
+        if alias not in aliases:
+            raise ValueError(f"no alias {alias!r}")
+        tgt = aliases[alias]
+        if isinstance(tgt, str):
+            return tgt, None
+        return tgt["name"], tgt.get("filter")
 
     @staticmethod
     def drop_alias(base: str, alias: str) -> None:
@@ -123,11 +141,25 @@ class Collection:
     @classmethod
     def open_alias(cls, spark: SparkSession, base: str,
                    alias: str) -> "Collection":
-        """Resolve an alias to its current target collection."""
-        aliases = cls._read_aliases(base)
-        if alias not in aliases:
-            raise ValueError(f"no alias {alias!r}")
-        return cls.open(spark, base, aliases[alias])
+        """Resolve an alias to its current target collection (any
+        alias filter is ignored here — use read_alias for the
+        filter-injecting read path)."""
+        name, _ = cls._resolve_alias(base, alias)
+        return cls.open(spark, base, name)
+
+    @classmethod
+    def read_alias(cls, spark: SparkSession, base: str,
+                   alias: str) -> DataFrame:
+        """Read THROUGH an alias: resolves the target and auto-injects
+        the alias filter (no-op for unfiltered aliases) — the ES
+        filtered-alias read contract. The injected predicate is a
+        plain Catalyst filter, so it pushes into the parquet scan
+        like any user filter."""
+        from pyspark.sql import functions as F
+
+        name, flt = cls._resolve_alias(base, alias)
+        df = cls.open(spark, base, name).read()
+        return df.where(F.expr(flt)) if flt else df
 
     def drop(self) -> None:
         fsio.rmtree(self.path)

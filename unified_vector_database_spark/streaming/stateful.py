@@ -124,3 +124,136 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("key", (F.col("_pos") + 1).cast("int").alias("rank"),
                          "topv", "n_seen")
                  .orderBy("key", "rank"))
+
+
+# ------------------------------------------------- streaming EQL (W18)
+
+EQL_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("ts_us", LongType()),
+    StructField("span_us", LongType()),
+])
+# carried chain state per user: latest prior view ts, latest prior
+# (click ts, that click's view ts) — three int64 microsecond scalars,
+# -1 = absent. O(1) per key forever.
+EQL_STATE_SCHEMA = StructType([
+    StructField("lv", LongType()),
+    StructField("lc_ts", LongType()),
+    StructField("lc_lv", LongType()),
+])
+
+
+def _eql_update(key, pdfs: "Iterator[pd.DataFrame]",
+                state: GroupState) -> "Iterator[pd.DataFrame]":
+    """Vectorized per-user EQL chain: within the batch the carried
+    values are pandas ffill/shift series (NO per-row python), seeded
+    from the carried state; matches are a boolean mask."""
+    from ..operators.timeseries import EQL_MAXSPAN_S
+
+    lv, lc_ts, lc_lv = state.get if state.exists else (-1, -1, -1)
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        state.update((lv, lc_ts, lc_lv))
+        return
+    # reset_index: concat of several arrow chunks repeats index labels,
+    # and a duplicate label turns .loc[label] into a Series (probe-
+    # caught at 64x — smaller corpora never produced multi-chunk groups)
+    df = (pd.concat(frames).sort_values(["ts_us", "event_id"])
+            .reset_index(drop=True))
+    us = df["ts_us"]
+    is_view = df["event_type"] == "view"
+    is_click = df["event_type"] == "click"
+    # latest view STRICTLY before each row: ffill then shift(1);
+    # leading gaps inherit the carried state
+    lv_b = us.where(is_view).ffill().shift(1)
+    if lv >= 0:
+        lv_b = lv_b.fillna(float(lv))
+    # latest (click, its-view) pair strictly before each row — the
+    # two columns update at identical positions, so independent
+    # ffills stay consistent
+    ok_click = is_click & lv_b.notna()
+    c_ts = us.where(ok_click).ffill().shift(1)
+    c_lv = lv_b.where(ok_click).ffill().shift(1)
+    if lc_ts >= 0:
+        c_ts = c_ts.fillna(float(lc_ts))
+        c_lv = c_lv.fillna(float(lc_lv))
+    span = us - c_lv
+    hit = ((df["event_type"] == "purchase") & c_lv.notna()
+           & (span <= EQL_MAXSPAN_S * 1_000_000))
+    out = pd.DataFrame({
+        "user_id": df["user_id"][hit].astype("int64"),
+        "ts_us": us[hit].astype("int64"),
+        "span_us": span[hit].astype("int64"),
+    })
+    # roll the state forward to end-of-batch values
+    views = us[is_view]
+    new_lv = int(views.iloc[-1]) if len(views) else lv
+    # end-of-batch click pair must include the batch's LAST row
+    lv_incl = us.where(is_view).ffill()
+    if lv >= 0:
+        lv_incl = lv_incl.fillna(float(lv))
+    ok_incl = is_click & lv_incl.notna()
+    if ok_incl.any():
+        last = ok_incl[::-1].idxmax()
+        new_lc_ts, new_lc_lv = int(us.loc[last]), int(lv_incl.loc[last])
+    else:
+        new_lc_ts, new_lc_lv = lc_ts, lc_lv
+    state.update((new_lv, new_lc_ts, new_lc_lv))
+    yield out
+
+
+def _eql_oracle() -> str:
+    """The batch twin's oracle, verbatim — streaming emissions rolled
+    into the day census must equal the batch fixpoint."""
+    from ..registry import ORACLES
+    o = ORACLES["eql_sequence"]
+    return o() if callable(o) else o
+
+
+@register("stream_eql_sequence", oracle=_eql_oracle)
+def stream_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: the EQL `sequence by user_id with maxspan` state machine
+    run AS A STREAM — applyInPandasWithState carrying exactly the two
+    chain registers the batch twin (`eql_sequence`,
+    operators/timeseries.py) resolves with window functions: latest
+    prior view, latest prior (click, its-view) pair. Arrival order is
+    the event-time-quartile replay (the W13/W14 ordered substrate),
+    so the per-user state machine sees a time-ordered sequence split
+    across 4 micro-batches; state is 3 int64 scalars per user —
+    bounded on an unbounded stream, which is WHY detections run as
+    EQL streams and not nightly batch sweeps. Within a batch the
+    carry is vectorized pandas ffill/shift (no per-row python).
+
+    Hash parity: each matched purchase is emitted exactly once (by
+    the batch that processes it), so the union of update-mode
+    emissions rolled into the day census must equal the batch
+    operator — the oracle below is eql_sequence's, verbatim."""
+    from .. import flags
+    from .ingest import _replay_quartile
+
+    stream = _replay_quartile(spark, sf_dir, "eqlseq", F.lit(0))
+    if flags.SCHEMA_ONLY or not stream.isStreaming:
+        matches = spark.createDataFrame([], EQL_OUT_SCHEMA)
+    else:
+        keyed = (stream
+                 .where(F.col("event_type")
+                         .isin("view", "click", "purchase"))
+                 .select("user_id", "event_id", "event_type",
+                         F.unix_micros("ts").alias("ts_us"))
+                 .groupBy("user_id"))
+        out = keyed.applyInPandasWithState(
+            _eql_update,
+            outputStructType=EQL_OUT_SCHEMA,
+            stateStructType=EQL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        from .ingest import _run_to_memory
+        matches = _run_to_memory(out, "update")
+    day = F.date_trunc("day", F.timestamp_micros("ts_us")).cast("date")
+    return (matches.groupBy(day.alias("day"))
+            .agg(F.count("*").alias("n_sequences"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.round(F.sum("span_us").cast("double")
+                         / F.count("*") / 1_000_000.0, 6)
+                  .alias("avg_span_s"))
+            .orderBy("day"))
