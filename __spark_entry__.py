@@ -164,6 +164,7 @@ _PRIORITY = [
     # (y) r15 wave: streaming EQL state machine, PQ reconstruction
     # error census, filtered aliases.
     "stream_eql_sequence", "pq_reconstruct_error", "filtered_alias_scan",
+    "terms_shard_error",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

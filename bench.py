@@ -137,7 +137,7 @@ HEADLINE = [
     # r15 wave (stream_eql_sequence is driver-gated but not a bench
     # headline: its cost is the ordered-replay harness + per-group
     # pandas state calls at |users| cardinality — docs/SCALE.md r15)
-    "pq_reconstruct_error", "filtered_alias_scan",
+    "pq_reconstruct_error", "filtered_alias_scan", "terms_shard_error",
 ]
 
 

@@ -90,3 +90,48 @@ def test_filtered_alias_injects_predicate(spark, sf_dir, tmp_path):
     # open_alias stays filter-agnostic and resolves both formats
     assert Collection.open_alias(spark, base, "en").name == "docs"
     assert Collection.open_alias(spark, base, "plain").name == "docs"
+
+
+# ------------------------------------------------ terms_shard_error
+
+def test_shard_error_bound_contract(spark, duck, sf_dir):
+    """The ES promise: est <= true <= est + doc_count_error_upper_bound,
+    and the bound is 0 for a term every shard reported."""
+    from unified_vector_database_spark.operators.esagg7 import (
+        TSE_SHARDS, terms_shard_error,
+    )
+
+    rows = terms_shard_error(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_count <= r.true_count
+        assert r.true_count <= r.doc_count + r.doc_count_error_upper_bound
+        assert 0 <= r.doc_count_error_upper_bound
+
+
+def test_shard_error_exact_when_all_shards_report(spark, duck, sf_dir):
+    """With shard_size >= vocab, every shard reports every term: the
+    merge must be exact (bound 0, est == true) — the small-index
+    regime where ES's terms agg IS exact."""
+    import hashlib
+
+    from unified_vector_database_spark.operators.esagg7 import TSE_SHARDS
+
+    rows = duck.execute("""
+        WITH dt AS (SELECT DISTINCT doc_id,
+            unnest(list_filter(string_split(trim(text), ' '),
+                   t -> t <> '')) AS token FROM documents)
+        SELECT doc_id, token FROM dt""").fetchall()
+    import collections
+    per_shard = collections.defaultdict(collections.Counter)
+    total = collections.Counter()
+    for doc_id, token in rows:
+        s = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) \
+            % TSE_SHARDS
+        per_shard[s][token] += 1
+        total[token] += 1
+    # full merge (no cut) is exact
+    merged = collections.Counter()
+    for s in per_shard.values():
+        merged.update(s)
+    assert merged == total

@@ -377,3 +377,91 @@ def sigterms_background_filter(spark: SparkSession,
                       F.round((fgr - bgr) * fgr / bgr, 6)
                        .alias("jlh_score"))
               .orderBy(F.desc("jlh_score"), "token").limit(SBF_TOP))
+
+
+# --------------------------- terms agg doc_count_error_upper_bound
+
+TSE_SHARDS = 4
+TSE_SHARD_SIZE = 8
+TSE_TOP = 5
+
+
+@register("terms_shard_error", oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+           AS token
+  FROM documents),
+sh AS (
+  SELECT token,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {TSE_SHARDS} AS shard
+  FROM dt),
+c AS (SELECT shard, token, count(*) AS cnt FROM sh GROUP BY 1, 2),
+r AS (SELECT shard, token, cnt,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, token) AS rn
+      FROM c),
+kept AS (SELECT * FROM r WHERE rn <= {TSE_SHARD_SIZE}),
+lasts AS (SELECT shard, min(cnt) AS last FROM kept GROUP BY shard),
+tl AS (SELECT sum(last) AS total_last FROM lasts),
+merged AS (
+  SELECT k.token, sum(k.cnt) AS est, sum(l.last) AS covered
+  FROM kept k JOIN lasts l USING (shard) GROUP BY k.token),
+truec AS (SELECT token, count(*) AS true_cnt FROM sh GROUP BY token)
+SELECT m.token AS term, CAST(m.est AS BIGINT) AS doc_count,
+       CAST(tl.total_last - m.covered AS BIGINT)
+         AS doc_count_error_upper_bound,
+       CAST(t.true_cnt AS BIGINT) AS true_count
+FROM merged m JOIN truec t ON m.token = t.token, tl
+ORDER BY m.est DESC, m.token LIMIT {TSE_TOP}
+""")
+def terms_shard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES distributed `terms` aggregation APPROXIMATION CONTRACT,
+    reproduced and reported: each shard returns only its local top
+    `shard_size` terms, the coordinator merges, and every returned
+    bucket carries `doc_count_error_upper_bound` — the sum of the
+    LAST (smallest) reported count of every shard that did NOT
+    report the term, the worst case it could have missed. The true
+    count is computed alongside, so the hash row pins the inequality
+    the contract promises: est ≤ true ≤ est + bound (also pinned in
+    tests). This is the semantics every user of a sharded terms agg
+    must understand before trusting its counts — made explicit here
+    because at 100 TB the per-shard cut is not optional.
+
+    Scale shape: shard routing is the map-side md5 the real cluster
+    uses; per-shard counts are one (shard, term) partial agg; the
+    per-shard top cut is a WindowGroupLimit-prunable rank bounded by
+    shard_size; the coordinator merge and the |shards|-row lasts
+    frame are broadcast-sized. The exact true count costs one more
+    vocab-keyed agg over the same frame (sf-scale check; a real
+    cluster doesn't pay it — that's the point of the bound)."""
+    from pyspark.sql import Window as W
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    from ..functions.hashing import md5_int32
+    dt = (docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+              .distinct())
+    sh = dt.select(
+        "token",
+        (md5_int32(F.col("doc_id").cast("string")) % TSE_SHARDS)
+        .alias("shard"))
+    c = sh.groupBy("shard", "token").agg(F.count("*").alias("cnt")) \
+          .localCheckpoint(eager=False)
+    rn = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.desc("cnt"), "token"))
+    kept = c.withColumn("rn", rn).where(F.col("rn") <= TSE_SHARD_SIZE)
+    lasts = kept.groupBy("shard").agg(F.min("cnt").alias("last"))
+    tl = lasts.agg(F.sum("last").alias("total_last"))
+    merged = (kept.join(F.broadcast(lasts), "shard")
+                  .groupBy("token")
+                  .agg(F.sum("cnt").alias("est"),
+                       F.sum("last").alias("covered")))
+    truec = c.groupBy("token").agg(F.sum("cnt").alias("true_cnt"))
+    return (merged.join(truec, "token").crossJoin(F.broadcast(tl))
+            .select(F.col("token").alias("term"),
+                    F.col("est").cast("long").alias("doc_count"),
+                    (F.col("total_last") - F.col("covered")).cast("long")
+                     .alias("doc_count_error_upper_bound"),
+                    F.col("true_cnt").cast("long").alias("true_count"))
+            .orderBy(F.desc("doc_count"), "term").limit(TSE_TOP))
