@@ -1,0 +1,116 @@
+"""Degenerate-corpus gate for the r11-r16 session ops: empty,
+single-row, and whitespace corpora must degrade gracefully (ANSI mode
+turns sloppy sequence/fold/division edge cases into runtime errors).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def _mk_docs(spark, tmp_path, name, rows):
+    sf = str(tmp_path / name)
+    os.makedirs(sf, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, "
+              "source string, n_chars long")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _mk_events(spark, tmp_path, name, rows):
+    sf = str(tmp_path / name)
+    os.makedirs(sf, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def _mk_emb(spark, tmp_path, name, rows):
+    sf = str(tmp_path / name)
+    os.makedirs(sf, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_r16_doc_ops_survive_degenerate_corpora(spark, tmp_path):
+    from unified_vector_database_spark.operators import (
+        cleanup as CL, esagg7 as E7, graph as G, sampling as SA,
+    )
+
+    empty = _mk_docs(spark, tmp_path, "d_empty", [])
+    single = _mk_docs(spark, tmp_path, "d_single",
+                      [Row(doc_id=0, text="a", lang="en",
+                           source="s", n_chars=1)])
+    ws = _mk_docs(spark, tmp_path, "d_ws",
+                  [Row(doc_id=0, text="   ", lang="en",
+                       source="s", n_chars=3)])
+    ops = [G.graph_explore, E7.sigterms_background_filter,
+           E7.mode_agg, E7.terms_shard_error,
+           CL.span_corruption_census, SA.curriculum_schedule]
+    for sf in (empty, single, ws):
+        for op in ops:
+            op(spark, sf).collect()  # must not raise
+    # semantics spot checks
+    assert G.graph_explore(spark, empty).collect() == []
+    rows = CL.span_corruption_census(spark, ws).collect()
+    assert len(rows) == 1 and rows[0].total_tokens == 0
+    cur = SA.curriculum_schedule(spark, single).collect()
+    assert sum(r.n_docs for r in cur) == 1
+
+
+def test_r16_event_ops_survive_degenerate_corpora(spark, tmp_path):
+    from unified_vector_database_spark.operators import (
+        esql as Q, timeseries as TS,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    empty = _mk_events(spark, tmp_path, "e_empty", [])
+    single = _mk_events(spark, tmp_path, "e_single",
+                        [Row(event_id=0, ts=t0, user_id=1,
+                             event_type="purchase", value=5.0,
+                             props='{"k": 1}')])
+    ops = [TS.eql_sequence, TS.counter_rate_resets, Q.esql_grok]
+    for sf in (empty, single):
+        for op in ops:
+            op(spark, sf).collect()
+    assert TS.eql_sequence(spark, single).collect() == []
+    # one event -> no deltas, no series with n >= 2
+    assert TS.counter_rate_resets(spark, single).collect() == []
+
+
+def test_r16_vector_ops_survive_degenerate_corpora(spark, tmp_path):
+    from unified_vector_database_spark.operators import (
+        evaluation as EV, index as IX, knn as KN,
+    )
+
+    dim = 64
+    empty = _mk_emb(spark, tmp_path, "v_empty", [])
+    single = _mk_emb(spark, tmp_path, "v_single",
+                     [Row(vec_id=0, embedding=[1.0] * dim, label=1)])
+    # formula_rescore joins documents payload — give both corpora one
+    for sf, docs in ((empty, []),
+                     (single, [Row(doc_id=0, text="a", lang="en",
+                                   source="s", n_chars=1)])):
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, "
+                  "source string, n_chars long") \
+            .write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    ops = [IX.substructure_knn, EV.err_rank_eval, EV.batch_rank_eval,
+           KN.prefetch_maxsim_rerank, KN.formula_rescore,
+           EV.kmeans_inertia_curve, IX.pq_reconstruct_error]
+    for sf in (empty, single):
+        for op in ops:
+            op(spark, sf).collect()
+    # the single corpus: vec 0 is the query; self-match only
+    got = IX.substructure_knn(spark, single).collect()
+    assert len(got) == 1 and got[0].sub_dist == 0.0
+    assert EV.err_rank_eval(spark, single).collect()[0].err_at_k == 0.0

@@ -590,7 +590,9 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(n) AS BIGINT) AS total_tokens,
        CAST(sum(masked) AS BIGINT) AS masked_tokens,
        CAST(sum(n_spans) AS BIGINT) AS n_spans,
-       round(CAST(sum(masked) AS DOUBLE) / sum(n), 6) AS noise_ratio
+       CASE WHEN sum(n) = 0 THEN NULL
+            ELSE round(CAST(sum(masked) AS DOUBLE) / sum(n), 6) END
+         AS noise_ratio
 FROM m GROUP BY lang ORDER BY lang
 """)
 def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +646,7 @@ def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("n").cast("long").alias("total_tokens"),
                   F.sum("masked").cast("long").alias("masked_tokens"),
                   F.sum("n_spans").cast("long").alias("n_spans"),
-                  F.round(F.sum("masked").cast("double") / F.sum("n"), 6)
+                  F.round(F.try_divide(F.sum("masked").cast("double"),
+                                       F.sum("n")), 6)
                    .alias("noise_ratio"))
              .orderBy("lang"))

@@ -575,13 +575,18 @@ def kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (corpus.sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
             .orderBy("vec_id").limit(KMEANS_SAMPLE)
             .select(D.vec_double("embedding").alias("v")).collect())
+    if not rows:  # degenerate corpus: nothing to fit or score
+        return spark.createDataFrame(
+            [], "iter int, inertia double, mean_sq_dist double")
     x = np.array([r.v for r in rows], dtype=np.float64)
     hist = _lloyd_history(x, KMEANS_K, KMEANS_ITERS)
     cols = []
     for i, it in enumerate(INERTIA_ITERS):
-        li = F.least(*[
-            D.l2("vec", F.array(*[F.lit(float(v)) for v in c]))
-            for c in hist[it]])
+        ds = [D.l2("vec", F.array(*[F.lit(float(v)) for v in c]))
+              for c in hist[it]]
+        # a degenerate (<k sample) fit yields <2 centroids and
+        # F.least() requires two columns
+        li = ds[0] if len(ds) == 1 else F.least(*ds)
         cols.append(F.round(li * li, 6).cast("decimal(28,6)").alias(f"t{i}"))
     t = corpus.select(*cols)
     a = t.agg(F.count("*").alias("n"),

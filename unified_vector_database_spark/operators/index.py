@@ -1897,7 +1897,9 @@ def pq_reconstruct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-    if flags_schema_only():
+    if flags_schema_only() or corpus.limit(1).count() == 0:
+        # schema-only consumers and degenerate (empty) corpora: no
+        # sample to fit, nothing to score
         return spark.createDataFrame(
             [], "subspace int, mean_sq_err double, max_sq_err double")
     cbs = pq_fit(corpus)
@@ -1912,7 +1914,7 @@ def pq_reconstruct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                            lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0), lambda acc, x: acc + x)
             for cb in cbs[j]]
-        d2 = F.least(*dists)
+        d2 = dists[0] if len(dists) == 1 else F.least(*dists)
         cols.append(F.round(d2, 6).cast("decimal(28,6)").alias(f"d{j}"))
     t = corpus.select(*cols)
     a = t.agg(F.count("*").alias("n"),
