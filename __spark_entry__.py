@@ -165,6 +165,8 @@ _PRIORITY = [
     # error census, filtered aliases.
     "stream_eql_sequence", "pq_reconstruct_error", "filtered_alias_scan",
     "terms_shard_error",
+    # (z) r17 wave: cross-modal text->image retrieval, audio similarity.
+    "text_image_search", "near_audio_search",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

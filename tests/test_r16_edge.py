@@ -114,3 +114,43 @@ def test_r16_vector_ops_survive_degenerate_corpora(spark, tmp_path):
     got = IX.substructure_knn(spark, single).collect()
     assert len(got) == 1 and got[0].sub_dist == 0.0
     assert EV.err_rank_eval(spark, single).collect()[0].err_at_k == 0.0
+
+
+# ------------------------------------- cross-modal / audio retrieval
+
+def test_text_image_alignment_is_exact_for_own_text(spark, tmp_path):
+    """Dual-encoder alignment contract: a document whose text IS the
+    query must decode to exactly the query's features (dist 0) —
+    with the stub codec, images are deterministic functions of text,
+    so the text tower and the image tower must land on the same
+    point."""
+    from unified_vector_database_spark.operators.multimodal import (
+        TXT_IMG_QUERY, text_image_search,
+    )
+
+    sf = str(tmp_path / "xmodal")
+    os.makedirs(sf, exist_ok=True)
+    rows = [Row(doc_id=0, text=TXT_IMG_QUERY, lang="en",
+                source="s", n_chars=len(TXT_IMG_QUERY)),
+            Row(doc_id=1, text="something entirely different here",
+                lang="en", source="s", n_chars=33)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, "
+              "source string, n_chars long") \
+        .write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = text_image_search(spark, sf).collect()
+    assert got[0].media_id == 0 and got[0].dist == 0.0
+    assert got[1].dist > 0.0
+
+
+def test_near_audio_self_match_and_bounds(spark, sf_dir):
+    from unified_vector_database_spark.operators.multimodal import (
+        near_audio_search,
+    )
+
+    got = near_audio_search(spark, sf_dir).collect()
+    assert got[0].media_id == 0 and got[0].dist == 0.0
+    dists = [r.dist for r in got]
+    assert dists == sorted(dists)
+    # normalized axes: every distance is within sqrt(3) of the origin
+    assert all(0.0 <= d <= 1.7320508 + 1e-9 for d in dists)

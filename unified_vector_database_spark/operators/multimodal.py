@@ -510,3 +510,157 @@ def near_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.select(F.col("media_id"),
                          F.round(F.sqrt(d2), 6).alias("dist"))
                  .orderBy("dist", "media_id").limit(NEAR_IMAGE_K))
+
+
+# ------------------------------------- cross-modal text->image (M9)
+
+TXT_IMG_QUERY = "vector database search engine"
+TXT_IMG_K = 10
+
+
+def _text_tower(text: str) -> tuple[float, float, float]:
+    """The TEXT tower of the dual encoder: maps a free-text query
+    into the image feature space. With the deterministic stub
+    codec, the shared space is the channel-mean space and alignment
+    is exact by construction (images ARE functions of text); with a
+    real CLIP checkpoint this function becomes the text-encoder
+    forward pass (M5's numpy-weights load path) and NOTHING else in
+    the plan changes — the bounded 1-row query encode is the knn
+    query pattern."""
+    import hashlib
+
+    hexpix = (hashlib.md5(text.encode()).hexdigest()
+              + hashlib.md5((text + "x").encode()).hexdigest()
+              + hashlib.md5((text + "y").encode()).hexdigest())
+    b = [int(hexpix[j * 2:j * 2 + 2], 16) for j in range(3 * PPM_W * PPM_H)]
+    n = PPM_W * PPM_H
+    return (sum(b[p * 3] for p in range(n)) / n,
+            sum(b[p * 3 + 1] for p in range(n)) / n,
+            sum(b[p * 3 + 2] for p in range(n)) / n)
+
+
+@register("text_image_search", oracle=f"""
+WITH {_PPM_MEANS_CTE},
+qh AS (SELECT md5('{TXT_IMG_QUERY}') || md5('{TXT_IMG_QUERY}' || 'x')
+              || md5('{TXT_IMG_QUERY}' || 'y') AS hex),
+qb AS (SELECT list_transform(range(0, {3 * PPM_W * PPM_H}),
+           j -> ('0x' || substr(hex, j * 2 + 1, 2))::INT) AS bytes
+       FROM qh),
+q AS (SELECT
+        list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+            p -> bytes[p * 3 + 1])) / {PPM_W * PPM_H}.0 AS qr,
+        list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+            p -> bytes[p * 3 + 2])) / {PPM_W * PPM_H}.0 AS qg,
+        list_sum(list_transform(range(0, {PPM_W * PPM_H}),
+            p -> bytes[p * 3 + 3])) / {PPM_W * PPM_H}.0 AS qb
+      FROM qb)
+SELECT m.doc_id AS media_id,
+       round(sqrt((m.mr - q.qr) * (m.mr - q.qr)
+                  + (m.mg - q.qg) * (m.mg - q.qg)
+                  + (m.mb - q.qb) * (m.mb - q.qb)), 6) AS dist
+FROM m, q
+ORDER BY dist, media_id LIMIT {TXT_IMG_K}
+""")
+def text_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-deployment-shaped cross-modal retrieval (Weaviate
+    `near_text` against an image collection / multi2vec modules): a
+    FREE-TEXT query goes through the text tower, the image corpus
+    goes through the REAL byte-level decode kernel (Arrow-batched P6
+    parse, one corpus pass), and ranking is distance in the shared
+    feature space. The two towers never see each other's modality —
+    exactly the dual-encoder serving topology; the deterministic
+    stub keeps the shared space oracle-checkable end to end.
+
+    Scale shape: query encode is one bounded driver-side call (knn
+    query pattern); the corpus pays exactly one decode pass
+    (map-only, Arrow-batched, model-per-partition when the real
+    encoder lands); compare is broadcast scalars + TakeOrdered.
+    Zero shuffle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    feats = synth_ppm(docs).mapInPandas(
+        ppm_features_batches,
+        schema=("media_id long, width int, height int, mean_r double, "
+                "mean_g double, mean_b double, thumb array<double>"))
+    qr, qg, qb = _text_tower(TXT_IMG_QUERY)
+    d2 = ((F.col("mean_r") - F.lit(qr)) ** 2
+          + (F.col("mean_g") - F.lit(qg)) ** 2
+          + (F.col("mean_b") - F.lit(qb)) ** 2)
+    return (feats.select(F.col("media_id"),
+                         F.round(F.sqrt(d2), 6).alias("dist"))
+                 .orderBy("dist", "media_id").limit(TXT_IMG_K))
+
+
+# ---------------------------------------- audio similarity (M10)
+
+NEAR_AUDIO_K = 10
+
+_WAV_FEATS_CTE = f"""
+hw AS (
+  SELECT doc_id,
+         md5(text) || md5(text || 'a') || md5(text || 'b')
+                   || md5(text || 'c') AS hex
+  FROM documents),
+sw AS (SELECT doc_id, {_WAV_S} AS smp FROM hw),
+fw AS (
+  SELECT doc_id,
+         round(sqrt(list_sum(list_transform(smp, x -> x * x * 1.0))
+                    / {WAV_N_SAMPLES}), 6) AS rms,
+         list_max(list_transform(smp, x -> abs(x))) AS peak,
+         list_sum(list_transform(range(1, {WAV_N_SAMPLES}),
+           i -> CASE WHEN (smp[i] < 0) <> (smp[i+1] < 0)
+                     THEN 1 ELSE 0 END))::BIGINT AS zc
+  FROM sw)"""
+
+
+@register("near_audio_search", oracle=f"""
+WITH {_WAV_FEATS_CTE},
+q AS (SELECT rms AS q_rms, peak AS q_peak, zc AS q_zc
+      FROM fw WHERE doc_id = 0)
+SELECT fw.doc_id AS media_id,
+       round(sqrt(
+         ((fw.rms - q.q_rms) / 32768.0) * ((fw.rms - q.q_rms) / 32768.0)
+         + ((fw.peak - q.q_peak) / 32768.0)
+           * ((fw.peak - q.q_peak) / 32768.0)
+         + ((fw.zc - q.q_zc) / {WAV_N_SAMPLES - 1}.0)
+           * ((fw.zc - q.q_zc) / {WAV_N_SAMPLES - 1}.0)), 6) AS dist
+FROM fw, q
+ORDER BY dist, media_id LIMIT {NEAR_AUDIO_K}
+""")
+def near_audio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-to-audio similarity search (the Weaviate multi2vec-bind
+    audio module surface / audio fingerprint matching): the query
+    CLIP's decoded features rank the audio corpus. Both sides run
+    the REAL RIFF/PCM decode kernel; similarity is scale-normalized
+    L2 over the (RMS, peak, zero-crossing) feature triple — each
+    axis divided by its dynamic range so no single scale dominates
+    (with a learned audio embedder this becomes M5's kernel and the
+    normalization is the model's, same plan shape).
+
+    Scale shape: query decode prunes to ONE row before the kernel
+    (bounded collect, the knn query pattern); corpus pays exactly
+    one Arrow decode pass; compare is broadcast scalars +
+    TakeOrdered. Zero shuffle."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    feats = synth_wav(docs).mapInPandas(
+        wav_features_batches,
+        schema=("media_id long, sample_rate int, n_samples int, "
+                "rms double, peak int, zero_cross bigint"))
+    qrow = (synth_wav(docs.where(F.col("doc_id") == 0)).mapInPandas(
+        wav_features_batches,
+        schema=("media_id long, sample_rate int, n_samples int, "
+                "rms double, peak int, zero_cross bigint")).first())
+    if qrow is None:
+        return (feats.select("media_id",
+                             F.lit(None).cast("double").alias("dist"))
+                     .limit(0))
+    rng = 32768.0
+    zrng = float(WAV_N_SAMPLES - 1)
+    d2 = (((F.col("rms") - F.lit(qrow.rms)) / rng)
+          * ((F.col("rms") - F.lit(qrow.rms)) / rng)
+          + ((F.col("peak") - F.lit(qrow.peak)) / rng)
+          * ((F.col("peak") - F.lit(qrow.peak)) / rng)
+          + ((F.col("zero_cross") - F.lit(qrow.zero_cross)) / zrng)
+          * ((F.col("zero_cross") - F.lit(qrow.zero_cross)) / zrng))
+    return (feats.select("media_id",
+                         F.round(F.sqrt(d2), 6).alias("dist"))
+                 .orderBy("dist", "media_id").limit(NEAR_AUDIO_K))
