@@ -167,6 +167,8 @@ _PRIORITY = [
     "terms_shard_error",
     # (z) r17 wave: cross-modal text->image retrieval, audio similarity.
     "text_image_search", "near_audio_search",
+    # (aa) r18: training-planning pair.
+    "epoch_plan", "dataset_card",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -138,7 +138,7 @@ HEADLINE = [
     # headline: its cost is the ordered-replay harness + per-group
     # pandas state calls at |users| cardinality — docs/SCALE.md r15)
     "pq_reconstruct_error", "filtered_alias_scan", "terms_shard_error",
-    "text_image_search", "near_audio_search",
+    "text_image_search", "near_audio_search", "epoch_plan", "dataset_card",
 ]
 
 

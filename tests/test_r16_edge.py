@@ -154,3 +154,42 @@ def test_near_audio_self_match_and_bounds(spark, sf_dir):
     assert dists == sorted(dists)
     # normalized axes: every distance is within sqrt(3) of the origin
     assert all(0.0 <= d <= 1.7320508 + 1e-9 for d in dists)
+
+
+# --------------------------------------- training-planning pair (r18)
+
+def test_epoch_plan_arithmetic_and_scarcity_flag(spark, duck, sf_dir):
+    from unified_vector_database_spark.operators.sampling import (
+        EPOCH_BUDGET_TOKENS, EPOCH_MAX_REPEAT, LANG_MIX, epoch_plan,
+    )
+
+    toks = dict(duck.execute("""
+        SELECT lang, sum(len(list_filter(string_split(trim(text), ' '),
+                                         t -> t <> '')))
+        FROM documents GROUP BY lang""").fetchall())
+    got = {r.lang: r for r in epoch_plan(spark, sf_dir).collect()}
+    assert set(got) == {l for l, _ in LANG_MIX}
+    for lang, wt in LANG_MIX:
+        r = got[lang]
+        assert r.corpus_tokens == toks[lang]
+        alloc = round(EPOCH_BUDGET_TOKENS * wt)
+        assert r.allocated_tokens == alloc
+        assert r.epochs == pytest.approx(alloc / toks[lang], abs=2e-6)
+        assert r.scarce == (alloc / toks[lang] > EPOCH_MAX_REPEAT)
+    # mixture weights cover the budget
+    assert sum(w for _, w in LANG_MIX) == pytest.approx(1.0)
+
+
+def test_dataset_card_metrics_consistent(spark, duck, sf_dir):
+    from unified_vector_database_spark.operators.quality import (
+        dataset_card,
+    )
+
+    got = {r.metric: r.value for r in dataset_card(spark, sf_dir).collect()}
+    n = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert got["n_docs"] == n
+    assert 0.0 <= got["exact_dup_rate"] < 1.0
+    assert 0.0 <= got["short_doc_rate"] <= 1.0
+    assert got["total_tokens"] > 0 and got["vocab_size"] > 0
+    assert got["mean_doc_tokens"] == pytest.approx(
+        got["total_tokens"] / got["n_docs"], abs=1e-5)

@@ -394,3 +394,95 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (total.unionAll(top)
                  .orderBy(F.desc(F.col("term") == "[TOTAL_KL]"),
                           F.desc("contrib"), "term"))
+
+
+# ---------------------------------------------------- dataset card
+
+DATACARD_SHORT = 120  # n_chars floor mirrored from the quality gates
+
+
+@register("dataset_card", oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS h,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+           AS ntok
+  FROM documents),
+tok AS (
+  SELECT count(DISTINCT token) AS vocab FROM (
+    SELECT unnest(list_filter(string_split(trim(text), ' '),
+                              t -> t <> '')) AS token
+    FROM documents)),
+a AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         sum(ntok) AS total_tokens,
+         count(DISTINCT h) AS n_unique,
+         count(*) FILTER (n_chars < {DATACARD_SHORT}) AS n_short
+  FROM base)
+SELECT m.metric, round(m.value, 6) AS value
+FROM a, tok, LATERAL (VALUES
+  ('n_docs', a.n_docs * 1.0),
+  ('n_langs', a.n_langs * 1.0),
+  ('n_sources', a.n_sources * 1.0),
+  ('total_tokens', a.total_tokens * 1.0),
+  ('mean_doc_tokens', CASE WHEN a.n_docs = 0 THEN NULL
+                           ELSE a.total_tokens * 1.0 / a.n_docs END),
+  ('exact_dup_rate', CASE WHEN a.n_docs = 0 THEN NULL
+                          ELSE 1.0 - a.n_unique * 1.0 / a.n_docs END),
+  ('short_doc_rate', CASE WHEN a.n_docs = 0 THEN NULL
+                          ELSE a.n_short * 1.0 / a.n_docs END),
+  ('vocab_size', tok.vocab * 1.0)) AS m(metric, value)
+ORDER BY m.metric
+""")
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary (the 'data card' table every released
+    corpus ships: size, composition, duplication, length profile,
+    vocabulary): one metric/value frame a release pipeline exports
+    verbatim. Duplication here is the exact md5 rate — the
+    MinHash/SemDeDup near-dup rates are their own driver-gated ops;
+    this card is the cheap always-on census that gates whether the
+    expensive passes are needed at all.
+
+    Scale shape: one map-side pass folds every per-doc stat into ONE
+    partial-agg row (count, distinct-hash, token sums — the distinct
+    doc-hash count shuffles 16-byte hashes, not text); the vocabulary
+    count is the one genuinely vocab-keyed extra agg (its 100 TB
+    stand-in is distinct_kmv's sketch, driver-proved next door); the
+    8 output rows unpivot from the aggregate row."""
+    from ..functions.text import tokens
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    base = docs.select(
+        "lang", "source", "n_chars", F.md5("text").alias("h"),
+        F.size(tokens("text")).alias("ntok"))
+    a = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("ntok").alias("total_tokens"),
+        F.countDistinct("h").alias("n_unique"),
+        F.count_if(F.col("n_chars") < DATACARD_SHORT).alias("n_short"))
+    vocab = (docs.select(F.explode(tokens("text")).alias("token"))
+                 .agg(F.countDistinct("token").alias("vocab")))
+    pairs = [
+        ("n_docs", F.col("n_docs") * 1.0),
+        ("n_langs", F.col("n_langs") * 1.0),
+        ("n_sources", F.col("n_sources") * 1.0),
+        ("total_tokens", F.col("total_tokens") * 1.0),
+        ("mean_doc_tokens",
+         F.try_divide(F.col("total_tokens") * 1.0, F.col("n_docs"))),
+        ("exact_dup_rate",
+         1.0 - F.try_divide(F.col("n_unique") * 1.0, F.col("n_docs"))),
+        ("short_doc_rate",
+         F.try_divide(F.col("n_short") * 1.0, F.col("n_docs"))),
+        ("vocab_size", F.col("vocab") * 1.0),
+    ]
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(m).alias("metric"), v.alias("value"))
+        for m, v in pairs])).alias("f")
+    return (a.crossJoin(F.broadcast(vocab))
+             .select(stack)
+             .select(F.col("f.metric").alias("metric"),
+                     F.round(F.col("f.value"), 6).alias("value"))
+             .orderBy("metric"))

@@ -519,3 +519,66 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("n_chars").cast("double") / F.count("*"),
                           6).alias("mean_chars"))
              .orderBy("stage"))
+
+
+# -------------------------------------------------- epoch planning
+
+EPOCH_BUDGET_TOKENS = 500_000   # training-run token budget
+EPOCH_MAX_REPEAT = 4.0          # repeat cap before flagging scarcity
+
+
+@register("epoch_plan", oracle=f"""
+WITH d AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split(trim(text), ' '),
+                                  t -> t <> ''))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang),
+w(lang, wt) AS (VALUES {", ".join(f"('{l}', {w!r}e0)" for l, w in
+                                  (("en", 0.25), ("de", 0.25),
+                                   ("zh", 0.20), ("fr", 0.15),
+                                   ("es", 0.15)))}),
+p AS (
+  SELECT d.lang, d.toks, w.wt,
+         CAST(round({EPOCH_BUDGET_TOKENS} * w.wt, 0) AS BIGINT)
+           AS alloc
+  FROM d JOIN w USING (lang))
+SELECT lang, toks AS corpus_tokens, wt AS target_weight,
+       alloc AS allocated_tokens,
+       round(alloc * 1.0 / toks, 6) AS epochs,
+       alloc * 1.0 / toks > {EPOCH_MAX_REPEAT!r} AS scarce
+FROM p ORDER BY lang
+""")
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch planning (the per-domain repeat-factor
+    table of data-mixing recipes): given a token budget and target
+    mixture weights (LANG_MIX's shape), allocate tokens per domain
+    and derive the epoch count (allocated / available) — the number
+    every mixture paper reports and every data loader needs; domains
+    whose repeat factor exceeds the cap are flagged `scarce` (the
+    signal to re-weight or go collect more data, the standard
+    repeat-degradation guard).
+
+    Scale shape: ONE linear-in-tokens pass folds per-domain token
+    counts (map-side token size, |domains|-row partial agg); the
+    weights table is a literal; everything after is |domains|-row
+    arithmetic. The plan FEEDS temperature_mix_sample /
+    domain_mix_sample — this is the planning half of the mixing
+    pair."""
+    from ..functions.text import tokens
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    d = (docs.groupBy("lang")
+             .agg(F.sum(F.size(tokens("text"))).cast("long")
+                   .alias("toks")))
+    w = docs.sparkSession.createDataFrame(
+        list(LANG_MIX), "lang string, wt double")
+    alloc = F.round(EPOCH_BUDGET_TOKENS * F.col("wt"), 0).cast("long")
+    p = d.join(F.broadcast(w), "lang").withColumn("alloc", alloc)
+    epochs = F.col("alloc") * 1.0 / F.col("toks")
+    return (p.select("lang",
+                     F.col("toks").alias("corpus_tokens"),
+                     F.col("wt").alias("target_weight"),
+                     F.col("alloc").alias("allocated_tokens"),
+                     F.round(epochs, 6).alias("epochs"),
+                     (epochs > EPOCH_MAX_REPEAT).alias("scarce"))
+             .orderBy("lang"))
