@@ -533,10 +533,8 @@ WITH d AS (
          CAST(sum(len(list_filter(string_split(trim(text), ' '),
                                   t -> t <> ''))) AS BIGINT) AS toks
   FROM documents GROUP BY lang),
-w(lang, wt) AS (VALUES {", ".join(f"('{l}', {w!r}e0)" for l, w in
-                                  (("en", 0.25), ("de", 0.25),
-                                   ("zh", 0.20), ("fr", 0.15),
-                                   ("es", 0.15)))}),
+w(lang, wt) AS (VALUES {", ".join(f"('{l}', {w!r}e0)"
+                                  for l, w in LANG_MIX)}),
 p AS (
   SELECT d.lang, d.toks, w.wt,
          CAST(round({EPOCH_BUDGET_TOKENS} * w.wt, 0) AS BIGINT)
