@@ -169,6 +169,8 @@ _PRIORITY = [
     "text_image_search", "near_audio_search",
     # (aa) r18: training-planning pair.
     "epoch_plan", "dataset_card",
+    # (ab) r19: W19 streaming counter rate.
+    "stream_counter_rate",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

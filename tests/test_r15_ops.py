@@ -135,3 +135,26 @@ def test_shard_error_exact_when_all_shards_report(spark, duck, sf_dir):
     for s in per_shard.values():
         merged.update(s)
     assert merged == total
+
+
+# ---------------------------------------------- stream_counter_rate
+
+def test_stream_counter_rate_equals_batch_twin(spark, sf_dir):
+    from unified_vector_database_spark.operators.timeseries import (
+        counter_rate_resets,
+    )
+    from unified_vector_database_spark.streaming.stateful import (
+        stream_counter_rate,
+    )
+
+    batch = [tuple(r) for r in counter_rate_resets(spark, sf_dir).collect()]
+    stream = [tuple(r) for r in stream_counter_rate(spark, sf_dir).collect()]
+    assert len(batch) > 0
+    assert stream == batch
+
+
+def test_stream_counter_rate_state_is_six_registers():
+    from unified_vector_database_spark.streaming.stateful import (
+        RATE_STATE_SCHEMA,
+    )
+    assert len(RATE_STATE_SCHEMA.fields) == 6  # O(1) per series forever

