@@ -158,3 +158,60 @@ def test_stream_counter_rate_state_is_six_registers():
         RATE_STATE_SCHEMA,
     )
     assert len(RATE_STATE_SCHEMA.fields) == 6  # O(1) per series forever
+
+
+# -------------------------------------------------- binary_ivf_knn
+
+def test_binary_ivf_recall_vs_exact_hamming(spark, duck, sf_dir):
+    """The probe must reach decent recall of the exact top-10 (by the
+    same hamming-then-cosine protocol) while scanning only
+    nprobe/k of the cells; and every returned id must belong to a
+    probed cell."""
+    from unified_vector_database_spark.operators.index import (
+        BIVF_K, BIVF_NPROBE, _bivf_fit, _binary_kmeans, _pack_bits,
+        binary_ivf_knn,
+    )
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    sigs = {vid: _pack_bits(e) for vid, e in rows}
+    vecs = {vid: e for vid, e in rows}
+    q = sigs[0]
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    import math
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    exact_short = sorted(sigs, key=lambda v: (hamming(sigs[v], q), v))[:64]
+    exact = sorted(exact_short,
+                   key=lambda v: (-cos(vecs[v], vecs[0]), v))[:10]
+    got = [r.vec_id for r in binary_ivf_knn(spark, sf_dir).collect()]
+    assert len(got) == 10 and got[0] == 0  # self-match first
+    assert len(set(got) & set(exact)) >= 5  # pruned probe, decent recall
+    # membership: every returned id is in a probed cell
+    cents = _bivf_fit(sf_dir)
+    def cell(s):
+        return min(range(BIVF_K),
+                   key=lambda c: (hamming(s, cents[c]), c))
+    qcells = sorted(range(BIVF_K),
+                    key=lambda c: (hamming(q, cents[c]), c))[:BIVF_NPROBE]
+    assert all(cell(sigs[v]) in qcells for v in got)
+
+
+def test_binary_kmeans_majority_vote_is_deterministic():
+    from unified_vector_database_spark.operators.index import (
+        _binary_kmeans,
+    )
+    sigs = [(0b1010, 0), (0b1000, 0), (0b0010, 0), (0b0001, 1)]
+    a = _binary_kmeans(sigs, 2, 3)
+    b = _binary_kmeans(list(sigs), 2, 3)
+    assert a == b
+    # majority with the tie->set rule: cluster of {1010,1000,0010}
+    # votes bit3: 2/3 set -> 1; bit1: 2/3 -> 1; centroid 1010
+    assert (0b1010, 0) in a

@@ -1936,3 +1936,193 @@ def pq_reconstruct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flags_schema_only() -> bool:
     from .. import flags
     return flags.SCHEMA_ONLY
+
+
+# ------------------------------------------- binary IVF (I24)
+
+BIVF_K = 8          # binary coarse cells
+BIVF_ITERS = 3
+BIVF_NPROBE = 2
+BIVF_SHORTLIST = 64
+
+
+def _pack_bits(vec) -> tuple[int, int]:
+    """Sign-bit packing, bit-identical to bq_signature's two 32-bit
+    words (bit j of word w set iff vec[w*32+j] > 0)."""
+    lo = hi = 0
+    for j in range(32):
+        if vec[j] > 0:
+            lo |= 1 << j
+        if vec[32 + j] > 0:
+            hi |= 1 << j
+    return lo, hi
+
+
+def _binary_kmeans(sigs, k: int, iters: int):
+    """Binary k-medoid-style Lloyd: Hamming assignment, per-bit
+    MAJORITY-VOTE centroid update (ties set the bit — fixed rule so
+    the fit is deterministic); empty cells keep their centroid.
+    The FAISS IndexBinaryIVF trains its coarse quantizer exactly this
+    way (binary k-means with bit-majority updates)."""
+    cents = list(sigs[:k])
+    for _ in range(iters):
+        members: list[list[tuple[int, int]]] = [[] for _ in range(k)]
+        for s in sigs:
+            best, bd = 0, 65
+            for c, (clo, chi) in enumerate(cents):
+                d = bin(s[0] ^ clo).count("1") + bin(s[1] ^ chi).count("1")
+                if d < bd:
+                    best, bd = c, d
+            members[best].append(s)
+        for c in range(k):
+            m = members[c]
+            if not m:
+                continue
+            n = len(m)
+            lo = hi = 0
+            for j in range(32):
+                if sum((s[0] >> j) & 1 for s in m) * 2 >= n:
+                    lo |= 1 << j
+                if sum((s[1] >> j) & 1 for s in m) * 2 >= n:
+                    hi |= 1 << j
+            cents[c] = (lo, hi)
+    return cents
+
+
+_BIVF_CACHE: dict[str, list] = {}
+
+
+def _bivf_fit(sf_dir: str):
+    """Deterministic fit from the standard bounded sample (lowest
+    KMEANS_SAMPLE vec_ids), Spark-free so the oracle can refit the
+    identical centroids from the same parquet rows."""
+    if sf_dir not in _BIVF_CACHE:
+        import duckdb
+
+        path = f"{sf_dir}/embeddings.parquet"
+        # Spark-written corpora are DIRECTORIES of part files; the
+        # original testdata is a single file — glob both layouts
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' "
+            f"ORDER BY vec_id LIMIT {KMEANS_SAMPLE}").fetchall()
+        con.close()
+        sigs = [_pack_bits(r[0]) for r in rows]
+        _BIVF_CACHE[sf_dir] = _binary_kmeans(sigs, BIVF_K, BIVF_ITERS)
+    return _BIVF_CACHE[sf_dir]
+
+
+_SIG_SQL = """
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN (embedding::DOUBLE[])[j + 1] > 0
+                     THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT)
+           AS lo,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN (embedding::DOUBLE[])[j + 33] > 0
+                     THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT)
+           AS hi
+  FROM embeddings"""
+
+
+def _bivf_oracle() -> str:
+    cents = _bivf_fit(_oracle_sf())
+    vals = ",".join(f"({c}, {lo}, {hi})"
+                    for c, (lo, hi) in enumerate(cents))
+    return f"""
+WITH sig AS ({_SIG_SQL}),
+cent(cid, clo, chi) AS (VALUES {vals}),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY bit_count(xor(s.lo, c.clo))
+                      + bit_count(xor(s.hi, c.chi)), c.cid) AS rn
+    FROM sig s, cent c) WHERE rn = 1),
+q AS (SELECT lo AS qlo, hi AS qhi, vec AS qvec FROM sig
+      WHERE vec_id = 0),
+qc AS (SELECT c.cid FROM cent c, q
+       ORDER BY bit_count(xor(q.qlo, c.clo))
+                + bit_count(xor(q.qhi, c.chi)), c.cid
+       LIMIT {BIVF_NPROBE}),
+short AS (
+  SELECT s.vec_id, s.vec, q.qvec,
+         CAST(bit_count(xor(s.lo, q.qlo))
+              + bit_count(xor(s.hi, q.qhi)) AS INT) AS hamming
+  FROM sig s JOIN assigned a USING (vec_id)
+       JOIN qc ON a.cid = qc.cid, q
+  ORDER BY hamming, s.vec_id LIMIT {BIVF_SHORTLIST})
+SELECT vec_id, hamming,
+       round(list_dot_product(vec, qvec)
+         / (sqrt(list_dot_product(vec, vec))
+            * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+FROM short ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("binary_ivf_knn", oracle=_bivf_oracle)
+def binary_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS `IndexBinaryIVF`: the binary-vector composite index —
+    sign-bit signatures coarse-clustered by BINARY k-means (Hamming
+    assignment, per-bit majority-vote centroid updates, the actual
+    IndexBinaryIVF training rule), probed by scanning only the
+    {BIVF_NPROBE} Hamming-nearest cells, Hamming shortlist, exact
+    cosine rerank on the survivors. Closes the index-family product
+    cell: binary metrics (V45/BQ/Tanimoto) × IVF pruning (I2/I7).
+
+    Scale shape: centroids are {BIVF_K} pairs of longs (broadcast
+    literals); assignment is a map-side 8-way popcount argmin — no
+    shuffle; the probe filter composes with the signature scan
+    (two longs per row read, same as bq_hamming); shortlist is
+    TakeOrdered; only {BIVF_SHORTLIST} survivors touch full vectors.
+    Like every IVF op the cells could materialize as a
+    cid-partitioned layout for file-listing pruning (I7's path)."""
+    from ..functions import distance as D
+    from .. import flags
+    from .knn import knn
+
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    corpus = (emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+                 .withColumn("lo", bq_signature("vec", 0))
+                 .withColumn("hi", bq_signature("vec", 1)))
+    if flags.SCHEMA_ONLY or corpus.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, hamming int, score double")
+    cents = _bivf_fit(sf_dir)
+    ham_to = lambda clo, chi: (
+        F.bit_count(F.col("lo").bitwiseXOR(F.lit(clo)))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.lit(chi))))
+    # 8-way argmin as a map-side least-chain: min distance, then the
+    # lowest cid achieving it (ties -> lowest cid, = the oracle's
+    # row_number order)
+    dists = [ham_to(clo, chi).alias(f"d{c}")
+             for c, (clo, chi) in enumerate(cents)]
+    withd = corpus.select("*", *dists)
+    mind = F.least(*[F.col(f"d{c}") for c in range(len(cents))])
+    cid = F.lit(None).cast("int")
+    for c in range(len(cents) - 1, -1, -1):
+        cid = F.when(F.col(f"d{c}") == F.col("_mind"),
+                     F.lit(c)).otherwise(cid)
+    assigned = (withd.withColumn("_mind", mind)
+                     .withColumn("cid", cid)
+                     .drop(*[f"d{c}" for c in range(len(cents))], "_mind"))
+    qrow = assigned.where(F.col("vec_id") == 0) \
+                   .select("lo", "hi", "vec").first()
+    qcells = sorted(range(len(cents)), key=lambda c: (
+        bin(qrow.lo ^ cents[c][0]).count("1")
+        + bin(qrow.hi ^ cents[c][1]).count("1"), c))[:BIVF_NPROBE]
+    q = spark.createDataFrame([(list(qrow.vec), qrow.lo, qrow.hi)],
+                              "qvec array<double>, qlo long, qhi long")
+    ham = (F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+           + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))).cast("int")
+    short = (assigned.where(F.col("cid").isin(qcells))
+             .crossJoin(F.broadcast(q))
+             .select("vec_id", "vec", "qvec", ham.alias("hamming"))
+             .orderBy("hamming", "vec_id").limit(BIVF_SHORTLIST))
+    return (short.select("vec_id", "hamming",
+                         F.round(D.cosine("vec", "qvec"), 6)
+                          .alias("score"))
+                 .orderBy(F.desc("score"), "vec_id").limit(10))
