@@ -193,3 +193,24 @@ def test_curriculum_stages_partition_and_bound(spark, duck, sf_dir):
     assert got[0].total_chars == int(chars[chars <= q1].sum())
     assert math.isclose(got[-1].mean_chars,
                         chars[chars > q3].mean(), rel_tol=1e-6)
+
+
+def test_esql_in_and_post_stats_where(spark, sf_dir):
+    """IN pushes to the scan; WHERE after STATS filters the
+    aggregated frame (the HAVING shape); SUM folds as DECIMAL
+    internally and surfaces DOUBLE."""
+    from pyspark.sql.types import DecimalType
+
+    from unified_vector_database_spark.operators.esql import (
+        ESQL_HAVING, esql,
+    )
+
+    df = esql(spark, sf_dir, ESQL_HAVING)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_returnflag" in plan, plan
+    assert not any(isinstance(f.dataType, DecimalType)
+                   for f in df.schema.fields)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r.l_returnflag for r in rows} <= {"A", "R"}
+    assert all(r.revenue > 1_000_000.0 for r in rows)

@@ -22,6 +22,13 @@ projections, STATS becomes a partial-agg shuffle):
   ENRICH <policy> ON <key> [WITH <col>[, ...]]
   GROK  <col> "<pattern>"
   DISSECT <col> "<pattern>"
+  MV_EXPAND <col>
+  RENAME <old> AS <new>
+  LOOKUP JOIN <index> ON <key>
+
+WHERE composes anywhere in the pipeline — after STATS it is the
+HAVING shape (a filter over the aggregated frame; Catalyst still
+pushes pre-STATS WHEREs to the scan).
 
 Functions: DATE_TRUNC("unit", col), ROUND(x[, d]), CONCAT(...),
 TO_STRING / TO_LONG / TO_DOUBLE, ABS. Aggregates: COUNT(*), COUNT,
@@ -153,6 +160,15 @@ class _ExprParser:
             rhs = self.parse_add()
             return {"==": e.__eq__, "!=": e.__ne__, ">": e.__gt__,
                     ">=": e.__ge__, "<": e.__lt__, "<=": e.__le__}[op](rhs)
+        if p and p.upper() == "IN":
+            self.next()
+            self.expect("(")
+            vals = [self.parse_or()]
+            while self.peek() == ",":
+                self.next()
+                vals.append(self.parse_or())
+            self.expect(")")
+            return e.isin(*vals)
         return e
 
     def parse_add(self) -> Column:
@@ -329,9 +345,16 @@ def _agg_col(fn: str, arg: str, name: str) -> Column:
     elif fn == "COUNT_DISTINCT":
         c = F.countDistinct(arg).cast("long")
     elif fn == "SUM":
-        c = F.sum(arg)
+        # deterministic-aggregation contract: numeric SUM folds as
+        # DECIMAL(28,6) internally — exact and order-free for inputs
+        # with <=6 decimal digits (every money/measure column here);
+        # the final-output pass casts DECIMAL back to DOUBLE. A plain
+        # double fold is partition-order-dependent and WILL drift a
+        # 6th digit between engines/runs (measured on esql_having).
+        c = F.sum(F.col(arg).cast("decimal(28,6)"))
     elif fn == "AVG":
-        c = F.avg(arg)
+        c = (F.sum(F.col(arg).cast("decimal(28,6)")).cast("double")
+             / F.count(arg))
     elif fn == "MIN":
         c = F.min(arg)
     elif fn == "MAX":
@@ -610,3 +633,36 @@ def esql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joined frame. Money folds as DECIMAL, surfaces DOUBLE."""
     df = esql(spark, sf_dir, ESQL_LOOKUP)
     return df.select("n_name", "n", F.round("acct", 6).alias("acct"))
+
+
+ESQL_HAVING = """
+FROM lineitem
+| WHERE l_returnflag IN ("A", "R")
+| STATS n = COUNT(*), revenue = SUM(l_extendedprice)
+        BY l_returnflag, l_linestatus
+| WHERE revenue > 1000000.0
+| SORT l_returnflag, l_linestatus
+"""
+
+
+@register("esql_having", oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+GROUP BY 1, 2
+HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       > 1000000.0
+ORDER BY 1, 2
+""")
+def esql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL compositionality: WHERE appears BOTH before STATS (an
+    `IN` membership filter that Catalyst pushes to the scan) and
+    after it (the HAVING shape — ES|QL has no HAVING keyword; a
+    post-STATS WHERE filters the aggregated frame, which is exactly
+    what the translator emits). One pushed-filter scan, one
+    partial-agg shuffle, a bucket-frame filter, TakeOrdered."""
+    df = esql(spark, sf_dir, ESQL_HAVING)
+    return df.select("l_returnflag", "l_linestatus", "n",
+                     F.round("revenue", 6).alias("revenue"))
