@@ -172,7 +172,7 @@ _PRIORITY = [
     # (ab) r19: W19 streaming counter rate.
     "stream_counter_rate",
     # (ac) r20: FAISS IndexBinaryIVF composite.
-    "binary_ivf_knn", "esql_having",
+    "binary_ivf_knn", "esql_having", "esql_dissect",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

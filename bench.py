@@ -139,7 +139,7 @@ HEADLINE = [
     # pandas state calls at |users| cardinality — docs/SCALE.md r15)
     "pq_reconstruct_error", "filtered_alias_scan", "terms_shard_error",
     "text_image_search", "near_audio_search", "epoch_plan", "dataset_card",
-    "binary_ivf_knn", "esql_having",
+    "binary_ivf_knn", "esql_having", "esql_dissect",
 ]
 
 

@@ -666,3 +666,28 @@ def esql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = esql(spark, sf_dir, ESQL_HAVING)
     return df.select("l_returnflag", "l_linestatus", "n",
                      F.round("revenue", 6).alias("revenue"))
+
+
+ESQL_DISSECT = """
+FROM events
+| EVAL line = CONCAT(event_type, "|", TO_STRING(user_id))
+| DISSECT line "%{etype}|%{uid}"
+| EVAL uid_n = TO_LONG(uid)
+| KEEP etype, uid_n
+| STATS n = COUNT(*), hi = MAX(uid_n) BY etype
+| SORT etype
+"""
+
+
+@register("esql_dissect", oracle="""
+SELECT event_type AS etype, count(*) AS n, max(user_id) AS hi
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `DISSECT` (the positional, no-regex-cost sibling of
+    GROK: %-fields split by literal separators compile to anchored
+    non-greedy groups) driven end-to-end with `KEEP` projection —
+    the round-trip CONCAT → DISSECT census, oracle from source
+    columns (the GROK precedent). KEEP's projection reaches the
+    scan as column pruning like any select."""
+    return esql(spark, sf_dir, ESQL_DISSECT)
