@@ -214,3 +214,53 @@ def test_esql_in_and_post_stats_where(spark, sf_dir):
     assert len(rows) > 0
     assert {r.l_returnflag for r in rows} <= {"A", "R"}
     assert all(r.revenue > 1_000_000.0 for r in rows)
+
+
+# ------------------------------------- parser property (hypothesis)
+
+def test_esql_arith_parser_matches_python_eval(spark):
+    """Property: for randomly generated integer arithmetic
+    expressions, the translated Column evaluates to exactly what
+    python eval computes — precedence, parentheses, unary minus."""
+    from hypothesis import given, settings, strategies as st
+
+    from unified_vector_database_spark.operators.esql import (
+        _parse_expr, _tokenize,
+    )
+
+    one = spark.range(1)
+
+    @st.composite
+    def exprs(draw, depth=0):
+        if depth > 2 or draw(st.booleans()):
+            return str(draw(st.integers(min_value=0, max_value=99)))
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        a = draw(exprs(depth=depth + 1))
+        b = draw(exprs(depth=depth + 1))
+        s = f"{a} {op} {b}"
+        return f"({s})" if draw(st.booleans()) else s
+
+    @given(exprs())
+    @settings(max_examples=25, deadline=None)
+    def check(e):
+        got = one.select(_parse_expr(_tokenize(e)).alias("v")).first().v
+        assert got == eval(e)  # noqa: S307 - generated arithmetic only
+
+    check()
+
+
+def test_esql_case_and_coalesce(spark):
+    from unified_vector_database_spark.operators.esql import (
+        _parse_expr, _tokenize,
+    )
+
+    one = spark.range(1)
+    v = one.select(_parse_expr(_tokenize(
+        'CASE(1 > 2, "a", 2 > 1, "b", "z")')).alias("v")).first().v
+    assert v == "b"
+    v = one.select(_parse_expr(_tokenize(
+        'CASE(1 > 2, "a")')).alias("v")).first().v
+    assert v is None
+    v = one.select(_parse_expr(_tokenize(
+        'COALESCE(CASE(1 > 2, "a"), "fallback")')).alias("v")).first().v
+    assert v == "fallback"

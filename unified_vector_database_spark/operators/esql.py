@@ -31,8 +31,10 @@ HAVING shape (a filter over the aggregated frame; Catalyst still
 pushes pre-STATS WHEREs to the scan).
 
 Functions: DATE_TRUNC("unit", col), ROUND(x[, d]), CONCAT(...),
-TO_STRING / TO_LONG / TO_DOUBLE, ABS. Aggregates: COUNT(*), COUNT,
-COUNT_DISTINCT, SUM, AVG, MIN, MAX.
+SPLIT(col, "delim"), TRIM, LENGTH, ABS, COALESCE,
+CASE(cond, v[, cond2, v2...][, default]),
+TO_STRING / TO_LONG / TO_DOUBLE. Aggregates: COUNT(*), COUNT,
+COUNT_DISTINCT, SUM (DECIMAL-exact fold), AVG, MIN, MAX.
 
 Output policy: DECIMAL columns cast to DOUBLE in the final result
 (ES|QL numeric results are double/long; internally money stays
@@ -111,7 +113,23 @@ _FUNCS = {
     # Spark's split() takes a regex).
     "TRIM": lambda a: F.trim(a[0]),
     "LENGTH": lambda a: F.length(a[0]),
+    "COALESCE": lambda a: F.coalesce(*a),
+    "CASE": lambda a: _case(a),
 }
+
+
+def _case(args: list[Column]) -> Column:
+    """ES|QL CASE(cond1, v1[, cond2, v2, ...][, default]) — odd
+    trailing arg is the default, else NULL."""
+    pairs, default = args, None
+    if len(args) % 2 == 1:
+        pairs, default = args[:-1], args[-1]
+    if not pairs:
+        raise ValueError("ES|QL: CASE needs at least (cond, value)")
+    c = F.when(pairs[0], pairs[1])
+    for i in range(2, len(pairs), 2):
+        c = c.when(pairs[i], pairs[i + 1])
+    return c.otherwise(default) if default is not None else c
 
 
 class _ExprParser:
