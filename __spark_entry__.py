@@ -185,7 +185,7 @@ _PRIORITY = [
     "cumulative_cardinality_agg", "geo_bounds_agg", "context_search",
     "knn_where_document", "edge_ngram_index",
     "stream_first_seen_users", "percentile_histogram_sketch",
-    "values_count_filter", "hard_negative_mining", "rag_ingest_search",
+    "values_count_filter", "hard_negative_mining",
     "stream_percolate", "frequent_item_sets", "normalize_agg",
     "change_point_agg", "variable_width_histogram",
     "suggest_phrase", "missing_bucket_agg", "global_bucket_agg",
