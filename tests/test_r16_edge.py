@@ -193,3 +193,28 @@ def test_dataset_card_metrics_consistent(spark, duck, sf_dir):
     assert got["total_tokens"] > 0 and got["vocab_size"] > 0
     assert got["mean_doc_tokens"] == pytest.approx(
         got["total_tokens"] / got["n_docs"], abs=1e-5)
+
+
+# ------------------------------------------ pre-training capstone
+
+def test_pipeline_census_stage_invariants(spark, duck, sf_dir):
+    """Each stage's invariant: census totals == kept-and-deduped doc
+    set; contexts cover tokens with < CTX padding per shard."""
+    from unified_vector_database_spark.operators.quality import (
+        PIPE_CTX_TOKENS, PIPE_SHARDS, gopher_keep,
+        pretrain_pipeline_census,
+    )
+    from unified_vector_database_spark import tables
+
+    rows = pretrain_pipeline_census(spark, sf_dir).collect()
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = gopher_keep(docs).where("keep") \
+        .join(docs.select("doc_id", F.md5("text").alias("h")), "doc_id")
+    n_kept_unique = kept.groupBy("h").count().count()
+    assert sum(r.n_docs for r in rows) == n_kept_unique
+    for r in rows:
+        assert 0 <= r.pad_tokens < PIPE_CTX_TOKENS
+        assert r.n_contexts * PIPE_CTX_TOKENS == \
+            r.total_tokens + r.pad_tokens
+        assert 0 < r.pack_efficiency <= 1.0
+        assert 0 <= r.shard < PIPE_SHARDS

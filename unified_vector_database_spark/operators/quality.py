@@ -119,10 +119,11 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_census(docs)
 
 
-def gopher_census(docs: DataFrame) -> DataFrame:
-    """(lang, keep) census of the five Gopher rules over any docs
-    frame — batch or streaming (map-side rules + one groupBy; no
-    windows, so the plan is streamable in complete mode)."""
+def gopher_keep(docs: DataFrame) -> DataFrame:
+    """Per-document frame (doc_id, lang, n_words, keep) of the five
+    Gopher rules — the production form (a pipeline filters on `keep`);
+    gopher_census below is its driver-checkable rollup, and the W12
+    streaming twin runs the identical expressions."""
     toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
     n_sym = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
              + F.length("text")
@@ -143,7 +144,15 @@ def gopher_census(docs: DataFrame) -> DataFrame:
             & (F.col("sym_ratio") <= GOPHER_SYMBOL_MAX)
             & (F.col("n_stop") >= GOPHER_STOP_MIN)
             & (F.col("dom") <= GOPHER_DOM_MAX))
-    return (m.select("lang", keep.alias("keep"), "n_words")
+    return m.select("doc_id", "lang", "n_words", keep.alias("keep"))
+
+
+def gopher_census(docs: DataFrame) -> DataFrame:
+    """(lang, keep) census of the five Gopher rules over any docs
+    frame — batch or streaming (map-side rules + one groupBy; no
+    windows, so the plan is streamable in complete mode)."""
+    return (gopher_keep(docs)
+             .select("lang", "keep", "n_words")
              .groupBy("lang", "keep")
              .agg(F.count("*").alias("n_docs"),
                   F.sum(F.col("n_words").cast("bigint")).cast("bigint")
@@ -486,3 +495,113 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("f.metric").alias("metric"),
                      F.round(F.col("f.value"), 6).alias("value"))
              .orderBy("metric"))
+
+
+# ----------------------------------- end-to-end pre-training pipeline
+
+PIPE_CTX_TOKENS = 2048
+PIPE_SHARDS = 8
+
+# the Gopher rule CTE chain with doc_id carried through (mirrors
+# GOPHER_ORACLE term-for-term; kept separate so that oracle's text —
+# and its green history — stays untouched)
+_GOPHER_KEEP_CTE = f"""
+t AS (
+  SELECT doc_id, lang, {_TOK} AS toks,
+         length(text) - length(replace(text, '#', ''))
+         + length(text) - length(replace(text, '...', '')) AS n_sym
+  FROM documents),
+srt AS (
+  SELECT doc_id, lang, toks, n_sym, list_sort(toks) AS st
+  FROM t WHERE len(toks) > 0),
+bnd AS (
+  SELECT *, list_filter(range(1, len(st) + 1),
+                        i -> i = 1 OR st[i] <> st[i - 1]) AS b
+  FROM srt),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS mwl,
+         CAST(n_sym AS DOUBLE) / len(toks) AS sym_ratio,
+         len(list_filter(toks, x -> x IN {GOPHER_STOPWORDS!r})) AS n_stop,
+         CAST(list_max(list_transform(range(1, len(b) + 1),
+              j -> coalesce(b[j + 1], len(st) + 1) - b[j]))
+           AS DOUBLE) / len(toks) AS dom
+  FROM bnd),
+f AS (
+  SELECT doc_id, n_words,
+         (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mwl BETWEEN {GOPHER_MWL_LO!r} AND {GOPHER_MWL_HI!r})
+         AND (sym_ratio <= {GOPHER_SYMBOL_MAX!r})
+         AND (n_stop >= {GOPHER_STOP_MIN})
+         AND (dom <= {GOPHER_DOM_MAX!r}) AS keep
+  FROM m)"""
+
+
+@register("pretrain_pipeline_census", oracle=f"""
+WITH {_GOPHER_KEEP_CTE},
+kept AS (
+  SELECT f.doc_id, f.n_words, md5(d.text) AS h
+  FROM f JOIN documents d ON f.doc_id = d.doc_id
+  WHERE f.keep),
+surv AS (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY h),
+sd AS (
+  SELECT k.n_words,
+         ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {PIPE_SHARDS} AS shard
+  FROM kept k JOIN surv s ON k.doc_id = s.doc_id)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_words) / {PIPE_CTX_TOKENS}.0) AS BIGINT)
+         AS n_contexts,
+       CAST(CAST(ceil(sum(n_words) / {PIPE_CTX_TOKENS}.0) AS BIGINT)
+            * {PIPE_CTX_TOKENS} - sum(n_words) AS BIGINT) AS pad_tokens,
+       round(sum(n_words)
+             / (ceil(sum(n_words) / {PIPE_CTX_TOKENS}.0)
+                * {PIPE_CTX_TOKENS}.0), 6) AS pack_efficiency
+FROM sd GROUP BY shard ORDER BY shard
+""")
+def pretrain_pipeline_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The END-TO-END pre-training data pipeline as ONE Catalyst
+    plan — the repo's thesis in a single operator: Gopher quality
+    gate (the identical per-doc rule expressions the census and the
+    W12 stream run) → exact dedup (first survivor per content hash)
+    → deterministic md5 shard routing → concat-and-split context
+    packing census per shard (GPT-style: each shard's token stream
+    splits into {PIPE_CTX_TOKENS}-token contexts; pad waste only in
+    the final context — the packing arithmetic every data loader
+    plans against).
+
+    Scale shape: the gate is map-side array math; dedup shuffles
+    16-byte content hashes (never text) into a min-survivor agg; the
+    survivor semi-join is id-keyed; shard routing is map-side md5;
+    the packing census needs only per-shard token SUMS (no window,
+    no explode) — one {PIPE_SHARDS}-row partial agg. Every stage is
+    the already-driver-proved substrate (X1/D1/X34/X11 shapes)
+    COMPOSED, which is exactly how the production pipeline deploys:
+    one declarative plan, one pass over the corpus plus the hash
+    shuffle."""
+    from ..functions.hashing import md5_int32
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    kept = (gopher_keep(docs).where("keep")
+            .join(docs.select("doc_id", F.md5("text").alias("h")),
+                  "doc_id"))
+    surv = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    sd = (kept.join(surv.select("doc_id"), "doc_id")
+              .select((md5_int32(F.col("doc_id").cast("string"))
+                       % PIPE_SHARDS).alias("shard"),
+                      "n_words"))
+    total = F.sum(F.col("n_words").cast("bigint"))
+    nctx = F.ceil(total / float(PIPE_CTX_TOKENS))
+    return (sd.groupBy("shard")
+              .agg(F.count("*").alias("n_docs"),
+                   total.cast("long").alias("total_tokens"),
+                   nctx.cast("long").alias("n_contexts"),
+                   (nctx * PIPE_CTX_TOKENS - total).cast("long")
+                    .alias("pad_tokens"),
+                   F.round(total / (nctx * float(PIPE_CTX_TOKENS)), 6)
+                    .alias("pack_efficiency"))
+              .orderBy("shard"))
