@@ -218,3 +218,27 @@ def test_pipeline_census_stage_invariants(spark, duck, sf_dir):
             r.total_tokens + r.pad_tokens
         assert 0 < r.pack_efficiency <= 1.0
         assert 0 <= r.shard < PIPE_SHARDS
+
+
+def test_snapshot_restore_rewinds_and_continues(spark, sf_dir, tmp_path):
+    """Restore must rewind mutations exactly, and the restored head
+    must accept new commits (version monotonicity preserved)."""
+    from unified_vector_database_spark import tables
+    from unified_vector_database_spark.sources.catalog import Collection
+
+    emb = tables.load(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label").where(F.col("vec_id") < 50)
+    base = str(tmp_path / "sr")
+    c = Collection.create(spark, base, "t", id_col="vec_id")
+    c.upsert(emb)
+    clean = sorted(tuple(r) for r in c.read().collect())
+    v_clean = c.describe().version
+    c.snapshot("pin")
+    c.update(F.col("label") >= 0, label=F.col("label") + 7)
+    c.delete(F.col("vec_id") % 2 == 0)
+    assert sorted(tuple(r) for r in c.read().collect()) != clean
+    c.restore("pin")
+    assert sorted(tuple(r) for r in c.read().collect()) == clean
+    assert c.describe().version == v_clean
+    c.upsert(emb.limit(5))
+    assert c.read().count() == len(clean)

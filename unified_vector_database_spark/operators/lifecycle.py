@@ -565,3 +565,60 @@ def filtered_alias_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("alias")
+
+
+# ------------------------------------------------ snapshot restore
+
+SR_MAX_ID = 400
+SR_BATCH = 30
+
+
+@register("snapshot_restore", oracle=f"""
+WITH clean AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id < {SR_MAX_ID}),
+after AS (
+  SELECT vec_id,
+         CASE WHEN vec_id < {SR_BATCH} THEN label + 500
+              ELSE label END AS label
+  FROM clean)
+SELECT label, count(*) AS n FROM after GROUP BY label ORDER BY label
+""")
+def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RESTORE (the disaster-recovery surface every backend
+    ships — ES snapshot restore, Qdrant collection snapshots, Milvus
+    backup): ingest → snapshot → destructive mutations (update-by-
+    filter THEN delete-by-filter) → `restore(tag)` — an O(1) POINTER
+    FLIP back to the pinned version, because data directories are
+    immutable and the manifest is the only mutable state — then life
+    continues: a post-restore upsert batch commits on top of the
+    restored head. The census proves BOTH that restore rewound every
+    mutation and that the timeline keeps accepting writes (the
+    oracle is the clean content + the post-restore batch; the
+    mutations must leave no trace).
+
+    Scale shape: restore costs one manifest write at ANY collection
+    size — no data movement (the copy-on-write commit model's
+    payoff); the census is the standard bounded-collection read +
+    |labels|-row partial agg."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", "label").where(F.col("vec_id") < SR_MAX_ID))
+    if flags.SCHEMA_ONLY:
+        final = emb.limit(0)
+    else:
+        base = artifact_path("snap_restore", sf_dir)
+        if os.path.exists(base):
+            shutil.rmtree(base)  # deterministic rebuild per call
+        c = Collection.create(spark, base, "sr", id_col="vec_id")
+        c.upsert(emb)
+        c.snapshot("clean")
+        # destructive mutations that restore must fully rewind
+        c.update(F.col("label") >= 0, label=F.col("label") + 9000)
+        c.delete(F.col("vec_id") % 3 == 0)
+        c.restore("clean")
+        # the restored head keeps accepting writes
+        c.upsert(emb.where(F.col("vec_id") < SR_BATCH)
+                    .select("vec_id",
+                            (F.col("label") + 500).alias("label")))
+        final = c.read()
+    return (final.groupBy("label").agg(F.count("*").alias("n"))
+                 .orderBy("label"))
