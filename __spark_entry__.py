@@ -174,7 +174,7 @@ _PRIORITY = [
     # (ac) r20: FAISS IndexBinaryIVF composite.
     "binary_ivf_knn", "esql_having", "esql_dissect",
     # (ad) r21 capstone: the whole pre-training pipeline as one plan.
-    "pretrain_pipeline_census", "snapshot_restore",
+    "pretrain_pipeline_census", "snapshot_restore", "collection_cdc_diff",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

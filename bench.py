@@ -140,7 +140,7 @@ HEADLINE = [
     "pq_reconstruct_error", "filtered_alias_scan", "terms_shard_error",
     "text_image_search", "near_audio_search", "epoch_plan", "dataset_card",
     "binary_ivf_knn", "esql_having", "esql_dissect",
-    "pretrain_pipeline_census", "snapshot_restore",
+    "pretrain_pipeline_census", "snapshot_restore", "collection_cdc_diff",
 ]
 
 

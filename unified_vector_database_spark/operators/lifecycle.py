@@ -622,3 +622,89 @@ def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = c.read()
     return (final.groupBy("label").agg(F.count("*").alias("n"))
                  .orderBy("label"))
+
+
+# ------------------------------------------------ version CDC diff
+
+CDC_MAX_ID = 300
+CDC_UPD = 40     # vec_id < 40 updated between the two versions
+CDC_DEL = 7      # vec_id % 7 == 0 deleted
+CDC_INS = 20     # 20 fresh ids appended past the original range
+
+
+@register("collection_cdc_diff", oracle=f"""
+WITH v0 AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id < {CDC_MAX_ID}),
+v1 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id < {CDC_UPD} THEN label + 100 ELSE label END
+           AS label
+  FROM v0 WHERE NOT vec_id % {CDC_DEL} = 0
+  UNION ALL
+  SELECT vec_id + {CDC_MAX_ID}, label
+  FROM v0 WHERE vec_id < {CDC_INS}),
+d AS (
+  SELECT coalesce(v1.vec_id, v0.vec_id) AS vec_id,
+         CASE WHEN v0.vec_id IS NULL THEN 'insert'
+              WHEN v1.vec_id IS NULL THEN 'delete'
+              WHEN v1.label <> v0.label THEN 'update'
+              ELSE 'unchanged' END AS change
+  FROM v0 FULL OUTER JOIN v1 ON v0.vec_id = v1.vec_id)
+SELECT change, count(*) AS n,
+       CAST(min(vec_id) AS BIGINT) AS min_id,
+       CAST(max(vec_id) AS BIGINT) AS max_id
+FROM d GROUP BY change ORDER BY change
+""")
+def collection_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two PINNED collection versions
+    (the Delta/Iceberg change-feed surface; also how a downstream
+    index consumer — the incremental-dedup D9 / streaming-upsert W16
+    family — discovers what to reprocess): version v0 is snapshotted,
+    mutations land (update-by-filter, delete-by-filter, fresh
+    inserts), and the diff classifies every id as
+    insert/update/delete/unchanged by reading BOTH versions from the
+    same immutable store — no log needed, the copy-on-write versions
+    ARE the log.
+
+    Scale shape: the diff is one id-keyed full outer join of two
+    versions of the same collection — co-partitioned by the commit
+    layout, so on a bucketed store it is exchange-free; the census is
+    a 4-row partial agg. Versions read through the catalog's pinned
+    reads (I6's path), zero data copied to compute the feed."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", "label").where(F.col("vec_id") < CDC_MAX_ID))
+    if flags.SCHEMA_ONLY:
+        v0 = emb.limit(0)
+        v1 = emb.limit(0)
+    else:
+        base = artifact_path("cdc_diff", sf_dir)
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        c = Collection.create(spark, base, "cdc", id_col="vec_id")
+        c.upsert(emb)
+        ver0 = c.describe().version
+        c.update(F.col("vec_id") < CDC_UPD,
+                 label=F.col("label") + 100)
+        c.delete(F.col("vec_id") % CDC_DEL == 0)
+        c.upsert(emb.where(F.col("vec_id") < CDC_INS)
+                    .select((F.col("vec_id") + CDC_MAX_ID)
+                            .alias("vec_id"), "label"))
+        ver1 = c.describe().version
+        v0 = c.read(version=ver0)
+        v1 = c.read(version=ver1)
+    a = v0.select(F.col("vec_id").alias("id0"),
+                  F.col("label").alias("l0"))
+    b = v1.select(F.col("vec_id").alias("id1"),
+                  F.col("label").alias("l1"))
+    d = a.join(b, a.id0 == b.id1, "full_outer")
+    change = (F.when(F.col("id0").isNull(), "insert")
+               .when(F.col("id1").isNull(), "delete")
+               .when(F.col("l1") != F.col("l0"), "update")
+               .otherwise("unchanged"))
+    return (d.select(F.coalesce("id1", "id0").alias("vec_id"),
+                     change.alias("change"))
+             .groupBy("change")
+             .agg(F.count("*").alias("n"),
+                  F.min("vec_id").cast("long").alias("min_id"),
+                  F.max("vec_id").cast("long").alias("max_id"))
+             .orderBy("change"))
