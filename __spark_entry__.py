@@ -32,9 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() in dict order each round; entries still lacking a
 # hash-green CORRECTNESS row come first, then entries whose code or
 # oracle changed this round (their old rows describe old outputs),
-# then new r6 operators, then stable flagships. After r5, 224/270
-# registered queries have a lifetime hash-green driver row — those
-# rows remain the evidence of record past the budget line.
+# then stable flagships. After r5, 224/270 then-registered queries
+# had a lifetime hash-green driver row; blocks (a)-(c) below are the
+# staged r6 rotation of the remaining 46 + the 3 r6-built ops
+# (VERDICT r5 #1), and blocks (d)-(ad) are the r6 waves registered
+# past the ~50-slot budget line BY DESIGN — every one MATCHes under
+# tools/driver_sim AND the vanilla /tmp contract at sf0.001+sf0.01,
+# and they queue first for the r7 rotation.
 _PRIORITY = [
     # (a) slots 1-16: the r5 continuation surface — registered in r5
     # past the driver's 50-entry budget by design, never
