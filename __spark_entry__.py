@@ -118,6 +118,11 @@ _PRIORITY = [
     # IVF_FLAT and IVF_PQ, probing dequantized codes from the
     # artifact.
     "ivf_sq8_knn",
+    # (m) ES|QL v2 (r6 session 2): INLINESTATS, string/pattern
+    # family, MV reducers, MEDIAN/PERCENTILE/STD_DEV/WEIGHTED_AVG,
+    # computed BY keys (BUCKET), deterministic SAMPLE.
+    "esql_inlinestats", "esql_strings", "esql_mv_funcs",
+    "esql_percentile", "esql_bucket", "esql_sample",
     # (m) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

@@ -25,16 +25,33 @@ projections, STATS becomes a partial-agg shuffle):
   MV_EXPAND <col>
   RENAME <old> AS <new>
   LOOKUP JOIN <index> ON <key>
+  INLINESTATS <name> = <agg>[, ...] [BY <key>[, ...]]
+  SAMPLE <p>
 
 WHERE composes anywhere in the pipeline — after STATS it is the
 HAVING shape (a filter over the aggregated frame; Catalyst still
-pushes pre-STATS WHEREs to the scan).
+pushes pre-STATS WHEREs to the scan). STATS/INLINESTATS BY keys may
+be computed: `BY b = BUCKET(price, 50000.0)`. INLINESTATS adds the
+group aggregates to every row (partial-agg shuffle to a |groups|-row
+frame, broadcast join back — rows never move). SAMPLE admits on a
+deterministic md5 bucket of the frame's leading column (documented
+deviation from ES's per-query randomness: reproducible pipelines,
+oracle-checkable).
 
+Predicates: AND/OR/NOT, comparisons, IN, LIKE (*/? wildcards),
+RLIKE (anchored whole-string, Lucene semantics), IS [NOT] NULL.
 Functions: DATE_TRUNC("unit", col), ROUND(x[, d]), CONCAT(...),
 SPLIT(col, "delim"), TRIM, LENGTH, ABS, COALESCE,
 CASE(cond, v[, cond2, v2...][, default]),
-TO_STRING / TO_LONG / TO_DOUBLE. Aggregates: COUNT(*), COUNT,
-COUNT_DISTINCT, SUM (DECIMAL-exact fold), AVG, MIN, MAX.
+TO_STRING / TO_LONG / TO_DOUBLE, TO_UPPER / TO_LOWER, SUBSTRING,
+LEFT / RIGHT, STARTS_WITH / ENDS_WITH, REPLACE (regex),
+GREATEST / LEAST, FLOOR / CEIL / SQRT / POW / LOG10,
+BUCKET(x, span), and the multivalue reducers MV_COUNT / MV_MIN /
+MV_MAX / MV_SUM / MV_AVG / MV_DEDUPE. Aggregates: COUNT(*), COUNT,
+COUNT_DISTINCT, SUM (DECIMAL-exact fold), AVG, MIN, MAX,
+MEDIAN / PERCENTILE(x, p) (exact interpolated — DuckDB
+quantile_cont's definition, not ES's TDigest), STD_DEV (population,
+DECIMAL-exact power sums), WEIGHTED_AVG(v, w).
 
 Output policy: DECIMAL columns cast to DOUBLE in the final result
 (ES|QL numeric results are double/long; internally money stays
@@ -115,6 +132,41 @@ _FUNCS = {
     "LENGTH": lambda a: F.length(a[0]),
     "COALESCE": lambda a: F.coalesce(*a),
     "CASE": lambda a: _case(a),
+    # ---- v2 scalar surface (ES|QL string/math functions) ----
+    "TO_UPPER": lambda a: F.upper(a[0]),
+    "TO_LOWER": lambda a: F.lower(a[0]),
+    # ES|QL SUBSTRING is 1-based like Spark's; omitted length = rest
+    "SUBSTRING": lambda a: (a[0].substr(a[1], a[2]) if len(a) == 3
+                            else a[0].substr(a[1], F.lit(2 ** 31 - 1))),
+    "LEFT": lambda a: F.left(a[0], a[1]),
+    "RIGHT": lambda a: F.right(a[0], a[1]),
+    "STARTS_WITH": lambda a: a[0].startswith(a[1]),
+    "ENDS_WITH": lambda a: a[0].endswith(a[1]),
+    "REPLACE": lambda a: F.regexp_replace(a[0], a[1], a[2]),
+    "GREATEST": lambda a: F.greatest(*a),
+    "LEAST": lambda a: F.least(*a),
+    "FLOOR": lambda a: F.floor(a[0]),
+    "CEIL": lambda a: F.ceil(a[0]),
+    "SQRT": lambda a: F.sqrt(a[0]),
+    "POW": lambda a: F.pow(a[0], a[1]),
+    "LOG10": lambda a: F.log10(a[0]),
+    # BUCKET(col, span): numeric histogram key (dates go through
+    # DATE_TRUNC) — floor-aligned bucket lower bound, ES|QL's
+    # fixed-interval form. Collapses into the grouping projection.
+    "BUCKET": lambda a: F.floor(a[0] / a[1]) * a[1],
+    # ---- multivalue family (arrays stay internal: the output policy
+    # forbids array columns in a FINAL result, so MV_* either reduce
+    # to scalars or feed MV_EXPAND) ----
+    "MV_COUNT": lambda a: F.when(a[0].isNull(), None)
+                           .otherwise(F.size(a[0]).cast("long")),
+    "MV_MIN": lambda a: F.array_min(a[0]),
+    "MV_MAX": lambda a: F.array_max(a[0]),
+    "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
+    "MV_SUM": lambda a: F.aggregate(a[0], F.lit(0.0),
+                                    lambda acc, x: acc + x.cast("double")),
+    "MV_AVG": lambda a: F.aggregate(a[0], F.lit(0.0),
+                                    lambda acc, x: acc + x.cast("double"))
+                        / F.size(a[0]),
 }
 
 
@@ -171,6 +223,9 @@ class _ExprParser:
         return e
 
     def parse_cmp(self) -> Column:
+        if (p := self.peek()) and p.upper() == "NOT":
+            self.next()
+            return ~self.parse_cmp()
         e = self.parse_add()
         p = self.peek()
         if p in ("==", "!=", ">", ">=", "<", "<="):
@@ -187,6 +242,33 @@ class _ExprParser:
                 vals.append(self.parse_or())
             self.expect(")")
             return e.isin(*vals)
+        if p and p.upper() == "LIKE":
+            # ES|QL LIKE wildcards are * and ? — translate to SQL
+            # like's % and _ (escaping any literal %/_ first)
+            self.next()
+            pat = self.next()
+            if not pat.startswith('"'):
+                raise ValueError("ES|QL: LIKE pattern must be a string")
+            sql_pat = (pat[1:-1].replace("\\", "\\\\")
+                       .replace("%", "\\%").replace("_", "\\_")
+                       .replace("*", "%").replace("?", "_"))
+            return e.like(sql_pat)
+        if p and p.upper() == "RLIKE":
+            self.next()
+            pat = self.next()
+            if not pat.startswith('"'):
+                raise ValueError("ES|QL: RLIKE pattern must be a string")
+            # ES|QL RLIKE anchors the whole string (Lucene regexp
+            # semantics), unlike Spark's substring-search rlike
+            return e.rlike("^(?:" + pat[1:-1] + ")$")
+        if p and p.upper() == "IS":
+            self.next()
+            if (q := self.peek()) and q.upper() == "NOT":
+                self.next()
+                self.expect("NULL")
+                return e.isNotNull()
+            self.expect("NULL")
+            return e.isNull()
         return e
 
     def parse_add(self) -> Column:
@@ -351,17 +433,40 @@ _POLICIES = {
     "nations": ("nation", "n_nationkey", ["n_name", "n_regionkey"]),
 }
 
-_AGG_RE = re.compile(r"(\w+)\s*=\s*(\w+)\s*\(\s*(\*|[\w.]+)\s*\)")
+_AGG_RE = re.compile(r"(\w+)\s*=\s*(\w+)\s*\(\s*([^()]*?)\s*\)")
 
 
 def _agg_col(fn: str, arg: str, name: str) -> Column:
     fn = fn.upper()
+    args = [a.strip() for a in arg.split(",")] if arg else []
+    arg = args[0] if args else arg
     if fn == "COUNT" and arg == "*":
         c = F.count("*")
     elif fn == "COUNT":
         c = F.count(arg)
     elif fn == "COUNT_DISTINCT":
         c = F.countDistinct(arg).cast("long")
+    elif fn == "MEDIAN":
+        # exact percentile with linear interpolation — the same
+        # definition as DuckDB's quantile_cont, so cross-engine
+        # hash-checkable (ES's TDigest approximation would not be)
+        c = F.percentile(arg, F.lit(0.5))
+    elif fn == "PERCENTILE":
+        c = F.percentile(arg, F.lit(float(args[1]) / 100.0))
+    elif fn == "STD_DEV":
+        # population std from DECIMAL-exact power sums (the
+        # extended_stats contract): both sums are order-free, the
+        # moment is closed-form double math — identical cross-engine
+        s = F.sum(F.col(arg).cast("decimal(28,6)")).cast("double")
+        ss = F.sum((F.col(arg) * F.col(arg))
+                   .cast("decimal(28,6)")).cast("double")
+        n = F.count(arg)
+        c = F.sqrt(F.greatest(ss / n - (s / n) * (s / n), F.lit(0.0)))
+    elif fn == "WEIGHTED_AVG":
+        v, w = args
+        sv = F.sum((F.col(v) * F.col(w)).cast("decimal(28,6)"))
+        sw = F.sum(F.col(w).cast("decimal(28,6)"))
+        c = sv.cast("double") / sw.cast("double")
     elif fn == "SUM":
         # deterministic-aggregation contract: numeric SUM folds as
         # DECIMAL(28,6) internally — exact and order-free for inputs
@@ -404,8 +509,34 @@ def esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             aggs_part, _, by_part = _partition_kw(rest, "BY")
             aggs = [_agg_col(fn, arg, name)
                     for name, fn, arg in _AGG_RE.findall(aggs_part)]
-            keys = [k.strip() for k in by_part.split(",") if k.strip()]
+            df, keys = _by_keys(df, by_part)
             df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        elif kw == "INLINESTATS":
+            # per-group aggregates ADDED to every row (the window
+            # shape of ES|QL): one partial-agg shuffle to a
+            # |groups|-row frame, broadcast-joined back — rows never
+            # re-shuffle, and with no BY the 1-row global frame is a
+            # broadcast crossJoin (the bounded-frame rule)
+            aggs_part, _, by_part = _partition_kw(rest, "BY")
+            aggs = [_agg_col(fn, arg, name)
+                    for name, fn, arg in _AGG_RE.findall(aggs_part)]
+            df, keys = _by_keys(df, by_part)
+            if keys:
+                df = df.join(F.broadcast(df.groupBy(*keys).agg(*aggs)),
+                             keys, "left")
+            else:
+                df = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        elif kw == "SAMPLE":
+            # ES|QL SAMPLE <p> admits each row with probability p.
+            # ES draws randomly per query; here the admit is a
+            # DETERMINISTIC md5 bucket of the frame's leading column
+            # (the repo-wide reproducible-sampling contract: same rows
+            # every run, every engine, any partitioning — write the
+            # pipeline so a stable id leads, e.g. via KEEP).
+            from ..functions.hashing import md5_int32
+            df = df.where(
+                md5_int32(F.col(df.columns[0]).cast("string")) % 10000
+                < int(round(float(rest) * 10000)))
         elif kw == "SORT":
             cols = []
             for part in rest.split(","):
@@ -474,6 +605,24 @@ def esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
              if isinstance(f.dataType, DecimalType) else F.col(f.name)
              for f in df.schema.fields]
     return df.select(*casts)
+
+
+_ASSIGN_RE = re.compile(r"^\s*(\w+)\s*=(?!=)\s*(.+)$", re.S)
+
+
+def _by_keys(df: DataFrame, by_part: str) -> tuple[DataFrame, list[str]]:
+    """BY clause of STATS/INLINESTATS: plain column names, or computed
+    keys `name = <expr>` (e.g. `b = BUCKET(price, 50000.0)`) which
+    become projection columns first — Catalyst collapses them into
+    the grouping's partial-agg projection."""
+    keys: list[str] = []
+    for part in _split_assignments(by_part):
+        if m := _ASSIGN_RE.match(part):
+            df = df.withColumn(m.group(1), _parse_expr(_tokenize(m.group(2))))
+            keys.append(m.group(1))
+        elif part.strip():
+            keys.append(part.strip())
+    return df, keys
 
 
 def _split_assignments(s: str) -> list[str]:

@@ -58,7 +58,8 @@ def load_all() -> None:
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
         analytics, arrow_knn, cleanup, dedup, esagg, esagg2, esagg3,
-        esagg4, esagg5, esagg6, esagg7, esql, evaluation, geo, graph,
+        esagg4, esagg5, esagg6, esagg7, esql, esql2, evaluation, geo,
+        graph,
         hybrid,
         index,
         inference,
