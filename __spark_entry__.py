@@ -123,6 +123,10 @@ _PRIORITY = [
     # computed BY keys (BUCKET), deterministic SAMPLE.
     "esql_inlinestats", "esql_strings", "esql_mv_funcs",
     "esql_percentile", "esql_bucket", "esql_sample",
+    # (n) pipeline-analytics trio (r6 session 2): classifier
+    # calibration vs the Gopher gate, embedding-space benchmark
+    # decontamination, hashed-bigram corpus diversity.
+    "quality_pr_curve", "embedding_decontaminate", "ngram_entropy",
     # (m) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

@@ -650,3 +650,68 @@ def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.sum("n")), 6)
                    .alias("noise_ratio"))
              .orderBy("lang"))
+
+
+# -------------------------------------- embedding-space decontamination
+
+EMB_DECON_MOD = 25    # benchmark/eval set = vectors with vec_id % 25 == 0
+EMB_DECON_TAU = 0.33  # cosine above this = semantic contamination
+
+
+@register("embedding_decontaminate", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+b AS (SELECT vec_id AS bid, vec AS bvec FROM e
+      WHERE vec_id % {EMB_DECON_MOD} = 0),
+t AS (SELECT vec_id, vec FROM e WHERE vec_id % {EMB_DECON_MOD} <> 0),
+s AS (
+  SELECT t.vec_id,
+         list_dot_product(t.vec, b.bvec)
+         / (sqrt(list_dot_product(t.vec, t.vec))
+            * sqrt(list_dot_product(b.bvec, b.bvec))) AS sim
+  FROM t, b),
+a AS (
+  SELECT vec_id, max(sim) AS max_sim,
+         CAST(count(*) FILTER (sim >= {EMB_DECON_TAU!r}) AS INT) AS n_hits
+  FROM s GROUP BY 1)
+SELECT vec_id, n_hits, round(max_sim, 6) AS max_sim,
+       max_sim >= {EMB_DECON_TAU!r} AS contaminated
+FROM a ORDER BY round(max_sim, 6) DESC, vec_id LIMIT 25
+""")
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of the n-gram `decontaminate` above (the LLaMA/GPT-4-era concern:
+    paraphrased eval leakage that shares no 13-gram). Every training
+    vector is scored by its max cosine against the held-out eval set;
+    vectors above tau are flagged. Emits the top-25 closest training
+    vectors with hit counts (the page a pipeline owner actually
+    reviews).
+
+    Scale shape: the eval side is SMALL by definition (benchmark
+    suites are thousands of rows; the corpus is the 100 TB side) — it
+    broadcasts, the corpus pays ONE map-side pass of |eval| dot
+    products per row (BroadcastNestedLoopJoin), and the per-vector
+    max/count collapses in the map-side partial agg before a
+    |train|-row shuffle. Never corpus x corpus; for eval sets too big
+    to broadcast, the LSH-bucketed simjoin (D5) is the fallback.
+    Ordering is on the ROUNDED similarity (ties broken by vec_id) so
+    the page cut is engine-stable."""
+    from ..functions import distance as D
+
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vecs = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+    bench = (vecs.where(F.col("vec_id") % EMB_DECON_MOD == 0)
+                 .select(F.col("vec_id").alias("bid"),
+                         F.col("vec").alias("bvec")))
+    train = vecs.where(F.col("vec_id") % EMB_DECON_MOD != 0)
+    sims = (train.crossJoin(F.broadcast(bench))
+                 .select("vec_id", D.cosine("vec", "bvec").alias("sim")))
+    agg = (sims.groupBy("vec_id")
+               .agg(F.max("sim").alias("max_sim"),
+                    F.count_if(F.col("sim") >= EMB_DECON_TAU)
+                     .cast("int").alias("n_hits")))
+    return (agg.select("vec_id", "n_hits",
+                       F.round("max_sim", 6).alias("max_sim"),
+                       (F.col("max_sim") >= EMB_DECON_TAU)
+                        .alias("contaminated"))
+               .orderBy(F.desc(F.round(F.col("max_sim"), 6)), "vec_id")
+               .limit(25))

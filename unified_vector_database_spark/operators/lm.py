@@ -81,3 +81,73 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.avg(F.log(F.col("c12") / F.col("c1"))), 6)
                    .alias("avg_logprob"))
              .orderBy("doc_id"))
+
+
+# ------------------------------------------- hashed n-gram entropy
+
+ENT_BUCKETS = 256  # hashed-bigram feature space (the DSIR bucket shape)
+
+
+@register("ngram_entropy", oracle=f"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT source,
+         unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS gram
+  FROM t),
+c AS (
+  SELECT source,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {ENT_BUCKETS} AS bkt,
+         count(*) AS c
+  FROM g GROUP BY 1, 2),
+n AS (SELECT source, bkt, c,
+             sum(c) OVER (PARTITION BY source) AS n FROM c)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(-sum((c / n) * log2(c / n)), 6) AS entropy,
+       round(-sum((c / n) * log2(c / n)) / 8.0, 6) AS norm_entropy
+FROM n GROUP BY source ORDER BY source
+""")
+def ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity census: Shannon entropy of the hashed-bigram
+    distribution per source (features = md5-hashed bigrams in
+    {ENT_BUCKETS} buckets, the DSIR feature space). Low entropy =
+    templated/repetitive source (boilerplate mills); high = diverse
+    text — the source-level triage signal a pipeline reads next to
+    per-doc repetition_score before assigning mixing weights.
+    norm_entropy divides by log2({ENT_BUCKETS}) so 1.0 = uniform.
+
+    Scale shape: bigrams build map-side from the token array (the
+    doc_bigrams slice/transform shape — no window), hash to a BOUNDED
+    bucket id before the shuffle, so the only aggregation state is
+    |sources| x {ENT_BUCKETS} integer counters regardless of corpus
+    or vocabulary size (the entropy of the full unhashed bigram
+    distribution would shuffle the vocabulary). The entropy fold is
+    <= {ENT_BUCKETS} double terms per source over exact integer
+    counts — same determinism budget as lm_bigram_quality's
+    round-6 log fold."""
+    from ..functions.hashing import md5_int32
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
+    t = docs.select("source", toks.alias("toks"))
+    pairs = F.expr(
+        "transform(slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(w, i) -> concat(element_at(toks, i + 1), ' ', w))")
+    g = t.select("source", F.explode(pairs).alias("gram"))
+    c = (g.select("source",
+                  (md5_int32("gram") % ENT_BUCKETS).alias("bkt"))
+          .groupBy("source", "bkt").agg(F.count("*").alias("c")))
+    n = c.withColumn("n", F.sum("c").over(W.partitionBy("source")))
+    p = F.col("c") / F.col("n")
+    term = p * F.log2(p)
+    return (n.groupBy("source")
+             .agg(F.max("n").cast("long").alias("n_bigrams"),
+                  F.count("*").alias("n_buckets"),
+                  F.round(-F.sum(term), 6).alias("entropy"),
+                  F.round(-F.sum(term) / 8.0, 6).alias("norm_entropy"))
+             .orderBy("source"))

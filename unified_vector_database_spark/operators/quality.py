@@ -119,16 +119,22 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_census(docs)
 
 
-def gopher_keep(docs: DataFrame) -> DataFrame:
+def gopher_keep(docs: DataFrame, extra: dict | None = None) -> DataFrame:
     """Per-document frame (doc_id, lang, n_words, keep) of the five
     Gopher rules — the production form (a pipeline filters on `keep`);
     gopher_census below is its driver-checkable rollup, and the W12
-    streaming twin runs the identical expressions."""
+    streaming twin runs the identical expressions.
+
+    `extra` maps output-column names to Column expressions evaluated
+    on the RAW docs frame — so a composing operator (quality_pr_curve)
+    can fuse its own per-doc math into this single scan projection
+    instead of re-scanning and joining back on doc_id."""
     toks = F.filter(F.split(F.trim("text"), " "), lambda t: t != "")
     n_sym = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
              + F.length("text")
              - F.length(F.replace(F.col("text"), F.lit("..."))))
     dom_cnt = dominance_count(toks)
+    extra = extra or {}
     m = docs.select(
         "doc_id", "lang",
         F.size(toks).alias("n_words"),
@@ -138,13 +144,15 @@ def gopher_keep(docs: DataFrame) -> DataFrame:
         F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
          .alias("n_stop"),
         (dom_cnt.cast("double") / F.size(toks)).alias("dom"),
+        *[c.alias(n) for n, c in extra.items()],
     ).where(F.col("n_words") > 0)
     keep = (F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
             & F.col("mwl").between(GOPHER_MWL_LO, GOPHER_MWL_HI)
             & (F.col("sym_ratio") <= GOPHER_SYMBOL_MAX)
             & (F.col("n_stop") >= GOPHER_STOP_MIN)
             & (F.col("dom") <= GOPHER_DOM_MAX))
-    return m.select("doc_id", "lang", "n_words", keep.alias("keep"))
+    return m.select("doc_id", "lang", "n_words", keep.alias("keep"),
+                    *extra.keys())
 
 
 def gopher_census(docs: DataFrame) -> DataFrame:
@@ -605,3 +613,91 @@ def pretrain_pipeline_census(spark: SparkSession,
                    F.round(total / (nctx * float(PIPE_CTX_TOKENS)), 6)
                     .alias("pack_efficiency"))
               .orderBy("shard"))
+
+
+# ------------------------------------------ classifier calibration
+
+# Threshold sweep for the PR curve: the observed quality range at the
+# test SFs is ~[0.43, 0.86]; seven 0.05 steps cover the useful band.
+PR_THRESHOLDS = tuple(round(0.50 + 0.05 * i, 2) for i in range(7))
+
+
+@register("quality_pr_curve", oracle=f"""
+WITH {_GOPHER_KEEP_CTE},
+q AS (
+  SELECT doc_id,
+         0.4 * least(len(toks) / 100.0, 1.0)
+         + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))
+                        / len(toks))
+         + 0.3 * least((list_sum(list_transform(toks, x -> length(x)))
+                        / len(toks)) / 8.0, 1.0) AS quality
+  FROM t WHERE len(toks) > 0),
+j AS (SELECT f.keep, q.quality FROM f JOIN q ON f.doc_id = q.doc_id),
+c AS (
+  SELECT th.t,
+         CAST(count(*) FILTER (j.quality >= th.t AND j.keep)
+              AS BIGINT) AS tp,
+         CAST(count(*) FILTER (j.quality >= th.t AND NOT j.keep)
+              AS BIGINT) AS fp,
+         CAST(count(*) FILTER (j.quality < th.t AND j.keep)
+              AS BIGINT) AS fn
+  FROM j CROSS JOIN (VALUES {", ".join(f"({t})" for t in PR_THRESHOLDS)})
+       AS th(t)
+  GROUP BY th.t)
+SELECT t AS threshold, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE round(tp / (tp + fn), 6) END AS recall,
+       CASE WHEN tp = 0 THEN 0.0
+            ELSE round(2.0 * tp / (2.0 * tp + fp + fn), 6) END AS f1
+FROM c ORDER BY threshold
+""")
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration against the Gopher rule gate:
+    treating the heuristic quality score as a classifier of
+    `gopher_keep`, sweep seven thresholds and emit the
+    precision/recall/F1 curve — the census a pipeline owner reads
+    before replacing an expensive rule gate with a cheap scored
+    filter (or before picking the retention threshold for a
+    fastText/DSIR-style scorer).
+
+    Scale shape: the score is FUSED into gopher_keep's single scan
+    projection (the `extra` hook — no second scan, no doc_id
+    re-join); the sweep is 3x|thresholds| conditional counters in ONE
+    1-row partial agg (each doc contributes map-side to every
+    threshold's counters — no threshold explode, no shuffle growth);
+    the curve unpivots from that single row. Precision is NULL where
+    nothing is predicted positive; F1 defined 0 at tp=0."""
+    from .textops import quality_col
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    j = gopher_keep(docs, extra={"quality": quality_col()})
+    aggs = []
+    for i, t in enumerate(PR_THRESHOLDS):
+        hit = F.col("quality") >= F.lit(t)
+        aggs += [
+            F.count_if(hit & F.col("keep")).alias(f"tp{i}"),
+            F.count_if(hit & ~F.col("keep")).alias(f"fp{i}"),
+            F.count_if(~hit & F.col("keep")).alias(f"fn{i}"),
+        ]
+    one = j.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("threshold"),
+                 F.col(f"tp{i}").alias("tp"),
+                 F.col(f"fp{i}").alias("fp"),
+                 F.col(f"fn{i}").alias("fn"))
+        for i, t in enumerate(PR_THRESHOLDS)])).alias("r")
+    tp, fp, fn = F.col("r.tp"), F.col("r.fp"), F.col("r.fn")
+    return (one.select(rows)
+            .select(
+                F.col("r.threshold").alias("threshold"),
+                tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+                F.when(tp + fp == 0, F.lit(None))
+                 .otherwise(F.round(tp / (tp + fp), 6)).alias("precision"),
+                F.when(tp + fn == 0, F.lit(None))
+                 .otherwise(F.round(tp / (tp + fn), 6)).alias("recall"),
+                F.when(tp == 0, F.lit(0.0))
+                 .otherwise(F.round(2.0 * tp / (2.0 * tp + fp + fn), 6))
+                 .alias("f1"))
+            .orderBy("threshold"))

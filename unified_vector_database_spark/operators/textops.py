@@ -204,6 +204,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score_t(docs).orderBy("doc_id")
 
 
+def quality_col() -> Column:
+    """The quality formula as ONE column expression over a frame with
+    `text` — for fusing the score into another operator's projection
+    (quality_pr_curve computes it inside gopher_keep's single scan).
+    Same math as quality_score_t / QUALITY_ORACLE_SELECT; keep all
+    three in lockstep."""
+    toks = tokens("text")
+    n = F.size(toks)
+    tok_chars = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                            F.lit(0), lambda acc, x: acc + x)
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a"))) / n
+    avg_len = tok_chars / n
+    return (0.4 * F.least(n / 100.0, F.lit(1.0))
+            + 0.3 * (1.0 - stop)
+            + 0.3 * F.least(avg_len / 8.0, F.lit(1.0)))
+
+
 def quality_score_t(docs: DataFrame) -> DataFrame:
     """Unordered operator form of quality_score."""
     toks = tokens("text")
