@@ -127,6 +127,9 @@ _PRIORITY = [
     # calibration vs the Gopher gate, embedding-space benchmark
     # decontamination, hashed-bigram corpus diversity.
     "quality_pr_curve", "embedding_decontaminate", "ngram_entropy",
+    # (o) composition pair (r6 session 2): the ES 8.14 retriever tree
+    # and the Weaviate Aggregate-with-nearVector surface.
+    "retriever_tree", "near_vector_aggregate",
     # (m) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

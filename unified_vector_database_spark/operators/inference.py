@@ -367,3 +367,97 @@ def nested_knn_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("score").alias("best_score"),
                           "n_chunks"))
     return best.orderBy(F.desc("best_score"), "doc_id").limit(NESTED_TOP)
+
+
+# ------------------------------------------------- ES retriever tree
+
+RETRIEVER_FUSE_N = 15  # rank_window_size of the text_similarity_reranker
+
+
+def _retriever_tree_oracle() -> str:
+    from ..constants import RRF_K
+    from .hybrid import _BM25_CTE, _CAND_CTE, _VEC_CTE
+    return f"""
+WITH {_BM25_CTE},
+{_VEC_CTE},
+{_CAND_CTE},
+kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM kcand),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS r
+       FROM vcand),
+fused AS (
+  SELECT coalesce(kr.doc_id, vr.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + kr.r), 0)
+               + coalesce(1.0 / ({RRF_K} + vr.r), 0), 9) AS rrf_score
+  FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id),
+win AS (SELECT doc_id, rrf_score FROM fused
+        ORDER BY rrf_score DESC, doc_id LIMIT {RETRIEVER_FUSE_N}),
+ce AS (
+  SELECT w.doc_id, w.rrf_score,
+         len(list_filter(['merge', 'vector', 'fast'],
+             t -> list_contains(list_filter(string_split(trim(d.text), ' '),
+                                            x -> x <> ''), t)))
+           + ('0x' || substr(md5('ce:' || w.doc_id), 1, 15))::BIGINT
+             / {_POW60!r} AS ce_score
+  FROM win w JOIN documents d USING (doc_id))
+SELECT doc_id, rrf_score, round(ce_score, 6) AS ce_score
+FROM ce ORDER BY ce_score DESC, doc_id LIMIT 10
+"""
+
+
+def _cross_encode_keep_rrf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """cross_encode_batches' kernel with the rrf_score column carried
+    through — model loaded ONCE per partition (the inference
+    contract), Arrow-batched."""
+    model = _load_stub_cross_encoder()
+    for pdf in it:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "rrf_score": pdf["rrf_score"],
+            "ce_score": [model(i, t)
+                         for i, t in zip(pdf["doc_id"], pdf["text"])],
+        })
+
+
+@register("retriever_tree", oracle=_retriever_tree_oracle)
+def retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES 8.14+ `retriever` tree — the modern composable search
+    API — as one plan: a `standard` (BM25) retriever and a `knn`
+    retriever feed an `rrf` retriever, whose rank_window_size head
+    feeds a `text_similarity_reranker` (the semantic re-rank stage):
+
+        text_similarity_reranker(
+          rrf(retrievers=[standard(match), knn(vector)]))
+
+    Composed ENTIRELY from driver-proved substrate: hybrid_rrf's
+    bounded-candidate fusion (each modality TakeOrdered to
+    HYBRID_CANDIDATES, ranks over surviving candidates only — no
+    corpus-wide sort) and rerank_inference's Arrow-batched
+    cross-encoder kernel over ONLY the fused head (model cost bounded
+    by rank_window_size at any corpus size). Final output carries
+    both the fused rank score and the reranker score — what ES
+    returns in `_rank` + `_score`."""
+    from ..constants import RRF_K
+    from .hybrid import _candidates, _vec_scores, bm25_scores, bounded_ranks
+
+    kw = _candidates(bm25_scores(spark, sf_dir), "score")
+    vec = _candidates(_vec_scores(spark, sf_dir), "vscore")
+    kr = bounded_ranks(kw, "score", "doc_id", "kr")
+    vr = bounded_ranks(vec, "vscore", "doc_id", "vr")
+    fused = (kr.join(vr, "doc_id", "full_outer")
+               .select("doc_id",
+                       F.round(
+                           F.coalesce(1.0 / (RRF_K + F.col("kr")), F.lit(0.0))
+                           + F.coalesce(1.0 / (RRF_K + F.col("vr")),
+                                        F.lit(0.0)), 9).alias("rrf_score"))
+               .orderBy(F.desc("rrf_score"), "doc_id")
+               .limit(RETRIEVER_FUSE_N))
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    shortlist = (docs.join(F.broadcast(fused), "doc_id")
+                     .select("doc_id", "rrf_score", "text"))
+    scored = shortlist.mapInPandas(
+        _cross_encode_keep_rrf,
+        schema="doc_id long, rrf_score double, ce_score double")
+    return (scored.select("doc_id", "rrf_score",
+                          F.round("ce_score", 6).alias("ce_score"))
+                  .orderBy(F.desc("ce_score"), "doc_id").limit(10))

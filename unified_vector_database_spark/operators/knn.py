@@ -1137,3 +1137,55 @@ def formula_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + F.lit(FORMULA_W) * decay, 6)
                          .alias("final_score"))
                 .orderBy(F.desc("final_score"), "vec_id").limit(10))
+
+
+# ----------------------------------- Weaviate Aggregate + nearVector
+
+NV_AGG_CERTAINTY = 0.55   # looser floor so every label bucket survives
+
+
+@register("near_vector_aggregate", oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id = 0),
+s AS (SELECT vec_id, label,
+             (1.0 + list_dot_product(embedding::DOUBLE[], qvec)
+              / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(qvec, qvec)))) / 2.0 AS certainty
+      FROM embeddings, q)
+SELECT label, count(*) AS n,
+       round(min(certainty), 6) AS min_certainty,
+       round(max(certainty), 6) AS max_certainty,
+       round(CAST(sum(CAST(round(certainty, 9) AS DECIMAL(18,9)))
+                  AS DOUBLE) / count(*), 6) AS mean_certainty
+FROM s WHERE certainty >= {NV_AGG_CERTAINTY!r}
+GROUP BY label ORDER BY label
+""")
+def near_vector_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `Aggregate { nearVector(certainty) { groupedBy,
+    meta { count }, property metrics } }` — aggregation over the
+    objects a vector search admits, grouped by a payload property:
+    per label, how many objects clear the certainty floor and their
+    certainty min/max/mean. The GraphQL Aggregate-with-near-operator
+    surface, distinct from the search form (near_vector_certainty):
+    no limit, no per-hit rows — the fleet census of the neighborhood.
+
+    Scale shape: the certainty rescale rides the same map-side scan
+    projection as the search form, the floor is a scan filter, and
+    the rollup is one |labels|-row partial agg — no TakeOrdered, no
+    window, zero shuffle beyond the bounded agg. The mean folds
+    9-digit-rounded certainties as DECIMAL so the group sums are
+    exact and order-free cross-engine."""
+    corpus, q = corpus_with_query(spark, sf_dir)
+    cert = (F.lit(1.0) + cosine_score()) / F.lit(2.0)
+    s = (corpus.crossJoin(F.broadcast(q))
+               .select("label", cert.alias("certainty"))
+               .where(F.col("certainty") >= NV_AGG_CERTAINTY))
+    return (s.groupBy("label")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.min("certainty"), 6).alias("min_certainty"),
+                  F.round(F.max("certainty"), 6).alias("max_certainty"),
+                  F.round(F.sum(F.round(F.col("certainty"), 9)
+                                 .cast("decimal(18,9)")).cast("double")
+                          / F.count("*"), 6).alias("mean_certainty"))
+             .orderBy("label"))
