@@ -141,6 +141,12 @@ HEADLINE = [
     "text_image_search", "near_audio_search", "epoch_plan", "dataset_card",
     "binary_ivf_knn", "esql_having", "esql_dissect",
     "pretrain_pipeline_census", "snapshot_restore", "collection_cdc_diff",
+    # r6 session 2: ES|QL v2, the pipeline-analytics trio, and the
+    # composition pair
+    "esql_inlinestats", "esql_strings", "esql_mv_funcs",
+    "esql_percentile", "esql_bucket", "esql_sample",
+    "quality_pr_curve", "embedding_decontaminate", "ngram_entropy",
+    "retriever_tree", "near_vector_aggregate",
 ]
 
 

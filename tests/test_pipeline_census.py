@@ -46,7 +46,7 @@ def test_pr_curve_fused_single_scan(spark, sf_dir):
 
 def test_embedding_decontaminate_against_numpy(spark, sf_dir):
     from unified_vector_database_spark.operators.cleanup import (
-        EMB_DECON_MOD, EMB_DECON_TAU,
+        EMB_DECON_CAP, EMB_DECON_MOD, EMB_DECON_TAU,
     )
     from unified_vector_database_spark.registry import QUERIES, load_all
     load_all()
@@ -56,7 +56,7 @@ def test_embedding_decontaminate_against_numpy(spark, sf_dir):
     ids = np.array([r.vec_id for r in emb])
     x = np.array([r.embedding for r in emb], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    is_bench = ids % EMB_DECON_MOD == 0
+    is_bench = (ids % EMB_DECON_MOD == 0) & (ids < EMB_DECON_CAP)
     sims = x[~is_bench] @ x[is_bench].T
     mx = sims.max(axis=1)
     hits = (sims >= EMB_DECON_TAU).sum(axis=1)

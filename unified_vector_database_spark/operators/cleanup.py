@@ -655,14 +655,17 @@ def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------- embedding-space decontamination
 
 EMB_DECON_MOD = 25    # benchmark/eval set = vectors with vec_id % 25 == 0
+EMB_DECON_CAP = 12_500  # ...AND vec_id below this: the eval suite is a
+                        # FIXED set — it does not grow with the corpus
 EMB_DECON_TAU = 0.33  # cosine above this = semantic contamination
 
 
 @register("embedding_decontaminate", oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 b AS (SELECT vec_id AS bid, vec AS bvec FROM e
-      WHERE vec_id % {EMB_DECON_MOD} = 0),
-t AS (SELECT vec_id, vec FROM e WHERE vec_id % {EMB_DECON_MOD} <> 0),
+      WHERE vec_id % {EMB_DECON_MOD} = 0 AND vec_id < {EMB_DECON_CAP}),
+t AS (SELECT vec_id, vec FROM e
+      WHERE vec_id % {EMB_DECON_MOD} <> 0 OR vec_id >= {EMB_DECON_CAP}),
 s AS (
   SELECT t.vec_id,
          list_dot_product(t.vec, b.bvec)
@@ -687,7 +690,10 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reviews).
 
     Scale shape: the eval side is SMALL by definition (benchmark
-    suites are thousands of rows; the corpus is the 100 TB side) — it
+    suites are thousands of rows; the corpus is the 100 TB side) and
+    FIXED — the id cap pins it, so it does not grow with the corpus
+    (the 64x replica probe measures linear corpus growth against the
+    constant eval set, the production shape) — it
     broadcasts, the corpus pays ONE map-side pass of |eval| dot
     products per row (BroadcastNestedLoopJoin), and the per-vector
     max/count collapses in the map-side partial agg before a
@@ -699,10 +705,12 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     vecs = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-    bench = (vecs.where(F.col("vec_id") % EMB_DECON_MOD == 0)
+    is_bench = ((F.col("vec_id") % EMB_DECON_MOD == 0)
+                & (F.col("vec_id") < EMB_DECON_CAP))
+    bench = (vecs.where(is_bench)
                  .select(F.col("vec_id").alias("bid"),
                          F.col("vec").alias("bvec")))
-    train = vecs.where(F.col("vec_id") % EMB_DECON_MOD != 0)
+    train = vecs.where(~is_bench)
     sims = (train.crossJoin(F.broadcast(bench))
                  .select("vec_id", D.cosine("vec", "bvec").alias("sim")))
     agg = (sims.groupBy("vec_id")
