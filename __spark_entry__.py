@@ -130,6 +130,11 @@ _PRIORITY = [
     # (o) composition pair (r6 session 2): the ES 8.14 retriever tree
     # and the Weaviate Aggregate-with-nearVector surface.
     "retriever_tree", "near_vector_aggregate",
+    # (p) ES|QL advanced commands (r6 session 2): FORK branches,
+    # CHANGE_POINT series annotation, RERANK semantic re-scoring.
+    # change_point_agg shares the extracted step_change_best fold
+    # (pure extraction — identical expressions, sim re-MATCHed).
+    "esql_fork", "esql_change_point", "esql_rerank",
     # (m) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

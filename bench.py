@@ -147,6 +147,7 @@ HEADLINE = [
     "esql_percentile", "esql_bucket", "esql_sample",
     "quality_pr_curve", "embedding_decontaminate", "ngram_entropy",
     "retriever_tree", "near_vector_aggregate",
+    "esql_fork", "esql_change_point", "esql_rerank",
 ]
 
 

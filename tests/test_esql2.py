@@ -167,3 +167,81 @@ def test_unknown_aggregate_and_function_raise(spark, sf_dir):
         esql(spark, sf_dir, "FROM orders | STATS x = BOGUS(o_orderkey)")
     with pytest.raises(ValueError, match="unknown function"):
         _parse_expr(_tokenize("NO_SUCH_FN(1)"))
+
+
+# ---------------------------------------- CHANGE_POINT / FORK / RERANK
+
+def test_split_pipes_is_paren_aware():
+    from unified_vector_database_spark.operators.esql import (
+        _paren_groups, _split_pipes,
+    )
+    parts = _split_pipes(
+        "FROM t | FORK (WHERE a == 1 | LIMIT 2) (STATS n = COUNT(*)) "
+        "| SORT n")
+    assert len(parts) == 3
+    assert parts[1].startswith("FORK")
+    groups = _paren_groups("(WHERE a == 1 | LIMIT 2) (STATS n = COUNT(*))")
+    assert groups == ["WHERE a == 1 | LIMIT 2", "STATS n = COUNT(*)"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unbalanced"):
+        _paren_groups("(WHERE a == 1")
+
+
+def test_change_point_marks_argmax_split(spark, sf_dir):
+    from unified_vector_database_spark.operators.esql import esql
+    rows = esql(spark, sf_dir, """
+FROM events
+| STATS total = SUM(value) BY day = DATE_TRUNC("day", ts)
+| CHANGE_POINT total ON day
+| SORT day
+""").collect()
+    flagged = [r for r in rows if r.type is not None]
+    assert len(flagged) == 1 and flagged[0].type == "step_change"
+    # independently recompute the best split over the series
+    t = [r.total for r in rows]
+    n = len(t)
+    best_s, best_d = None, -1.0
+    for s in range(2, n + 1):
+        d = abs(sum(t[:s - 1]) / (s - 1) - sum(t[s - 1:]) / (n - s + 1))
+        if d > best_d:
+            best_s, best_d = s, d
+    assert rows[best_s - 1].day == flagged[0].day
+    assert flagged[0].delta == pytest.approx(best_d, abs=2e-6)
+
+
+def test_fork_unions_branch_schemas(spark, sf_dir):
+    from unified_vector_database_spark.operators.esql import esql
+    df = esql(spark, sf_dir, """
+FROM orders
+| FORK (SORT o_totalprice DESC, o_orderkey | LIMIT 3
+        | KEEP o_orderkey, o_totalprice)
+       (STATS n = COUNT(*) BY o_orderstatus)
+""")
+    rows = df.collect()
+    f1 = [r for r in rows if r._fork == "fork1"]
+    f2 = [r for r in rows if r._fork == "fork2"]
+    assert len(f1) == 3
+    # null-padding across branch schemas (ES missing-field semantics)
+    assert all(r.o_orderstatus is None and r.n is None for r in f1)
+    assert all(r.o_orderkey is None and r.o_totalprice is None for r in f2)
+    assert sum(r.n for r in f2) == \
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def test_rerank_scores_match_stub_model(spark, sf_dir):
+    from unified_vector_database_spark.operators.esql import esql
+    from unified_vector_database_spark.operators.inference import _stub_frac
+    rows = esql(spark, sf_dir, """
+FROM documents
+| KEEP doc_id, text
+| RERANK "fast table scan" ON text
+| SORT _score DESC, doc_id
+| LIMIT 5
+""").collect()
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in rows:
+        toks = set(x for x in docs[r.doc_id].strip().split(" ") if x)
+        want = (sum(1 for q in ("fast", "table", "scan") if q in toks)
+                + _stub_frac(f"ce:{r.doc_id}"))
+        assert r._score == pytest.approx(want, abs=1e-12)

@@ -27,6 +27,9 @@ projections, STATS becomes a partial-agg shuffle):
   LOOKUP JOIN <index> ON <key>
   INLINESTATS <name> = <agg>[, ...] [BY <key>[, ...]]
   SAMPLE <p>
+  FORK (<branch pipeline>) (<branch pipeline>) [...]
+  CHANGE_POINT <value> ON <key>
+  RERANK "<query>" ON <text_col>
 
 WHERE composes anywhere in the pipeline — after STATS it is the
 HAVING shape (a filter over the aggregated frame; Catalyst still
@@ -99,14 +102,19 @@ def _tokenize(s: str) -> list[str]:
 
 
 def _split_pipes(q: str) -> list[str]:
-    """Split on top-level `|` (quote-aware)."""
-    parts, buf, in_str = [], [], False
+    """Split on top-level `|` (quote- AND paren-aware: pipes inside a
+    FORK branch's parentheses belong to the branch sub-pipeline)."""
+    parts, buf, in_str, depth = [], [], False, 0
     i = 0
     while i < len(q):
         ch = q[i]
         if ch == '"' and (i == 0 or q[i - 1] != "\\"):
             in_str = not in_str
-        if ch == "|" and not in_str:
+        elif not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        if ch == "|" and not in_str and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
@@ -494,110 +502,220 @@ def esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         raise ValueError("ES|QL: pipeline must start with FROM")
     df = tables.load(spark, sf_dir, stages[0].split()[1].strip())
     for stage in stages[1:]:
-        kw, _, rest = stage.partition(" ")
-        kw = kw.upper()
-        rest = rest.strip()
-        if kw == "WHERE":
-            df = df.where(_parse_expr(_tokenize(rest)))
-        elif kw == "EVAL":
-            # split assignments on top-level commas
-            for part in _split_assignments(rest):
-                name, _, expr = part.partition("=")
-                df = df.withColumn(name.strip(),
-                                   _parse_expr(_tokenize(expr)))
-        elif kw == "STATS":
-            aggs_part, _, by_part = _partition_kw(rest, "BY")
-            aggs = [_agg_col(fn, arg, name)
-                    for name, fn, arg in _AGG_RE.findall(aggs_part)]
-            df, keys = _by_keys(df, by_part)
-            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        elif kw == "INLINESTATS":
-            # per-group aggregates ADDED to every row (the window
-            # shape of ES|QL): one partial-agg shuffle to a
-            # |groups|-row frame, broadcast-joined back — rows never
-            # re-shuffle, and with no BY the 1-row global frame is a
-            # broadcast crossJoin (the bounded-frame rule)
-            aggs_part, _, by_part = _partition_kw(rest, "BY")
-            aggs = [_agg_col(fn, arg, name)
-                    for name, fn, arg in _AGG_RE.findall(aggs_part)]
-            df, keys = _by_keys(df, by_part)
-            if keys:
-                df = df.join(F.broadcast(df.groupBy(*keys).agg(*aggs)),
-                             keys, "left")
-            else:
-                df = df.crossJoin(F.broadcast(df.agg(*aggs)))
-        elif kw == "SAMPLE":
-            # ES|QL SAMPLE <p> admits each row with probability p.
-            # ES draws randomly per query; here the admit is a
-            # DETERMINISTIC md5 bucket of the frame's leading column
-            # (the repo-wide reproducible-sampling contract: same rows
-            # every run, every engine, any partitioning — write the
-            # pipeline so a stable id leads, e.g. via KEEP).
-            from ..functions.hashing import md5_int32
-            df = df.where(
-                md5_int32(F.col(df.columns[0]).cast("string")) % 10000
-                < int(round(float(rest) * 10000)))
-        elif kw == "SORT":
-            cols = []
-            for part in rest.split(","):
-                bits = part.split()
-                c = F.col(bits[0])
-                cols.append(c.desc() if len(bits) > 1
-                            and bits[1].upper() == "DESC" else c.asc())
-            df = df.orderBy(*cols)
-        elif kw == "LIMIT":
-            df = df.limit(int(rest))
-        elif kw == "KEEP":
-            df = df.select(*[c.strip() for c in rest.split(",")])
-        elif kw == "DROP":
-            df = df.drop(*[c.strip() for c in rest.split(",")])
-        elif kw == "ENRICH":
-            m = re.fullmatch(
-                r"(\w+)\s+ON\s+(\w+)(?:\s+WITH\s+(.*))?", rest, re.I)
-            if not m:
-                raise ValueError(f"ES|QL: bad ENRICH {rest!r}")
-            policy, key, with_cols = m.group(1), m.group(2), m.group(3)
-            tbl, match_key, fields = _POLICIES[policy]
-            cols = ([c.strip() for c in with_cols.split(",")]
-                    if with_cols else fields)
-            dim = (tables.load(spark, sf_dir, tbl)
-                   .select(F.col(match_key).alias(key), *cols))
-            df = df.join(F.broadcast(dim), key, "left")
-        elif kw == "MV_EXPAND":
-            # one row per value of a multivalued field, other columns
-            # repeated — F.explode, the exact relational analog
-            others = [c for c in df.columns if c != rest]
-            df = df.select(*others, F.explode(rest).alias(rest))
-        elif kw == "RENAME":
-            m = re.fullmatch(r"([\w.]+)\s+AS\s+(\w+)", rest, re.I)
-            if not m:
-                raise ValueError(f"ES|QL: bad RENAME {rest!r}")
-            df = df.withColumnRenamed(m.group(1), m.group(2))
-        elif kw == "LOOKUP":
-            # LOOKUP JOIN <index> ON <key> — ES|QL joins a lookup-mode
-            # index by field-name equality; broadcast left join brings
-            # every lookup column (KEEP prunes downstream — and column
-            # pruning pushes the projection into the lookup scan).
-            m = re.fullmatch(r"JOIN\s+(\w+)\s+ON\s+(\w+)", rest, re.I)
-            if not m:
-                raise ValueError(f"ES|QL: bad LOOKUP {rest!r}")
-            dim = tables.load(spark, sf_dir, m.group(1))
-            df = df.join(F.broadcast(dim), m.group(2), "left")
-        elif kw in ("GROK", "DISSECT"):
-            m = re.fullmatch(r"([\w.]+)\s+\"(.*)\"", rest, re.S)
-            if not m:
-                raise ValueError(f"ES|QL: bad {kw} {rest!r}")
-            col, pattern = m.group(1), m.group(2)
-            compiled = (_grok_compile if kw == "GROK"
-                        else _dissect_compile)(pattern)
-            regex, fields = compiled
-            for idx, (name, cast) in enumerate(fields, start=1):
-                raw = F.regexp_extract(F.col(col), regex, idx)
-                # ES leaves fields null on no-match ("" from Spark)
-                v = F.when(raw == "", None).otherwise(raw)
-                df = df.withColumn(name, v.cast(_CASTS[cast]))
+        df = _apply_stage(spark, sf_dir, df, stage)
+    # ES|QL numeric results are long/double — exact DECIMAL folds
+    # (money SUMs) surface as DOUBLE in the response
+    from pyspark.sql.types import DecimalType
+    casts = [F.col(f.name).cast("double").alias(f.name)
+             if isinstance(f.dataType, DecimalType) else F.col(f.name)
+             for f in df.schema.fields]
+    return df.select(*casts)
+
+
+def _apply_stage(spark: SparkSession, sf_dir: str, df: DataFrame,
+                 stage: str) -> DataFrame:
+    """One piped command applied to the running frame — factored out
+    of esql() so FORK can apply branch sub-pipelines recursively."""
+    kw, _, rest = stage.partition(" ")
+    kw = kw.upper()
+    rest = rest.strip()
+    if kw == "WHERE":
+        df = df.where(_parse_expr(_tokenize(rest)))
+    elif kw == "EVAL":
+        # split assignments on top-level commas
+        for part in _split_assignments(rest):
+            name, _, expr = part.partition("=")
+            df = df.withColumn(name.strip(),
+                               _parse_expr(_tokenize(expr)))
+    elif kw == "STATS":
+        aggs_part, _, by_part = _partition_kw(rest, "BY")
+        aggs = [_agg_col(fn, arg, name)
+                for name, fn, arg in _AGG_RE.findall(aggs_part)]
+        df, keys = _by_keys(df, by_part)
+        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    elif kw == "INLINESTATS":
+        # per-group aggregates ADDED to every row (the window
+        # shape of ES|QL): one partial-agg shuffle to a
+        # |groups|-row frame, broadcast-joined back — rows never
+        # re-shuffle, and with no BY the 1-row global frame is a
+        # broadcast crossJoin (the bounded-frame rule)
+        aggs_part, _, by_part = _partition_kw(rest, "BY")
+        aggs = [_agg_col(fn, arg, name)
+                for name, fn, arg in _AGG_RE.findall(aggs_part)]
+        df, keys = _by_keys(df, by_part)
+        if keys:
+            df = df.join(F.broadcast(df.groupBy(*keys).agg(*aggs)),
+                         keys, "left")
         else:
-            raise ValueError(f"ES|QL: unknown command {kw}")
+            df = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    elif kw == "SAMPLE":
+        # ES|QL SAMPLE <p> admits each row with probability p.
+        # ES draws randomly per query; here the admit is a
+        # DETERMINISTIC md5 bucket of the frame's leading column
+        # (the repo-wide reproducible-sampling contract: same rows
+        # every run, every engine, any partitioning — write the
+        # pipeline so a stable id leads, e.g. via KEEP).
+        from ..functions.hashing import md5_int32
+        df = df.where(
+            md5_int32(F.col(df.columns[0]).cast("string")) % 10000
+            < int(round(float(rest) * 10000)))
+    elif kw == "SORT":
+        cols = []
+        for part in rest.split(","):
+            bits = part.split()
+            c = F.col(bits[0])
+            cols.append(c.desc() if len(bits) > 1
+                        and bits[1].upper() == "DESC" else c.asc())
+        df = df.orderBy(*cols)
+    elif kw == "LIMIT":
+        df = df.limit(int(rest))
+    elif kw == "KEEP":
+        df = df.select(*[c.strip() for c in rest.split(",")])
+    elif kw == "DROP":
+        df = df.drop(*[c.strip() for c in rest.split(",")])
+    elif kw == "ENRICH":
+        m = re.fullmatch(
+            r"(\w+)\s+ON\s+(\w+)(?:\s+WITH\s+(.*))?", rest, re.I)
+        if not m:
+            raise ValueError(f"ES|QL: bad ENRICH {rest!r}")
+        policy, key, with_cols = m.group(1), m.group(2), m.group(3)
+        tbl, match_key, fields = _POLICIES[policy]
+        cols = ([c.strip() for c in with_cols.split(",")]
+                if with_cols else fields)
+        dim = (tables.load(spark, sf_dir, tbl)
+               .select(F.col(match_key).alias(key), *cols))
+        df = df.join(F.broadcast(dim), key, "left")
+    elif kw == "MV_EXPAND":
+        # one row per value of a multivalued field, other columns
+        # repeated — F.explode, the exact relational analog
+        others = [c for c in df.columns if c != rest]
+        df = df.select(*others, F.explode(rest).alias(rest))
+    elif kw == "RENAME":
+        m = re.fullmatch(r"([\w.]+)\s+AS\s+(\w+)", rest, re.I)
+        if not m:
+            raise ValueError(f"ES|QL: bad RENAME {rest!r}")
+        df = df.withColumnRenamed(m.group(1), m.group(2))
+    elif kw == "LOOKUP":
+        # LOOKUP JOIN <index> ON <key> — ES|QL joins a lookup-mode
+        # index by field-name equality; broadcast left join brings
+        # every lookup column (KEEP prunes downstream — and column
+        # pruning pushes the projection into the lookup scan).
+        m = re.fullmatch(r"JOIN\s+(\w+)\s+ON\s+(\w+)", rest, re.I)
+        if not m:
+            raise ValueError(f"ES|QL: bad LOOKUP {rest!r}")
+        dim = tables.load(spark, sf_dir, m.group(1))
+        df = df.join(F.broadcast(dim), m.group(2), "left")
+    elif kw in ("GROK", "DISSECT"):
+        m = re.fullmatch(r"([\w.]+)\s+\"(.*)\"", rest, re.S)
+        if not m:
+            raise ValueError(f"ES|QL: bad {kw} {rest!r}")
+        col, pattern = m.group(1), m.group(2)
+        compiled = (_grok_compile if kw == "GROK"
+                    else _dissect_compile)(pattern)
+        regex, fields = compiled
+        for idx, (name, cast) in enumerate(fields, start=1):
+            raw = F.regexp_extract(F.col(col), regex, idx)
+            # ES leaves fields null on no-match ("" from Spark)
+            v = F.when(raw == "", None).otherwise(raw)
+            df = df.withColumn(name, v.cast(_CASTS[cast]))
+    elif kw == "FORK":
+        # FORK (branch1) (branch2) ... — each parenthesized branch is
+        # a sub-pipeline applied to the CURRENT frame; results union
+        # with a `_fork` discriminator (ES 8.18's command). Branch
+        # schemas need not agree: unionByName null-pads (ES's
+        # missing-field null semantics). The input plan fans out to
+        # both branches and Catalyst optimizes each independently.
+        branches = _paren_groups(rest)
+        if len(branches) < 2:
+            raise ValueError("ES|QL: FORK needs >= 2 branches")
+        outs = []
+        for i, b in enumerate(branches, start=1):
+            bdf = df
+            for st in _split_pipes(b):
+                bdf = _apply_stage(spark, sf_dir, bdf, st)
+            outs.append(bdf.withColumn("_fork", F.lit(f"fork{i}")))
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o, allowMissingColumns=True)
+    elif kw == "CHANGE_POINT":
+        # CHANGE_POINT <value> ON <key> (ES|QL 8.16): step-change
+        # detection over a BUCKETED series (the frame is post-STATS,
+        # so it is |buckets|-sized by construction — the 1-row
+        # collect_list reduce is bounded, the change_point_agg
+        # contract). Emits the series back with `type` set on the
+        # detected row and `delta` = |mean gap| (ES reports a
+        # p-value; the mean-gap magnitude is this engine's
+        # deterministic analog — documented deviation). Keeps only
+        # (key, value) + annotations.
+        from .stats_more import step_change_best
+        m = re.fullmatch(r"([\w.]+)\s+ON\s+([\w.]+)", rest, re.I)
+        if not m:
+            raise ValueError(f"ES|QL: bad CHANGE_POINT {rest!r}")
+        v, k = m.group(1), m.group(2)
+        arr = (df.agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(k).alias("k"), F.col(v).alias("v")))).alias("a"))
+                 .select(F.transform("a", lambda x: x.getField("v"))
+                          .alias("t"),
+                         F.transform("a", lambda x: x.getField("k"))
+                          .alias("ks"),
+                         F.size("a").alias("n"))
+                 .where(F.col("n") >= 2)
+                 .select("t", "ks", "n", step_change_best().alias("b")))
+        row = F.posexplode(F.arrays_zip(
+            F.col("ks").alias("k"), F.col("t").alias("v")))
+        df = (arr.select(F.col("b"), row.alias("pos", "r"))
+                 .select(F.col("r.k").alias(k), F.col("r.v").alias(v),
+                         F.when(F.col("pos") + 1 == F.col("b.s"),
+                                F.lit("step_change"))
+                          .alias("type"),
+                         F.when(F.col("pos") + 1 == F.col("b.s"),
+                                F.round(F.col("b.delta"), 6))
+                          .alias("delta")))
+    elif kw == "RERANK":
+        # RERANK "query" ON <text_col> (ES 8.18 semantic rerank):
+        # scores every row of the CURRENT frame with the cross-encoder
+        # kernel (per-partition model load, Arrow-batched) into
+        # `_score`. Compose it AFTER a retrieval/filter stage — the
+        # model pays per surviving row, which is the production
+        # retrieve-then-rerank contract (rerank_inference's shape).
+        m = re.fullmatch(r"\"(.*)\"\s+ON\s+([\w.]+)", rest, re.S)
+        if not m:
+            raise ValueError(f"ES|QL: bad RERANK {rest!r}")
+        from .inference import make_cross_encode_batches
+        qterms = tuple(t for t in m.group(1).split(" ") if t)
+        col = m.group(2)
+        cols = df.columns
+        kernel = make_cross_encode_batches(qterms, "doc_id", col, cols)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields) + ", _score double"
+        df = df.mapInPandas(kernel, schema=schema)
+    else:
+        raise ValueError(f"ES|QL: unknown command {kw}")
+    return df
+
+
+def _paren_groups(s: str) -> list[str]:
+    """Top-level (...) groups of a FORK argument list (quote-aware)."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == '"':
+            in_str = not in_str
+        if not in_str and ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        if not in_str and ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError("ES|QL: unbalanced parentheses in FORK")
+    return out
     # ES|QL numeric results are long/double — exact DECIMAL folds
     # (money SUMs) surface as DOUBLE in the response
     from pyspark.sql.types import DecimalType

@@ -253,3 +253,132 @@ def esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = esql(spark, sf_dir, ESQL_SAMPLE)
     return df.select("o_orderpriority", "n",
                      F.round("revenue", 6).alias("revenue"))
+
+
+# ------------------------------------------------------ CHANGE_POINT
+
+ESQL_CHANGE_POINT = """
+FROM events
+| STATS total = SUM(value) BY day = DATE_TRUNC("day", ts)
+| CHANGE_POINT total ON day
+| SORT day
+"""
+
+
+@register("esql_change_point", oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM events GROUP BY 1),
+arr AS (
+  SELECT list(total ORDER BY day) AS t, list(day ORDER BY day) AS days,
+         count(*) AS n
+  FROM d),
+sp AS (
+  SELECT n, days, t,
+         list_transform(range(2, n + 1), s -> struct_pack(
+             s := s,
+             delta := abs(list_sum(t[1:s - 1]) / (s - 1)
+                          - list_sum(t[s:]) / (n - s + 1)))) AS cands
+  FROM arr WHERE n >= 2),
+best AS (
+  SELECT n, days, t,
+         (SELECT c FROM unnest(cands) AS u(c)
+          ORDER BY c.delta DESC, c.s LIMIT 1) AS b
+  FROM sp)
+SELECT days[i] AS day, t[i] AS total,
+       CASE WHEN i = b.s THEN 'step_change' END AS type,
+       CASE WHEN i = b.s THEN round(b.delta, 6) END AS delta
+FROM best, unnest(range(1, n + 1)) AS u(i)
+ORDER BY day
+""")
+def esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `CHANGE_POINT value ON key` (the 8.16 step-change
+    command): the bucketed daily series comes back annotated — `type`
+    = 'step_change' on the detected row, `delta` = the |mean gap|
+    magnitude (ES reports a p-value; the gap is this engine's
+    deterministic analog). Detection is the SAME step_change_best
+    fold change_point_agg ships (shared helper), run over the
+    |buckets|-row post-STATS frame — the 1-row reduce is bounded by
+    construction, candidate splits are map-side array math."""
+    return esql(spark, sf_dir, ESQL_CHANGE_POINT)
+
+
+# -------------------------------------------------------------- FORK
+
+ESQL_FORK = """
+FROM orders
+| FORK (SORT o_totalprice DESC, o_orderkey | LIMIT 5
+        | KEEP o_orderkey, o_totalprice)
+       (STATS n = COUNT(*), revenue = SUM(o_totalprice)
+        BY o_orderpriority)
+| SORT _fork, o_orderkey, o_orderpriority
+"""
+
+
+@register("esql_fork", oracle="""
+SELECT 'fork1' AS _fork, o_orderkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS revenue
+FROM (SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+UNION ALL
+SELECT 'fork2', NULL, NULL, o_orderpriority,
+       count(*),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6)
+FROM orders GROUP BY o_orderpriority
+ORDER BY _fork, o_orderkey, o_orderpriority
+""")
+def esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `FORK (branch) (branch)` (the 8.18 multi-branch command):
+    one input frame fans out to a top-N page AND a grouped census,
+    results unioned with the `_fork` discriminator and null-padded
+    where a branch lacks a column (ES's missing-field semantics).
+    Catalyst optimizes each branch independently off the shared scan;
+    neither branch pays for the other's shuffle."""
+    df = esql(spark, sf_dir, ESQL_FORK)
+    return df.select("_fork", "o_orderkey", "o_totalprice",
+                     "o_orderpriority", "n",
+                     F.round("revenue", 6).alias("revenue"))
+
+
+# ------------------------------------------------------------ RERANK
+
+ESQL_RERANK = """
+FROM documents
+| KEEP doc_id, text
+| SAMPLE 0.3
+| RERANK "fast table scan" ON text
+| SORT _score DESC, doc_id
+| LIMIT 10
+| KEEP doc_id, _score
+"""
+
+
+@register("esql_rerank", oracle="""
+WITH s AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000 < 3000),
+ce AS (
+  SELECT doc_id,
+         len(list_filter(['fast', 'table', 'scan'],
+             t -> list_contains(list_filter(string_split(trim(text), ' '),
+                                            x -> x <> ''), t)))
+           + ('0x' || substr(md5('ce:' || doc_id), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS sc
+  FROM s)
+SELECT doc_id, round(sc, 6) AS _score
+FROM ce ORDER BY sc DESC, doc_id LIMIT 10
+""")
+def esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `RERANK "query" ON field` (the 8.18 semantic-rerank
+    command, ES's inference-endpoint stage lifted into the query
+    language): the deterministic cross-encoder kernel scores every
+    surviving row into `_score` — composed AFTER the sampling stage,
+    the retrieve-then-rerank contract (model cost is bounded by the
+    candidate set, never the corpus). Per-partition model load,
+    Arrow-batched (rerank_inference's kernel, parametric query
+    terms)."""
+    df = esql(spark, sf_dir, ESQL_RERANK)
+    return df.select("doc_id", F.round("_score", 6).alias("_score"))

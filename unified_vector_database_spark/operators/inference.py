@@ -461,3 +461,23 @@ def retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("doc_id", "rrf_score",
                           F.round("ce_score", 6).alias("ce_score"))
                   .orderBy(F.desc("ce_score"), "doc_id").limit(10))
+
+
+def make_cross_encode_batches(qterms: tuple, id_col: str, text_col: str,
+                              passthrough: list):
+    """Parametric form of cross_encode_batches for the ES|QL RERANK
+    command: scores `overlap(qterms, tokens) + md5 tiebreak` into
+    `_score`, carrying every input column through. Model 'loads' once
+    per partition; Arrow-batched; the real-model swap-in point is the
+    same as _load_stub_cross_encoder's."""
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def score(i: int, t: str) -> float:
+            toks = set(x for x in t.strip().split(" ") if x)
+            return (sum(1 for q in qterms if q in toks)
+                    + _stub_frac(f"ce:{i}"))
+        for pdf in it:
+            out = pdf[list(passthrough)].copy()
+            out["_score"] = [score(i, t) for i, t in
+                             zip(pdf[id_col], pdf[text_col])]
+            yield out
+    return run

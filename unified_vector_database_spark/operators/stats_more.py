@@ -345,6 +345,34 @@ def percentile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- change_point
 
 
+def step_change_best(t: str = "t", n: str = "n"):
+    """(s, delta) struct of the split of series column `t` (length
+    `n`) maximizing |mean-before − mean-after| — every split evaluates
+    via one transform, then ONE fold picks the argmax (strict > keeps
+    the EARLIEST max split — DuckDB's max_by under ordered unnest
+    matches). Shared by change_point_agg and the ES|QL CHANGE_POINT
+    command so both surfaces detect with identical expressions."""
+    nn = F.col(n)
+    cands = F.transform(
+        F.sequence(F.lit(2), nn),
+        lambda s: F.struct(
+            s.alias("s"),
+            F.abs(
+                (F.aggregate(F.slice(t, 1, (s - 1).cast("int")),
+                             F.lit(0.0), lambda acc, x: acc + x) / (s - 1))
+                - (F.aggregate(
+                    F.slice(t, s.cast("int"), (nn - s + 1).cast("int")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                   / (nn - s + 1))).alias("delta")))
+    return F.aggregate(
+        cands,
+        F.lit(None).cast("struct<s:int,delta:double>"),
+        lambda acc, c: F.when(
+            acc.isNull() | (c.getField("delta") > acc.getField("delta")),
+            F.struct(c.getField("s").cast("int").alias("s"),
+                     c.getField("delta").alias("delta"))).otherwise(acc))
+
+
 @register("change_point_agg", oracle="""
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -400,29 +428,7 @@ def change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divide by zero; DuckDB's range(2, 2) is empty)
     arr = arr.where(F.col("n") >= 2)
 
-    # evaluate every split via one transform, then fold for the argmax
-    # (strict > keeps the EARLIEST max split — DuckDB's max_by under
-    # ordered unnest matches)
-    cands = F.transform(
-        F.sequence(F.lit(2), F.col("n")),
-        lambda s: F.struct(
-            s.alias("s"),
-            F.abs(
-                (F.aggregate(F.slice("t", 1, (s - 1).cast("int")),
-                             F.lit(0.0), lambda acc, x: acc + x) / (s - 1))
-                - (F.aggregate(
-                    F.slice("t", s.cast("int"),
-                            (F.col("n") - s + 1).cast("int")),
-                    F.lit(0.0), lambda acc, x: acc + x)
-                   / (F.col("n") - s + 1))).alias("delta")))
-    best = F.aggregate(
-        cands,
-        F.lit(None).cast("struct<s:int,delta:double>"),
-        lambda acc, c: F.when(
-            acc.isNull() | (c.getField("delta") > acc.getField("delta")),
-            F.struct(c.getField("s").cast("int").alias("s"),
-                     c.getField("delta").alias("delta"))).otherwise(acc))
-    out = arr.select("t", "days", "n", best.alias("b"))
+    out = arr.select("t", "days", "n", step_change_best().alias("b"))
     s = F.col("b.s")
     mb = (F.aggregate(F.slice("t", 1, (s - 1).cast("int")),
                       F.lit(0.0), lambda acc, x: acc + x) / (s - 1))
