@@ -1,0 +1,104 @@
+"""Degenerate-corpus gate for the r6 session-2 ops (ES|QL v2 +
+commands, pipeline trio, composition pair): empty, single-row, and
+whitespace corpora must degrade gracefully — ANSI mode turns sloppy
+sequence/fold/division edges into runtime errors, and collect_list
+reduces over empty frames must emit zero rows, not crash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+
+def _mk(spark, tmp_path, name, table, schema, rows):
+    sf = str(tmp_path / name)
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.mode("overwrite") \
+         .parquet(f"{sf}/{table}.parquet")
+    return sf
+
+
+_DOCS = ("doc_id long, text string, lang string, "
+         "source string, n_chars long")
+_EVENTS = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double, props string")
+_EMB = "vec_id long, embedding array<float>, label int"
+_ORDERS = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, "
+           "o_orderpriority string")
+
+
+def test_esql2_doc_ops_survive_degenerate_corpora(spark, tmp_path):
+    from unified_vector_database_spark.operators import esql2 as E2
+    from unified_vector_database_spark.operators import lm as LM
+    from unified_vector_database_spark.operators import quality as Q
+
+    empty = _mk(spark, tmp_path, "d_empty", "documents", _DOCS, [])
+    single = _mk(spark, tmp_path, "d_single", "documents", _DOCS,
+                 [Row(doc_id=0, text="a b", lang="en",
+                      source="s", n_chars=3)])
+    ws = _mk(spark, tmp_path, "d_ws", "documents", _DOCS,
+             [Row(doc_id=0, text="   ", lang="en",
+                  source="s", n_chars=3)])
+    ops = [E2.esql_mv_funcs, E2.esql_rerank, LM.ngram_entropy,
+           Q.quality_pr_curve]
+    for sf in (empty, single, ws):
+        for op in ops:
+            op(spark, sf).collect()  # must not raise
+    # a whitespace-only doc has zero tokens: it is outside the Gopher
+    # universe, so every PR-curve row has an empty confusion matrix
+    rows = Q.quality_pr_curve(spark, ws).collect()
+    assert all(r.tp == 0 and r.fp == 0 and r.fn == 0 for r in rows)
+    # single 2-token doc: one bigram, one bucket, entropy 0
+    [e] = LM.ngram_entropy(spark, single).collect()
+    assert (e.n_bigrams, e.n_buckets, e.entropy) == (1, 1, 0.0)
+    assert LM.ngram_entropy(spark, empty).collect() == []
+
+
+def test_esql2_order_event_ops_survive_degenerate_corpora(
+        spark, tmp_path):
+    from unified_vector_database_spark.operators import esql2 as E2
+
+    e_empty = _mk(spark, tmp_path, "e_empty", "events", _EVENTS, [])
+    o_empty = _mk(spark, tmp_path, "o_empty", "orders", _ORDERS, [])
+    o_one = _mk(spark, tmp_path, "o_one", "orders", _ORDERS,
+                [Row(o_orderkey=1, o_custkey=1, o_orderstatus="F",
+                     o_totalprice=10.0, o_orderdate=None,
+                     o_orderpriority="1-URGENT")])
+    # CHANGE_POINT over an empty/1-bucket series: the n >= 2 guard
+    # emits ZERO rows rather than dividing by an empty split
+    assert E2.esql_change_point(spark, e_empty).collect() == []
+    for sf in (o_empty, o_one):
+        E2.esql_bucket(spark, sf).collect()
+        E2.esql_sample(spark, sf).collect()
+        E2.esql_fork(spark, sf).collect()
+    forked = E2.esql_fork(spark, o_one).collect()
+    # one order: fork1 page has it, fork2 census counts it
+    assert {r._fork for r in forked} == {"fork1", "fork2"}
+
+
+def test_session2_vector_ops_survive_degenerate_corpora(spark, tmp_path):
+    from unified_vector_database_spark.operators import cleanup as CL
+    from unified_vector_database_spark.operators import knn as K
+
+    empty = _mk(spark, tmp_path, "v_empty", "embeddings", _EMB, [])
+    # a lone benchmark vector (id 0 = bench under %25) and a lone
+    # train vector
+    pair = _mk(spark, tmp_path, "v_pair", "embeddings", _EMB,
+               [Row(vec_id=0, embedding=[1.0] * 64, label=1),
+                Row(vec_id=1, embedding=[1.0] * 64, label=1)])
+    zero = _mk(spark, tmp_path, "v_zero", "embeddings", _EMB,
+               [Row(vec_id=0, embedding=[0.0] * 64, label=1),
+                Row(vec_id=1, embedding=[0.0] * 64, label=1)])
+    for sf in (empty, pair, zero):
+        CL.embedding_decontaminate(spark, sf).collect()
+        K.near_vector_aggregate(spark, sf).collect()
+    [r] = CL.embedding_decontaminate(spark, pair).collect()
+    assert r.vec_id == 1 and r.contaminated and r.max_sim == 1.0
+    # zero-norm vectors: cosine is NULL (try_divide), never a crash,
+    # and NULL similarities are not "contaminated"
+    [z] = CL.embedding_decontaminate(spark, zero).collect()
+    assert z.max_sim is None and z.n_hits == 0
