@@ -135,66 +135,68 @@ _PRIORITY = [
     # change_point_agg shares the extracted step_change_best fold
     # (pure extraction — identical expressions, sim re-MATCHed).
     "esql_fork", "esql_change_point", "esql_rerank",
-    # (m) catalog compositions: ES PIT + search_after (snapshot-
+    # (q) M11: Weaviate nearVideo — the last near_* media operator.
+    "near_video_search",
+    # (r) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",
-    # (n) ELSER/SPLADE-shaped sparse expansion retrieval (model-free
+    # (s) ELSER/SPLADE-shaped sparse expansion retrieval (model-free
     # lift-association expansion through the sparse scoring plan).
     "sparse_expansion_search",
-    # (o) FAISS PCAMatrix preprocessing: project-shortlist-rerank.
+    # (t) FAISS PCAMatrix preprocessing: project-shortlist-rerank.
     "pca_knn",
-    # (p) W14/W15: update-mode emission history and sliding windows —
+    # (u) W14/W15: update-mode emission history and sliding windows —
     # the remaining output mode and window shape.
     "stream_update_mode", "stream_sliding_windows",
-    # (q) Weaviate aggregate topOccurrences on a text property.
+    # (v) Weaviate aggregate topOccurrences on a text property.
     "top_occurrences_agg",
-    # (r) ES nested-vector knn with inner_hits (max-passage parent
+    # (w) ES nested-vector knn with inner_hits (max-passage parent
     # scoring) — also re-proves rag_ingest_search on the shared
     # chunk-scored substrate.
     "nested_knn_inner_hits", "rag_ingest_search",
-    # (s) r9 wave: ES num_candidates shard curve, max/min_bucket,
+    # (x) r9 wave: ES num_candidates shard curve, max/min_bucket,
     # field_caps, Milvus JSON_CONTAINS, Weaviate cross-reference
     # 2-hop filter, Milvus TTL expiry, W16 streaming upsert sink.
     "shard_candidates_curve", "max_bucket_agg", "field_caps_census",
     "json_contains_filter", "crossref_2hop_filter", "ttl_expiry_scan",
     "stream_upsert_collection", "terms_enum",
     "sq8_quantile_calibration", "stream_static_enrich",
-    # (t) r10 wave: FAISS OPQ rotation + PQ, ES _mvt vector
+    # (y) r10 wave: FAISS OPQ rotation + PQ, ES _mvt vector
     # tiles, geo_shape envelope relations, Weaviate certainty,
     # deterministic training-export shards, corpus drift KL.
     "opq_pq_knn", "search_mvt_tile", "geo_shape_envelope",
     "near_vector_certainty", "training_shards", "corpus_drift_kl",
-    # (u) r11 wave: incremental IVF merge (FAISS merge_from),
+    # (z) r11 wave: incremental IVF merge (FAISS merge_from),
     # sparse IDF modifier, multistage prefetch + maxsim rescore,
     # graded ERR/DCG rank_eval.
     "ivf_merge_knn", "sparse_idf_knn", "prefetch_maxsim_rerank",
     "err_rank_eval",
-    # (v) r12 wave: EQL sequence, TSDB counter rate, Graph explore,
+    # (aa) r12 wave: EQL sequence, TSDB counter rate, Graph explore,
     # Weaviate numeric Aggregate, Milvus substructure metrics,
     # k-means inertia curve.
     "eql_sequence", "counter_rate_resets", "graph_explore",
     "mode_agg", "substructure_knn", "kmeans_inertia_curve",
-    # (w) r13 wave: the ES|QL translator trio, background_filter
+    # (ab) r13 wave: the ES|QL translator trio, background_filter
     # significance, curriculum pacing census.
     "esql_stats", "esql_enrich", "esql_grok",
     "sigterms_background_filter", "curriculum_schedule",
-    # (x) r14 wave: ES|QL MV_EXPAND/LOOKUP, Qdrant formula rescore,
+    # (ac) r14 wave: ES|QL MV_EXPAND/LOOKUP, Qdrant formula rescore,
     # batched rank_eval, span-corruption masking, reindex + script.
     "esql_mv_expand", "esql_lookup", "formula_rescore",
     "batch_rank_eval", "span_corruption_census", "reindex_transform",
-    # (y) r15 wave: streaming EQL state machine, PQ reconstruction
+    # (ad) r15 wave: streaming EQL state machine, PQ reconstruction
     # error census, filtered aliases.
     "stream_eql_sequence", "pq_reconstruct_error", "filtered_alias_scan",
     "terms_shard_error",
-    # (z) r17 wave: cross-modal text->image retrieval, audio similarity.
+    # (ae) r17 wave: cross-modal text->image retrieval, audio similarity.
     "text_image_search", "near_audio_search",
-    # (aa) r18: training-planning pair.
+    # (af) r18: training-planning pair.
     "epoch_plan", "dataset_card",
-    # (ab) r19: W19 streaming counter rate.
+    # (ag) r19: W19 streaming counter rate.
     "stream_counter_rate",
-    # (ac) r20: FAISS IndexBinaryIVF composite.
+    # (ah) r20: FAISS IndexBinaryIVF composite.
     "binary_ivf_knn", "esql_having", "esql_dissect",
-    # (ad) r21 capstone: the whole pre-training pipeline as one plan.
+    # (ai) r21 capstone: the whole pre-training pipeline as one plan.
     "pretrain_pipeline_census", "snapshot_restore", "collection_cdc_diff",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",

@@ -102,3 +102,19 @@ def test_session2_vector_ops_survive_degenerate_corpora(spark, tmp_path):
     # and NULL similarities are not "contaminated"
     [z] = CL.embedding_decontaminate(spark, zero).collect()
     assert z.max_sim is None and z.n_hits == 0
+
+
+def test_near_video_self_match_and_degenerate(spark, tmp_path):
+    from unified_vector_database_spark.operators import multimodal as MM
+
+    empty = _mk(spark, tmp_path, "nv_empty", "documents", _DOCS, [])
+    two = _mk(spark, tmp_path, "nv_two", "documents", _DOCS,
+              [Row(doc_id=0, text="a b c", lang="en", source="s",
+                   n_chars=5),
+               Row(doc_id=7, text="x y z", lang="en", source="s",
+                   n_chars=5)])
+    assert MM.near_video_search(spark, empty).collect() == []
+    rows = MM.near_video_search(spark, two).collect()
+    # the query video matches itself at distance zero, first
+    assert rows[0].media_id == 0 and rows[0].dist == 0.0
+    assert len(rows) == 2 and rows[1].dist > 0.0

@@ -664,3 +664,84 @@ def near_audio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.select("media_id",
                          F.round(F.sqrt(d2), 6).alias("dist"))
                  .orderBy("dist", "media_id").limit(NEAR_AUDIO_K))
+
+
+# ---------------------------------------------------------- near_video
+
+NEAR_VIDEO_K = 10
+_VID_DESC_SCHEMA = "media_id long, f0 double, f1 double"
+
+
+def video_descriptor_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-VIDEO descriptor kernel: the same container parse +
+    stride-sampling as video_frame_batches, reduced to one row per
+    video whose columns are the sampled frames' grayscale means in
+    frame order (the temporal signature a frame-mean descriptor
+    keeps; a learned video tower slots in here unchanged)."""
+    for pdf in it:
+        out = {"media_id": [], "f0": [], "f1": []}
+        for mid, b in zip(pdf["media_id"], pdf["payload"]):
+            r = sample_video_frames(bytes(b))
+            out["media_id"].append(mid)
+            out["f0"].append(r["frame_means"][0])
+            out["f1"].append(r["frame_means"][1])
+        yield pd.DataFrame(out)
+
+
+@register("near_video_search", oracle=f"""
+WITH f AS (
+  SELECT doc_id, fi,
+         md5(text || 'f' || fi) || md5(text || 'f' || fi || 'x')
+           || md5(text || 'f' || fi || 'y') AS hex
+  FROM documents,
+       (SELECT unnest(range(0, {VID_N_FRAMES}, {VID_STRIDE})) AS fi)),
+m AS (
+  SELECT doc_id, fi,
+         round(list_sum(list_transform(range(0, {_FRAME_BYTES}),
+               j -> ('0x' || substr(hex, j * 2 + 1, 2))::INT))
+               / {_FRAME_BYTES}.0, 6) AS fmean
+  FROM f),
+d AS (
+  SELECT doc_id,
+         max(CASE WHEN fi = 0 THEN fmean END) AS f0,
+         max(CASE WHEN fi = {VID_STRIDE} THEN fmean END) AS f1
+  FROM m GROUP BY doc_id),
+q AS (SELECT f0 AS q0, f1 AS q1 FROM d WHERE doc_id = 0)
+SELECT d.doc_id AS media_id,
+       round(sqrt((d.f0 - q.q0) * (d.f0 - q.q0)
+                  + (d.f1 - q.q1) * (d.f1 - q.q1)), 6) AS dist
+FROM d, q
+ORDER BY dist, media_id LIMIT {NEAR_VIDEO_K}
+""")
+def near_video_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weaviate `nearVideo` (video-to-video similarity — the last of
+    the near_* media operators beside near_image/near_audio/
+    near_text): the query VIDEO's decoded temporal descriptor ranks
+    the video corpus. The descriptor is the stride-sampled frame-mean
+    sequence from the REAL container parse (sample_video_frames —
+    magic check, frame-count header, fixed-size raster slicing), so
+    similarity sees temporal structure, not just a global mean; a
+    multi2vec-bind-class video tower slots into the kernel unchanged.
+
+    Scale shape: the query's descriptor comes from ONE row (doc_id
+    filter prunes synth+decode before the kernel — the near_image
+    pattern); the corpus pays exactly one Arrow decode pass to a
+    2-scalar descriptor (no per-frame row explosion, no arrays in
+    the output), then a broadcast compare + TakeOrdered. Frame means
+    are rounded identically in the kernel and the oracle, so
+    distances are bit-identical cross-engine."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    feats = synth_video(docs).mapInPandas(
+        video_descriptor_batches, schema=_VID_DESC_SCHEMA)
+    qrow = (synth_video(docs.where(F.col("doc_id") == 0))
+            .mapInPandas(video_descriptor_batches, schema=_VID_DESC_SCHEMA)
+            .first())
+    if qrow is None:  # degenerate corpus: no query video -> no hits
+        return (feats.select("media_id",
+                             F.lit(None).cast("double").alias("dist"))
+                     .limit(0))
+    d2 = ((F.col("f0") - F.lit(qrow.f0)) ** 2
+          + (F.col("f1") - F.lit(qrow.f1)) ** 2)
+    return (feats.select("media_id",
+                         F.round(F.sqrt(d2), 6).alias("dist"))
+                 .orderBy("dist", "media_id").limit(NEAR_VIDEO_K))
