@@ -245,3 +245,13 @@ FROM documents
         want = (sum(1 for q in ("fast", "table", "scan") if q in toks)
                 + _stub_frac(f"ce:{r.doc_id}"))
         assert r._score == pytest.approx(want, abs=1e-12)
+
+
+def test_rerank_requires_doc_id(spark, sf_dir):
+    from unified_vector_database_spark.operators.esql import esql
+    with pytest.raises(ValueError, match="RERANK needs a doc_id"):
+        esql(spark, sf_dir, """
+FROM documents
+| KEEP text
+| RERANK "fast" ON text
+""")

@@ -685,6 +685,11 @@ def _apply_stage(spark: SparkSession, sf_dir: str, df: DataFrame,
         qterms = tuple(t for t in m.group(1).split(" ") if t)
         col = m.group(2)
         cols = df.columns
+        if "doc_id" not in cols or col not in cols:
+            raise ValueError(
+                "ES|QL: RERANK needs a doc_id column (the stub model's "
+                f"determinism key) and the ON column {col!r} in the "
+                f"frame; have {cols}")
         kernel = make_cross_encode_batches(qterms, "doc_id", col, cols)
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
