@@ -137,6 +137,8 @@ _PRIORITY = [
     "esql_fork", "esql_change_point", "esql_rerank",
     # (q) M11: Weaviate nearVideo — the last near_* media operator.
     "near_video_search",
+    # (q2) ES|QL date family: DATE_FORMAT/DATE_EXTRACT/DATE_DIFF.
+    "esql_dates",
     # (r) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

@@ -255,3 +255,23 @@ FROM documents
 | KEEP text
 | RERANK "fast" ON text
 """)
+
+
+def test_date_functions(spark):
+    import datetime
+    from unified_vector_database_spark.operators.esql import (
+        _parse_expr, _tokenize,
+    )
+    one = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 5, 14, 30, 0),
+          datetime.datetime(2024, 3, 7, 13, 30, 0))], "a timestamp, b timestamp")
+
+    def ev(expr):
+        return one.select(_parse_expr(_tokenize(expr)).alias("v")).first().v
+    assert ev('DATE_FORMAT("yyyy-MM-dd", a)') == "2024-03-05"
+    assert ev('DATE_EXTRACT("hour", a)') == 14
+    assert ev('DATE_EXTRACT("year", a)') == 2024
+    # 47 full hours between a and b (floor of 47.0)
+    assert ev('DATE_DIFF("hour", a, b)') == 47
+    assert ev('DATE_DIFF("day", a, b)') == 1
+    assert ev('DATE_DIFF("minute", a, b)') == 2820

@@ -43,7 +43,9 @@ oracle-checkable).
 
 Predicates: AND/OR/NOT, comparisons, IN, LIKE (*/? wildcards),
 RLIKE (anchored whole-string, Lucene semantics), IS [NOT] NULL.
-Functions: DATE_TRUNC("unit", col), ROUND(x[, d]), CONCAT(...),
+Functions: DATE_TRUNC("unit", col), DATE_EXTRACT("part", col),
+DATE_FORMAT("pattern", col), DATE_DIFF("unit", a, b) (whole units as
+explicit epoch arithmetic — engine-portable), ROUND(x[, d]), CONCAT(...),
 SPLIT(col, "delim"), TRIM, LENGTH, ABS, COALESCE,
 CASE(cond, v[, cond2, v2...][, default]),
 TO_STRING / TO_LONG / TO_DOUBLE, TO_UPPER / TO_LOWER, SUBSTRING,
@@ -162,6 +164,9 @@ _FUNCS = {
     # DATE_TRUNC) — floor-aligned bucket lower bound, ES|QL's
     # fixed-interval form. Collapses into the grouping projection.
     "BUCKET": lambda a: F.floor(a[0] / a[1]) * a[1],
+    # DATE_EXTRACT("part", ts): date_part with a literal field — both
+    # engines return the integer part (HOUR/DAY/MONTH/YEAR/...)
+    "DATE_EXTRACT": lambda a: F.date_part(a[0], a[1]).cast("long"),
     # ---- multivalue family (arrays stay internal: the output policy
     # forbids array columns in a FINAL result, so MV_* either reduce
     # to scalars or feed MV_EXPAND) ----
@@ -325,6 +330,42 @@ class _ExprParser:
                 raise ValueError("ES|QL: SPLIT delimiter must be a string")
             self.expect(")")
             return F.split(arg, re.escape(d[1:-1]), -1)
+        if tok.upper() == "DATE_FORMAT" and self.peek() == "(":
+            # DATE_FORMAT("pattern", date): the pattern must reach
+            # Spark's date_format as a PYTHON string (both ES and
+            # Spark speak the Java pattern language, so it passes
+            # through verbatim).
+            self.next()
+            pat = self.next()
+            if not pat.startswith('"'):
+                raise ValueError("ES|QL: DATE_FORMAT pattern must be a string")
+            self.expect(",")
+            arg = self.parse_or()
+            self.expect(")")
+            return F.date_format(arg, pat[1:-1])
+        if tok.upper() == "DATE_DIFF" and self.peek() == "(":
+            # DATE_DIFF("unit", start, end): whole units from start to
+            # end, computed as EXPLICIT epoch arithmetic — floor of the
+            # second delta over the unit width — because the builtin
+            # unit-diffs disagree across engines (Spark timestampdiff
+            # counts complete periods, DuckDB date_diff counts boundary
+            # crossings); the explicit form is bit-identical on both.
+            self.next()
+            unit = self.next()
+            if not unit.startswith('"'):
+                raise ValueError("ES|QL: DATE_DIFF unit must be a string")
+            secs = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400}.get(unit[1:-1].lower())
+            if secs is None:
+                raise ValueError(f"ES|QL: DATE_DIFF unit {unit} unsupported")
+            self.expect(",")
+            start = self.parse_or()
+            self.expect(",")
+            end = self.parse_or()
+            self.expect(")")
+            return F.floor((F.unix_timestamp(end)
+                            - F.unix_timestamp(start)) / float(secs)) \
+                    .cast("long")
         if self.peek() == "(":
             self.next()
             args = []

@@ -382,3 +382,38 @@ def esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms)."""
     df = esql(spark, sf_dir, ESQL_RERANK)
     return df.select("doc_id", F.round("_score", 6).alias("_score"))
+
+
+# ------------------------------------------------------ date family
+
+ESQL_DATES = """
+FROM events
+| EVAL d = DATE_FORMAT("yyyy-MM-dd", ts), hr = DATE_EXTRACT("hour", ts)
+| INLINESTATS t0 = MIN(ts)
+| EVAL age_h = DATE_DIFF("hour", t0, ts)
+| STATS n = COUNT(*), hours = COUNT_DISTINCT(hr),
+        max_age = MAX(age_h) BY d
+| SORT d
+"""
+
+
+@register("esql_dates", oracle="""
+WITH t0 AS (SELECT min(ts) AS t0 FROM events)
+SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n,
+       CAST(count(DISTINCT date_part('hour', ts)) AS BIGINT) AS hours,
+       max(CAST(floor((epoch(ts) - epoch(t0.t0)) / 3600.0) AS BIGINT))
+         AS max_age
+FROM events, t0
+GROUP BY 1 ORDER BY 1
+""")
+def esql_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL date-function family end-to-end: DATE_FORMAT (Java
+    pattern, passed through verbatim — ES and Spark share the pattern
+    language), DATE_EXTRACT (date_part integer field), and DATE_DIFF
+    computed as explicit epoch arithmetic (the builtin unit-diffs
+    disagree across engines — Spark counts complete periods, DuckDB
+    counts boundary crossings; floor(delta_seconds / unit) is
+    bit-identical on both). The corpus age baseline comes from an
+    INLINESTATS global MIN broadcast onto unmoved rows; everything
+    else is scan-projection date math + one |days|-row partial agg."""
+    return esql(spark, sf_dir, ESQL_DATES)
