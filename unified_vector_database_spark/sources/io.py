@@ -114,3 +114,25 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
        .sortWithinPartitions("_z")
        .drop("_z")
        .write.mode("overwrite").parquet(path))
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — Spark-native columnar interop beside parquet (the
+    Hive-ecosystem handoff format a cross-team pipeline gets handed).
+    Same pushdown/pruning class as parquet (stripe-level min/max)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read across ingest generations: parquet
+    `mergeSchema` unions the column sets (older files null-fill the
+    columns they predate) — the schema-drift contract a long-lived
+    100 TB collection needs when commit N adds a payload column.
+    Pass the generation directories; filters on pre-existing columns
+    still push down into every generation's scan."""
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*paths))
