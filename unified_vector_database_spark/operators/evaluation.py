@@ -586,15 +586,36 @@ def kmeans_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hist is None:  # degenerate corpus: nothing to fit or score
         return spark.createDataFrame(
             [], "iter int, inertia double, mean_sq_dist double")
-    cols = []
-    for i, it in enumerate(INERTIA_ITERS):
-        ds = [D.l2("vec", F.array(*[F.lit(float(v)) for v in c]))
-              for c in hist[it]]
-        # a degenerate (<k sample) fit yields <2 centroids and
-        # F.least() requires two columns
-        li = ds[0] if len(ds) == 1 else F.least(*ds)
-        cols.append(F.round(li * li, 6).cast("decimal(28,6)").alias(f"t{i}"))
-    t = corpus.select(*cols)
+    # Vectorized Arrow kernel for the 3-snapshot × k × 64-dim sweep
+    # (the 48-fold expression tree spent its time in plan codegen, the
+    # pq_reconstruct_error lesson). Bit-parity with the oracle's
+    # sequential fold: the squared distance accumulates dimension-BY-
+    # dimension in index order (np.sum's pairwise summation would
+    # drift the last bits), then sqrt-and-square exactly like the
+    # D.l2(...)² expression it replaces; rounding stays Spark-side.
+    snaps = [np.array(hist[it], dtype=np.float64) for it in INERTIA_ITERS]
+
+    def min_d2(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = np.stack(pdf["vec"].to_numpy())
+            out = {}
+            for i, cents in enumerate(snaps):
+                acc = np.zeros((len(xs), cents.shape[0]))
+                for t_ in range(xs.shape[1]):
+                    diff = xs[:, t_, None] - cents[None, :, t_]
+                    acc += diff * diff
+                d = np.sqrt(acc).min(axis=1)
+                out[f"r{i}"] = d * d
+            yield pd.DataFrame(out)
+
+    raw = corpus.mapInPandas(
+        min_d2, schema=", ".join(f"r{i} double"
+                                 for i in range(len(INERTIA_ITERS))))
+    t = raw.select(*[F.round(F.col(f"r{i}"), 6).cast("decimal(28,6)")
+                     .alias(f"t{i}") for i in range(len(INERTIA_ITERS))])
     a = t.agg(F.count("*").alias("n"),
               *[F.sum(f"t{i}").alias(f"s{i}")
                 for i in range(len(INERTIA_ITERS))])

@@ -1903,20 +1903,37 @@ def pq_reconstruct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "subspace int, mean_sq_err double, max_sq_err double")
     cbs = pq_fit(corpus)
-    dsub = 64 // PQ_M
-    cols = []
-    for j in range(PQ_M):
-        sub = F.slice("vec", j * dsub + 1, dsub)
-        dists = [
-            F.aggregate(
-                F.zip_with(sub,
-                           F.array(*[F.lit(float(v)) for v in cb]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            for cb in cbs[j]]
-        d2 = dists[0] if len(dists) == 1 else F.least(*dists)
-        cols.append(F.round(d2, 6).cast("decimal(28,6)").alias(f"d{j}"))
-    t = corpus.select(*cols)
+
+    # Vectorized Arrow kernel for the m×ksub min-distance sweep: the
+    # expression-tree form (m·ksub aggregate folds = 128 codegen'd
+    # subtrees) spent most of its 4 s in plan compilation, not data.
+    # Bit-parity with the oracle's sequential list_dot_product fold is
+    # preserved by accumulating dimension-BY-dimension in index order
+    # (np.sum's pairwise summation would change the last bits);
+    # rounding stays Spark-side so the decimal path is unchanged.
+    arrs = [np.array(cb, dtype=np.float64) for cb in cbs]
+    dsub_k = arrs[0].shape[1]
+
+    def min_d2(it):
+        import pandas as pd
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xs = np.stack(pdf["vec"].to_numpy())
+            out = {}
+            for j, cb in enumerate(arrs):
+                sub = xs[:, j * dsub_k:(j + 1) * dsub_k]
+                acc = np.zeros((len(xs), cb.shape[0]))
+                for t_ in range(dsub_k):
+                    diff = sub[:, t_, None] - cb[None, :, t_]
+                    acc += diff * diff
+                out[f"r{j}"] = acc.min(axis=1)
+            yield pd.DataFrame(out)
+
+    raw = corpus.mapInPandas(
+        min_d2, schema=", ".join(f"r{j} double" for j in range(PQ_M)))
+    t = raw.select(*[F.round(F.col(f"r{j}"), 6).cast("decimal(28,6)")
+                     .alias(f"d{j}") for j in range(PQ_M)])
     a = t.agg(F.count("*").alias("n"),
               *[F.sum(f"d{j}").alias(f"s{j}") for j in range(PQ_M)],
               *[F.max(f"d{j}").alias(f"m{j}") for j in range(PQ_M)])
