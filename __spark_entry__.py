@@ -139,6 +139,8 @@ _PRIORITY = [
     "near_video_search",
     # (q2) ES|QL date family: DATE_FORMAT/DATE_EXTRACT/DATE_DIFF.
     "esql_dates",
+    # (q3) ES|QL 8.16 conditional aggregates (per-aggregate WHERE).
+    "esql_stats_where",
     # (r) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

@@ -148,7 +148,7 @@ HEADLINE = [
     "quality_pr_curve", "embedding_decontaminate", "ngram_entropy",
     "retriever_tree", "near_vector_aggregate",
     "esql_fork", "esql_change_point", "esql_rerank",
-    "near_video_search", "esql_dates",
+    "near_video_search", "esql_dates", "esql_stats_where",
 ]
 
 

@@ -275,3 +275,17 @@ def test_date_functions(spark):
     assert ev('DATE_DIFF("hour", a, b)') == 47
     assert ev('DATE_DIFF("day", a, b)') == 1
     assert ev('DATE_DIFF("minute", a, b)') == 2820
+
+
+def test_stats_where_conditional_aggregates(spark, sf_dir):
+    from unified_vector_database_spark.operators.esql import esql
+    [row] = esql(spark, sf_dir, """
+FROM lineitem
+| STATS n = COUNT(*), n_ret = COUNT(*) WHERE l_returnflag == "R",
+        d = COUNT_DISTINCT(l_suppkey) WHERE l_quantity > 25.0
+""").collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    assert row.n == len(li)
+    assert row.n_ret == sum(1 for r in li if r.l_returnflag == "R")
+    assert row.d == len({r.l_suppkey for r in li if r.l_quantity > 25.0})
+    assert 0 < row.n_ret < row.n

@@ -14,7 +14,7 @@ projections, STATS becomes a partial-agg shuffle):
   FROM <table>
   WHERE <boolean expr>             (AND/OR, comparisons, arithmetic)
   EVAL  <name> = <expr>[, ...]
-  STATS <name> = <agg>[, ...] BY <col>[, ...]
+  STATS <name> = <agg> [WHERE <pred>][, ...] BY <col>[, ...]
   SORT  <col> [ASC|DESC][, ...]
   LIMIT <n>
   KEEP  <col>[, ...]
@@ -56,7 +56,10 @@ MV_MAX / MV_SUM / MV_AVG / MV_DEDUPE. Aggregates: COUNT(*), COUNT,
 COUNT_DISTINCT, SUM (DECIMAL-exact fold), AVG, MIN, MAX,
 MEDIAN / PERCENTILE(x, p) (exact interpolated — DuckDB
 quantile_cont's definition, not ES's TDigest), STD_DEV (population,
-DECIMAL-exact power sums), WEIGHTED_AVG(v, w).
+DECIMAL-exact power sums), WEIGHTED_AVG(v, w). Every aggregate
+accepts a per-aggregate `WHERE <pred>` filter (8.16 conditional
+aggregates): failing rows become NULL inputs the aggregate skips —
+FILTER(WHERE) semantics with zero extra passes.
 
 Output policy: DECIMAL columns cast to DOUBLE in the final result
 (ES|QL numeric results are double/long; internally money stays
@@ -484,37 +487,68 @@ _POLICIES = {
 
 _AGG_RE = re.compile(r"(\w+)\s*=\s*(\w+)\s*\(\s*([^()]*?)\s*\)")
 
+# one STATS item, optionally with a per-aggregate filter:
+#   name = FN(args) [WHERE <predicate>]        (ES|QL 8.16)
+_AGG_ITEM_RE = re.compile(
+    r"^\s*(\w+)\s*=\s*(\w+)\s*\(\s*([^()]*?)\s*\)"
+    r"(?:\s+WHERE\s+(.+?))?\s*$", re.S | re.I)
 
-def _agg_col(fn: str, arg: str, name: str) -> Column:
+
+def _parse_aggs(aggs_part: str) -> list[Column]:
+    """STATS/INLINESTATS aggregate list — items split on top-level
+    commas so a per-aggregate WHERE predicate may itself contain
+    function calls/commas inside parens."""
+    out = []
+    for item in _split_assignments(aggs_part):
+        m = _AGG_ITEM_RE.match(item)
+        if not m:
+            raise ValueError(f"ES|QL: bad aggregate {item!r}")
+        name, fn, arg, cond = m.groups()
+        pred = _parse_expr(_tokenize(cond)) if cond else None
+        out.append(_agg_col(fn, arg, name, pred))
+    return out
+
+
+def _agg_col(fn: str, arg: str, name: str,
+             pred: Column | None = None) -> Column:
     fn = fn.upper()
     args = [a.strip() for a in arg.split(",")] if arg else []
     arg = args[0] if args else arg
+
+    def src(a: str) -> Column:
+        # per-aggregate WHERE (ES|QL conditional aggregates): rows
+        # failing the predicate become NULL, which every aggregate
+        # here skips — the exact FILTER(WHERE ...) semantics, with
+        # zero extra passes (still ONE partial agg)
+        c = F.col(a)
+        return F.when(pred, c) if pred is not None else c
+
     if fn == "COUNT" and arg == "*":
-        c = F.count("*")
+        c = F.count_if(pred) if pred is not None else F.count("*")
     elif fn == "COUNT":
-        c = F.count(arg)
+        c = F.count(src(arg))
     elif fn == "COUNT_DISTINCT":
-        c = F.countDistinct(arg).cast("long")
+        c = F.count_distinct(src(arg)).cast("long")
     elif fn == "MEDIAN":
         # exact percentile with linear interpolation — the same
         # definition as DuckDB's quantile_cont, so cross-engine
         # hash-checkable (ES's TDigest approximation would not be)
-        c = F.percentile(arg, F.lit(0.5))
+        c = F.percentile(src(arg), F.lit(0.5))
     elif fn == "PERCENTILE":
-        c = F.percentile(arg, F.lit(float(args[1]) / 100.0))
+        c = F.percentile(src(arg), F.lit(float(args[1]) / 100.0))
     elif fn == "STD_DEV":
         # population std from DECIMAL-exact power sums (the
         # extended_stats contract): both sums are order-free, the
         # moment is closed-form double math — identical cross-engine
-        s = F.sum(F.col(arg).cast("decimal(28,6)")).cast("double")
-        ss = F.sum((F.col(arg) * F.col(arg))
+        s = F.sum(src(arg).cast("decimal(28,6)")).cast("double")
+        ss = F.sum((src(arg) * src(arg))
                    .cast("decimal(28,6)")).cast("double")
-        n = F.count(arg)
+        n = F.count(src(arg))
         c = F.sqrt(F.greatest(ss / n - (s / n) * (s / n), F.lit(0.0)))
     elif fn == "WEIGHTED_AVG":
         v, w = args
-        sv = F.sum((F.col(v) * F.col(w)).cast("decimal(28,6)"))
-        sw = F.sum(F.col(w).cast("decimal(28,6)"))
+        sv = F.sum((src(v) * src(w)).cast("decimal(28,6)"))
+        sw = F.sum(src(w).cast("decimal(28,6)"))
         c = sv.cast("double") / sw.cast("double")
     elif fn == "SUM":
         # deterministic-aggregation contract: numeric SUM folds as
@@ -523,14 +557,14 @@ def _agg_col(fn: str, arg: str, name: str) -> Column:
         # the final-output pass casts DECIMAL back to DOUBLE. A plain
         # double fold is partition-order-dependent and WILL drift a
         # 6th digit between engines/runs (measured on esql_having).
-        c = F.sum(F.col(arg).cast("decimal(28,6)"))
+        c = F.sum(src(arg).cast("decimal(28,6)"))
     elif fn == "AVG":
-        c = (F.sum(F.col(arg).cast("decimal(28,6)")).cast("double")
-             / F.count(arg))
+        c = (F.sum(src(arg).cast("decimal(28,6)")).cast("double")
+             / F.count(src(arg)))
     elif fn == "MIN":
-        c = F.min(arg)
+        c = F.min(src(arg))
     elif fn == "MAX":
-        c = F.max(arg)
+        c = F.max(src(arg))
     else:
         raise ValueError(f"ES|QL: unknown aggregate {fn}")
     return c.alias(name)
@@ -570,8 +604,7 @@ def _apply_stage(spark: SparkSession, sf_dir: str, df: DataFrame,
                                _parse_expr(_tokenize(expr)))
     elif kw == "STATS":
         aggs_part, _, by_part = _partition_kw(rest, "BY")
-        aggs = [_agg_col(fn, arg, name)
-                for name, fn, arg in _AGG_RE.findall(aggs_part)]
+        aggs = _parse_aggs(aggs_part)
         df, keys = _by_keys(df, by_part)
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     elif kw == "INLINESTATS":
@@ -581,8 +614,7 @@ def _apply_stage(spark: SparkSession, sf_dir: str, df: DataFrame,
         # re-shuffle, and with no BY the 1-row global frame is a
         # broadcast crossJoin (the bounded-frame rule)
         aggs_part, _, by_part = _partition_kw(rest, "BY")
-        aggs = [_agg_col(fn, arg, name)
-                for name, fn, arg in _AGG_RE.findall(aggs_part)]
+        aggs = _parse_aggs(aggs_part)
         df, keys = _by_keys(df, by_part)
         if keys:
             df = df.join(F.broadcast(df.groupBy(*keys).agg(*aggs)),

@@ -417,3 +417,44 @@ def esql_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     INLINESTATS global MIN broadcast onto unmoved rows; everything
     else is scan-projection date math + one |days|-row partial agg."""
     return esql(spark, sf_dir, ESQL_DATES)
+
+
+# ------------------------------------------ per-aggregate WHERE
+
+ESQL_STATS_WHERE = """
+FROM lineitem
+| STATS n = COUNT(*),
+        n_ret = COUNT(*) WHERE l_returnflag == "R",
+        rev_ret = SUM(l_extendedprice) WHERE l_returnflag == "R",
+        hi_disc = MAX(l_quantity) WHERE l_discount > 0.05,
+        avg_ret = AVG(l_extendedprice) WHERE l_returnflag == "R"
+        BY l_linestatus
+| SORT l_linestatus
+"""
+
+
+@register("esql_stats_where", oracle="""
+SELECT l_linestatus, count(*) AS n,
+       CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_ret,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                  FILTER (l_returnflag = 'R') AS DOUBLE), 6) AS rev_ret,
+       max(l_quantity) FILTER (l_discount > 0.05) AS hi_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                  FILTER (l_returnflag = 'R') AS DOUBLE)
+             / count(l_extendedprice) FILTER (l_returnflag = 'R'), 6)
+         AS avg_ret
+FROM lineitem GROUP BY 1 ORDER BY 1
+""")
+def esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL per-aggregate filters (the 8.16 `STATS agg WHERE pred`
+    conditional-aggregate syntax): one grouped pass computes the
+    overall count beside return-flag-scoped count/revenue/average and
+    a discount-scoped max — rows failing an aggregate's predicate
+    become NULL inputs that the aggregate skips, the exact
+    FILTER(WHERE ...) semantics, with ZERO extra passes (still ONE
+    partial-agg shuffle; the predicates are map-side CASE inputs in
+    the same projection)."""
+    df = esql(spark, sf_dir, ESQL_STATS_WHERE)
+    return df.select("l_linestatus", "n", "n_ret",
+                     F.round("rev_ret", 6).alias("rev_ret"), "hi_disc",
+                     F.round("avg_ret", 6).alias("avg_ret"))
