@@ -289,3 +289,20 @@ FROM lineitem
     assert row.n_ret == sum(1 for r in li if r.l_returnflag == "R")
     assert row.d == len({r.l_suppkey for r in li if r.l_quantity > 25.0})
     assert 0 < row.n_ret < row.n
+
+
+def test_mv_extras(spark):
+    from unified_vector_database_spark.operators.esql import (
+        _parse_expr, _tokenize,
+    )
+    one = spark.createDataFrame([(["c", "a", "b"],)], "xs array<string>")
+
+    def ev(expr):
+        return one.select(_parse_expr(_tokenize(expr)).alias("v")).first().v
+    assert ev("MV_SORT(xs)") == ["a", "b", "c"]
+    assert ev("MV_FIRST(xs)") == "c"
+    assert ev("MV_LAST(xs)") == "b"
+    # 0-based inclusive slice (ES|QL semantics)
+    assert ev("MV_SLICE(xs, 1, 2)") == ["a", "b"]
+    assert ev("MV_SLICE(xs, 0, 0)") == ["c"]
+    assert ev('MV_CONCAT(xs, "-")') == "c-a-b"

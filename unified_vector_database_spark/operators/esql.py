@@ -51,8 +51,9 @@ CASE(cond, v[, cond2, v2...][, default]),
 TO_STRING / TO_LONG / TO_DOUBLE, TO_UPPER / TO_LOWER, SUBSTRING,
 LEFT / RIGHT, STARTS_WITH / ENDS_WITH, REPLACE (regex),
 GREATEST / LEAST, FLOOR / CEIL / SQRT / POW / LOG10,
-BUCKET(x, span), and the multivalue reducers MV_COUNT / MV_MIN /
-MV_MAX / MV_SUM / MV_AVG / MV_DEDUPE. Aggregates: COUNT(*), COUNT,
+BUCKET(x, span), and the multivalue family MV_COUNT / MV_MIN /
+MV_MAX / MV_SUM / MV_AVG / MV_DEDUPE / MV_SORT / MV_FIRST / MV_LAST /
+MV_SLICE (0-based, inclusive end) / MV_CONCAT. Aggregates: COUNT(*), COUNT,
 COUNT_DISTINCT, SUM (DECIMAL-exact fold), AVG, MIN, MAX,
 MEDIAN / PERCENTILE(x, p) (exact interpolated — DuckDB
 quantile_cont's definition, not ES's TDigest), STD_DEV (population,
@@ -178,6 +179,11 @@ _FUNCS = {
     "MV_MIN": lambda a: F.array_min(a[0]),
     "MV_MAX": lambda a: F.array_max(a[0]),
     "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
+    "MV_SORT": lambda a: F.array_sort(a[0]),
+    "MV_FIRST": lambda a: F.element_at(a[0], 1),
+    "MV_LAST": lambda a: F.element_at(a[0], -1),
+    # ES|QL MV_SLICE is 0-based with an INCLUSIVE end
+    "MV_SLICE": lambda a: F.slice(a[0], a[1] + 1, a[2] - a[1] + 1),
     "MV_SUM": lambda a: F.aggregate(a[0], F.lit(0.0),
                                     lambda acc, x: acc + x.cast("double")),
     "MV_AVG": lambda a: F.aggregate(a[0], F.lit(0.0),
@@ -333,6 +339,17 @@ class _ExprParser:
                 raise ValueError("ES|QL: SPLIT delimiter must be a string")
             self.expect(")")
             return F.split(arg, re.escape(d[1:-1]), -1)
+        if tok.upper() == "MV_CONCAT" and self.peek() == "(":
+            # MV_CONCAT(multivalue, "delim"): the delimiter must reach
+            # Spark's array_join as a PYTHON string.
+            self.next()
+            arg = self.parse_or()
+            self.expect(",")
+            d = self.next()
+            if not d.startswith('"'):
+                raise ValueError("ES|QL: MV_CONCAT delimiter must be a string")
+            self.expect(")")
+            return F.array_join(arg, d[1:-1])
         if tok.upper() == "DATE_FORMAT" and self.peek() == "(":
             # DATE_FORMAT("pattern", date): the pattern must reach
             # Spark's date_format as a PYTHON string (both ES and
