@@ -141,6 +141,9 @@ _PRIORITY = [
     "esql_dates",
     # (q3) ES|QL 8.16 conditional aggregates (per-aggregate WHERE).
     "esql_stats_where",
+    # (q4) the full ES bool query: must + filter + must_not + should
+    # with minimum_should_match, sum-of-clause BM25 scoring.
+    "bool_query_search",
     # (r) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

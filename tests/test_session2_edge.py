@@ -118,3 +118,28 @@ def test_near_video_self_match_and_degenerate(spark, tmp_path):
     # the query video matches itself at distance zero, first
     assert rows[0].media_id == 0 and rows[0].dist == 0.0
     assert len(rows) == 2 and rows[1].dist > 0.0
+
+
+def test_bool_query_clause_semantics(spark, sf_dir):
+    """Every hit satisfies all four clause kinds; scores agree with
+    the component BM25 on the shared terms; filter clause contributes
+    no score (an en/de pair with identical text scores identically)."""
+    from unified_vector_database_spark.operators.search_extras4 import (
+        BOOL_FILTER_LANG, BOOL_MSM, BOOL_MUST, BOOL_NOT, BOOL_SHOULD,
+        bool_query_search,
+    )
+    rows = bool_query_search(spark, sf_dir).collect()
+    assert rows
+    docs = {r.doc_id: r for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in rows:
+        toks = set(t for t in docs[r.doc_id].text.strip().split(" ") if t)
+        assert BOOL_MUST in toks
+        assert BOOL_NOT not in toks
+        assert docs[r.doc_id].lang == BOOL_FILTER_LANG
+        n_should = sum(1 for t in BOOL_SHOULD if t in toks)
+        assert n_should >= BOOL_MSM and r.n_should == n_should
+    # scores strictly ordered page (md5-free BM25 can tie; doc_id
+    # breaks it deterministically)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -310,3 +310,111 @@ def suggest_completion_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("rank") <= CF_PER)
                 .select("input", "term", "weight", "dist", "rank")
                 .orderBy("input", "rank"))
+
+
+# --------------------------------------------------- full bool query
+
+BOOL_MUST = "data"
+BOOL_SHOULD = ("merge", "vector", "fast")
+BOOL_NOT = "slow"
+BOOL_FILTER_LANG = "en"
+BOOL_MSM = 1      # minimum_should_match
+BOOL_K = 15
+
+_BQ_TERMS = (BOOL_MUST,) + BOOL_SHOULD
+_BQ_TERMS_SQL = "('" + "', '".join(_BQ_TERMS) + "')"
+_BQ_TOK = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+
+@register("bool_query_search", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_BQ_TOK}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_BQ_TOK}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(len({_BQ_TOK})) AS avgdl
+          FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN {_BQ_TERMS_SQL} GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN {_BQ_TERMS_SQL} GROUP BY 1),
+flags AS (
+  SELECT doc_id,
+         list_contains({_BQ_TOK}, '{BOOL_MUST}') AS has_must,
+         {" + ".join(f"CAST(list_contains({_BQ_TOK}, '{t}') AS INT)"
+                     for t in BOOL_SHOULD)} AS n_should,
+         lang = '{BOOL_FILTER_LANG}' AS f_lang,
+         list_contains({_BQ_TOK}, '{BOOL_NOT}') AS has_neg
+  FROM documents),
+score AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / stats.avgdl))), 6)
+           AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+SELECT f.doc_id, s.score, CAST(f.n_should AS INT) AS n_should
+FROM flags f JOIN score s USING (doc_id)
+WHERE f.has_must AND f.f_lang AND NOT f.has_neg
+  AND f.n_should >= {BOOL_MSM}
+ORDER BY s.score DESC, f.doc_id LIMIT {BOOL_K}
+""")
+def bool_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ES `bool` query in one plan — every clause kind
+    composed: `must` (scored, required term), `filter` (required,
+    NON-scoring — the filter-context half of the classic bool split),
+    `must_not` (excluded), and `should` with `minimum_should_match`
+    (optional scored clauses, at least MSM must land). Score = BM25
+    sum over the matched must + should terms, exactly ES's
+    sum-of-clause-scores; filter clauses contribute presence, never
+    score.
+
+    Scale shape: the zero-shuffle BM25 contract (bm25_search's shape)
+    extended with clause flags — per-term tf, doc length, and every
+    clause predicate are array ops in ONE map-side scan projection;
+    one global agg reduces to the scalar stats row (N, avgdl,
+    per-term df) that broadcasts back; scoring + clause gating is
+    map-side arithmetic and the page is TakeOrdered. No explode, no
+    groupBy(doc, term), no join — two parallel corpus scans at any
+    size (constants from operators/hybrid.py: k1=1.2, b=0.75)."""
+    from ..constants import BM25_B, BM25_K1
+
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+
+    def eq(term):
+        return lambda t: t == F.lit(term)
+
+    per = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        (F.col("lang") == BOOL_FILTER_LANG).alias("f_lang"),
+        F.array_contains(tokens("text"), BOOL_NOT).alias("has_neg"),
+        *[F.size(F.filter(tokens("text"), eq(t))).alias(f"tf_{i}")
+          for i, t in enumerate(_BQ_TERMS)])
+    stats = per.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+          for i in range(len(_BQ_TERMS))])
+    parts = []
+    for i in range(len(_BQ_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(1 + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
+        w = (idf * tf * (BM25_K1 + 1.0)
+             / (tf + BM25_K1 * (1.0 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl"))))
+        parts.append(F.when(tf > 0, w).otherwise(F.lit(0.0)))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    n_should = None
+    for i in range(1, len(_BQ_TERMS)):
+        c = (F.col(f"tf_{i}") > 0).cast("int")
+        n_should = c if n_should is None else n_should + c
+    return (per.crossJoin(F.broadcast(stats))
+               .withColumn("n_should", n_should)
+               .where((F.col("tf_0") > 0) & F.col("f_lang")
+                      & ~F.col("has_neg")
+                      & (F.col("n_should") >= BOOL_MSM))
+               .select("doc_id", F.round(score, 6).alias("score"),
+                       "n_should")
+               .orderBy(F.desc("score"), "doc_id").limit(BOOL_K))
