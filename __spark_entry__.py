@@ -144,6 +144,9 @@ _PRIORITY = [
     # (q4) the full ES bool query: must + filter + must_not + should
     # with minimum_should_match, sum-of-clause BM25 scoring.
     "bool_query_search",
+    # (q5) composite agg with MIXED sources (date_histogram + terms)
+    # and after_key paging — the rollup-export shape.
+    "composite_mixed_page",
     # (r) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

@@ -149,7 +149,7 @@ HEADLINE = [
     "retriever_tree", "near_vector_aggregate",
     "esql_fork", "esql_change_point", "esql_rerank",
     "near_video_search", "esql_dates", "esql_stats_where",
-    "bool_query_search",
+    "bool_query_search", "composite_mixed_page",
 ]
 
 

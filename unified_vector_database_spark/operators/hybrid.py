@@ -654,3 +654,52 @@ def function_score_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("vec_id",
                           F.round(cos * decay, 6).alias("score"))
                   .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+# ------------------------- composite agg, mixed sources (ES export)
+
+COMPOSITE2_AFTER = ("2024-01-05", "click")  # (day, event_type) after_key
+COMPOSITE2_PAGE = 10
+
+
+@register("composite_mixed_page", oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS total
+FROM events
+GROUP BY 1, 2
+HAVING (day > '{COMPOSITE2_AFTER[0]}')
+    OR (day = '{COMPOSITE2_AFTER[0]}'
+        AND event_type > '{COMPOSITE2_AFTER[1]}')
+ORDER BY day, event_type
+LIMIT {COMPOSITE2_PAGE}
+""")
+def composite_mixed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation with MIXED sources — a
+    `date_histogram` source beside a `terms` source
+    (`sources: [{{date_histogram: day}}, {{terms: event_type}}]`) with
+    `after_key` paging: the standard shape for exporting a rollup
+    time series without one giant response (each page resumes
+    strictly after the previous page's (day, type) key). The
+    day key pages as its formatted string — the ES response's own
+    bucket-key rendering, and what makes the lexicographic after-key
+    comparison identical on both engines.
+
+    Scale shape: identical to composite_agg_page — ONE partial-agg'd
+    groupBy (the histogram key collapses into the grouping
+    projection), after-key as a lexicographic filter on the bounded
+    bucket set, TakeOrdered page; bucket cardinality, not corpus
+    size, bounds everything past the aggregate."""
+    ev = tables.load_events(spark, sf_dir)
+    after_d, after_t = COMPOSITE2_AFTER
+    buckets = (ev.groupBy(
+                   F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                    .alias("day"), "event_type")
+                 .agg(F.count("*").alias("n"),
+                      F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                               .cast("double"), 6).alias("total")))
+    page = ((F.col("day") > after_d)
+            | ((F.col("day") == after_d) & (F.col("event_type") > after_t)))
+    return (buckets.where(page)
+                   .orderBy("day", "event_type").limit(COMPOSITE2_PAGE))
