@@ -150,6 +150,10 @@ _PRIORITY = [
     # (q5) composite agg with MIXED sources (date_histogram + terms)
     # and after_key paging — the rollup-export shape.
     "composite_mixed_page",
+    # (q6) MinHash estimator calibration: signature agreement vs
+    # exact Jaccard per estimate level — the measured noise behind
+    # every LSH banding threshold.
+    "minhash_estimate_error",
     # (r) catalog compositions: ES PIT + search_after (snapshot-
     # isolated deep paging) and the rollover/ILM write-alias cycle.
     "pit_search_after", "alias_rollover",

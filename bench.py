@@ -150,6 +150,7 @@ HEADLINE = [
     "esql_fork", "esql_change_point", "esql_rerank",
     "near_video_search", "esql_dates", "esql_stats_where",
     "bool_query_search", "composite_mixed_page",
+    "minhash_estimate_error",
 ]
 
 

@@ -737,3 +737,123 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.col("n_novel").cast("double")
                                    / F.col("n_grams"), 6).alias("novelty"))
                    .orderBy(F.asc("novelty"), "doc_id").limit(25))
+
+
+# ------------------------------------- MinHash estimator calibration
+
+# Hot-bucket guard for the calibration census: a (band, key) bucket of
+# B docs contributes B(B-1)/2 pairs; the cap bounds that at any scale
+# (SURVEY §6's skew promise — the 64x replica probe measured 35x pair
+# growth uncapped). Deterministic (id order) and mirrored in the
+# oracle; the test corpora's buckets are <= 3 docs, so oracle-scale
+# results are bit-identical with or without the cap.
+EST_BUCKET_CAP = 8
+
+
+@register("minhash_estimate_error", oracle=f"""
+WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, band, key FROM (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', m{i * LSH_ROWS}, m{i * LSH_ROWS + 1}) AS key FROM sig"
+        for i in range(_K // LSH_ROWS))})),
+capped AS (
+  SELECT doc_id, band, key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, key
+                                 ORDER BY doc_id) AS rn
+    FROM bands) WHERE rn <= {EST_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+nsh AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.id_a
+  JOIN shd sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ({" + ".join(f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(_K))})
+           / {_K}.0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b),
+p AS (
+  SELECT e.est,
+         COALESCE(i.shared, 0) * 1.0
+           / (na.n + nb.n - COALESCE(i.shared, 0)) AS exact
+  FROM est e
+  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+  JOIN nsh na ON na.doc_id = e.id_a
+  JOIN nsh nb ON nb.doc_id = e.id_b)
+SELECT est, count(*) AS n_pairs,
+       round(CAST(sum(CAST(round(exact, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS mean_jaccard,
+       round(CAST(sum(CAST(round(abs(est - exact), 9) AS DECIMAL(18,9)))
+                  AS DOUBLE) / count(*), 6) AS mean_abs_err
+FROM p GROUP BY est ORDER BY est
+""")
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the census behind every LSH
+    threshold choice: for each band-bucket candidate pair, the
+    k-component signature agreement (matching minima / k, the MinHash
+    Jaccard ESTIMATE) against the exact shingle Jaccard, rolled up per
+    estimate level (k=8 permutations quantize estimates to eighths). The
+    mean_abs_err column is the measured estimator noise at this k —
+    what tells a pipeline owner whether the banding threshold
+    (SURVEY §6's LSH recall/precision promise) needs more
+    permutations before scaling a dedup sweep to the full corpus.
+
+    Scale shape: reuses the dedup substrate end to end — ONE cached
+    shingle explode feeds signatures, set sizes, and the verify join;
+    candidates only ever come from band buckets (never corpus²); the
+    estimate is map-side component agreement on the already-joined
+    signature rows; exact-Jaccard verify touches candidate pairs
+    only. Candidate pairs sharing a band through hash coincidence but
+    ZERO shingles stay in the census (LEFT join, exact = 0) — they
+    are precisely the estimator's false-positive tail. Per-pair
+    values round-then-fold as DECIMAL so the per-level means are
+    exact and order-free."""
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    shd = shingle_sets(docs).cache()
+    hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
+          for j in range(_K)],
+        F.count("*").alias("n"))
+    cand = lsh_candidate_pairs(per_doc.drop("n"), bucket_cap=EST_BUCKET_CAP)
+    sa = per_doc.select("doc_id", *[f"m{j}" for j in range(_K)]).alias("sa")
+    sb = per_doc.select("doc_id", *[f"m{j}" for j in range(_K)]).alias("sb")
+    agree = None
+    for j in range(_K):
+        c = (F.col(f"sa.m{j}") == F.col(f"sb.m{j}")).cast("int")
+        agree = c if agree is None else agree + c
+    est = (cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+               .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+               .select("id_a", "id_b", (agree / float(_K)).alias("est")))
+    ia, ib = shd.alias("ia"), shd.alias("ib")
+    inter = (cand.join(ia, F.col("ia.doc_id") == F.col("id_a"))
+                 .join(ib, (F.col("ib.doc_id") == F.col("id_b"))
+                       & (F.col("ib.shingle") == F.col("ia.shingle")))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("shared")))
+    nsh = per_doc.select("doc_id", "n")
+    na, nb = nsh.alias("na"), nsh.alias("nb")
+    shared = F.coalesce(F.col("shared"), F.lit(0))
+    p = (est.join(inter, ["id_a", "id_b"], "left")
+            .join(na, F.col("na.doc_id") == F.col("id_a"))
+            .join(nb, F.col("nb.doc_id") == F.col("id_b"))
+            .select("est",
+                    (shared * 1.0 / (F.col("na.n") + F.col("nb.n") - shared))
+                     .alias("exact")))
+    dec = lambda c: F.round(c, 9).cast("decimal(18,9)")  # noqa: E731
+    return (p.groupBy("est")
+             .agg(F.count("*").alias("n_pairs"),
+                  F.round(F.sum(dec(F.col("exact"))).cast("double")
+                          / F.count("*"), 6).alias("mean_jaccard"),
+                  F.round(F.sum(dec(F.abs(F.col("est") - F.col("exact"))))
+                           .cast("double") / F.count("*"), 6)
+                   .alias("mean_abs_err"))
+             .orderBy("est"))
