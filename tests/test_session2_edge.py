@@ -143,3 +143,21 @@ def test_bool_query_clause_semantics(spark, sf_dir):
     # breaks it deterministically)
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_minhash_estimate_error_bounds(spark, sf_dir, tmp_path):
+    from unified_vector_database_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+    rows = minhash_estimate_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est <= 1.0
+        assert 0.0 <= r.mean_jaccard <= 1.0
+        assert 0.0 <= r.mean_abs_err <= 1.0
+        assert r.n_pairs > 0
+    # ests are k=8 quantized (multiples of 1/8)
+    assert all(abs(r.est * 8 - round(r.est * 8)) < 1e-9 for r in rows)
+    # empty corpus: no candidates, zero rows, no crash
+    empty = _mk(spark, tmp_path, "mee_empty", "documents", _DOCS, [])
+    assert minhash_estimate_error(spark, empty).collect() == []
