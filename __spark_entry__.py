@@ -270,9 +270,59 @@ _PRIORITY = [
 ]
 
 
+# Queries whose CODE or ORACLE changed since their last hash-green
+# CORRECTNESS row.  Their old rows describe old outputs, so they jump
+# the stable-green tail and re-verify right after the never-green
+# backlog.  Clear entries once a new green row lands.
+_FORCE_RECHECK: list[str] = []
+
+
+def _lifetime_green() -> set[str]:
+    """Union of hash-green rows across every CORRECTNESS_r*.json.
+
+    The repo root is derived from the package location (not __file__)
+    so the contract survives the driver copying this adapter to /tmp.
+    Unreadable/absent files degrade to the static _PRIORITY order.
+    """
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(
+        registry.__file__)))
+    green: set[str] = set()
+    try:
+        for path in sorted(glob.glob(os.path.join(repo,
+                                                  "CORRECTNESS_r*.json"))):
+            with open(path) as f:
+                rows = json.load(f)
+            for name, r in rows.items():
+                if (isinstance(r, dict) and r.get("rows_match")
+                        and r.get("schema_match") and r.get("hash_match")):
+                    green.add(name)
+    except Exception:
+        return set()
+    return green
+
+
 def _ordered(names) -> list[str]:
+    """Stage the driver's ~50-slot verification budget automatically.
+
+    Never-driver-green queries first (in _PRIORITY queue order), then
+    green queries whose code changed this round (_FORCE_RECHECK), then
+    the stable-green tail.  This replaces the hand-restaged rotation
+    that round 6 shipped stale (VERDICT r6 #1): the ordering is
+    recomputed from CORRECTNESS_r*.json on every call, so a fresh
+    driver run always drains the backlog.
+    """
     ranked = [n for n in _PRIORITY if n in names]
-    return ranked + [n for n in names if n not in set(ranked)]
+    ranked += [n for n in names if n not in set(ranked)]
+    green = _lifetime_green()
+    if not green:
+        return ranked
+    recheck = [n for n in ranked if n in _FORCE_RECHECK and n in green]
+    backlog = [n for n in ranked if n not in green]
+    stable = [n for n in ranked if n in green and n not in set(recheck)]
+    return backlog + recheck + stable
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
