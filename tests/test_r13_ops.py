@@ -241,7 +241,7 @@ def test_esql_arith_parser_matches_python_eval(spark):
         return f"({s})" if draw(st.booleans()) else s
 
     @given(exprs())
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=200, deadline=None)
     def check(e):
         got = one.select(_parse_expr(_tokenize(e)).alias("v")).first().v
         assert got == eval(e)  # noqa: S307 - generated arithmetic only

@@ -326,7 +326,10 @@ class _ExprParser:
         if re.fullmatch(r"\d+\.\d+", tok):
             return F.lit(float(tok))
         if re.fullmatch(r"\d+", tok):
-            return F.lit(int(tok))
+            # ES|QL integer literals are 64-bit (long); a bare
+            # F.lit(int) yields IntegerType and overflows under ANSI
+            # mode once products exceed 2^31 (VERDICT r6 #2).
+            return F.lit(int(tok)).cast("long")
         # identifier or function call
         if tok.upper() == "SPLIT" and self.peek() == "(":
             # SPLIT(str, "delim"): ES|QL delimiters are plain strings,
