@@ -15,6 +15,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench times PLANS, not the replay harness: trim the streaming file
+# replays to 2 micro-batches (state paths still exercise multi-batch;
+# results stay the batch fixpoint). The correctness driver keeps the
+# default 4 — this env is bench-scoped (VERDICT r6 #8).
+os.environ.setdefault("UVDB_STREAM_REPLAY_FILES", "2")
+
 from unified_vector_database_spark import registry
 from unified_vector_database_spark.session import get_spark
 

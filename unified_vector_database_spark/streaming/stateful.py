@@ -92,7 +92,6 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer cannot sort/hash array cells (r3 ERR), so arrays
     never appear in a final queries() output schema."""
     import tempfile
-    import uuid
 
     from .. import flags
 
@@ -109,12 +108,8 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         stream = (spark.readStream.schema("event_type string, value double")
                   .option("maxFilesPerTrigger", 1).parquet(src))
-        name = "uvdb_topk_" + uuid.uuid4().hex[:8]
-        q = (running_topk(stream).writeStream.format("memory")
-             .queryName(name).outputMode("update")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        emissions = spark.table(name)
+        from .ingest import _run_to_memory
+        emissions = _run_to_memory(running_topk(stream), "update")
     final = (emissions
              .groupBy("key")
              .agg(F.max_by("topk", "n_seen").alias("topk"),
