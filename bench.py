@@ -34,7 +34,7 @@ HEADLINE = [
     "dedup_minhash", "dedup_jaccard", "embed_near_dup", "doc_fingerprint",
     "tfidf_topterms", "lang_id", "quality_score",
     "q1_pricing", "q3_topurgent", "q5_region_volume", "events_hourly",
-    "top_orders_per_segment", "ivf_knn",
+    "top_orders_per_segment", "ivf_knn", "hnsw_knn",
     "dedup_simhash", "events_sessionized", "label_centroids",
     "events_percentiles", "q6_forecast_revenue", "knn_cosine_arrow",
     "pipeline_clean_search", "recommend",

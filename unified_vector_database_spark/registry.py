@@ -60,6 +60,7 @@ def load_all() -> None:
         analytics, arrow_knn, cleanup, dedup, esagg, esagg2, esagg3,
         esagg4, esagg5, esagg6, esagg7, esql, esql2, evaluation, geo,
         graph,
+        hnsw,
         hybrid,
         index,
         inference,
