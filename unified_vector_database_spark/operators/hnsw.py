@@ -106,10 +106,20 @@ def _topm(pairs: DataFrame, id_col: str) -> DataFrame:
                  .where(F.col("rn") <= HNSW_M).select("src", "dst"))
 
 
-def _scored(cand: DataFrame, nodes: DataFrame) -> DataFrame:
+# Layers whose node set fits comfortably in a broadcast get their
+# vectors broadcast into the pair-scoring joins (two map-side hash
+# joins instead of two sort-merge shuffles — the same size-switched
+# strategy D12's decontamination route uses); bigger layers take the
+# co-keyed SMJ, which is the only shape that exists at 100 TB.
+BCAST_NODES_MAX = 100_000
+
+
+def _scored(cand: DataFrame, nodes: DataFrame, n: int) -> DataFrame:
     """Attach the cosine score to (src, dst) candidate pairs."""
     sv = nodes.select(F.col("vec_id").alias("src"), F.col("vec").alias("svec"))
     dv = nodes.select(F.col("vec_id").alias("dst"), F.col("vec").alias("dvec"))
+    if n <= BCAST_NODES_MAX:
+        sv, dv = F.broadcast(sv), F.broadcast(dv)
     return (cand.join(sv, "src").join(dv, "dst")
                 .select("src", "dst", D.cosine("svec", "dvec").alias("score")))
 
@@ -139,7 +149,12 @@ def _layer_graph(nodes: DataFrame, n: int) -> DataFrame:
     # localCheckpoint truncates lineage between NN-Descent rounds —
     # the same batched-fixpoint convention dedup_clusters uses (on a
     # real cluster: checkpoint to stable storage every few rounds).
-    edges = _topm(_scored(init, nodes), "src").localCheckpoint()
+    edges = _topm(_scored(init, nodes, n), "src").localCheckpoint()
+    if n <= ALL_PAIRS_MAX:
+        # all-pairs init IS the exact top-M graph: NN-Descent rounds
+        # cannot add candidates it hasn't already ranked. Skipping
+        # them is an identity, not an approximation (twin mirrors).
+        return edges
     for _ in range(HNSW_ROUNDS):
         sym = edges.union(
             edges.select(F.col("dst").alias("src"),
@@ -151,7 +166,7 @@ def _layer_graph(nodes: DataFrame, n: int) -> DataFrame:
                   .select("src", "dst")
                   .union(edges.select("src", "dst"))
                   .distinct())
-        edges = _topm(_scored(cand, nodes), "src").localCheckpoint()
+        edges = _topm(_scored(cand, nodes, n), "src").localCheckpoint()
     return edges
 
 
@@ -322,6 +337,8 @@ def _twin_layer_edges(ids, X, nrm, idx_of):
         di = [idx_of[d] for d in dsts]
         sc = _seq_cos(X, nrm, si, di)
         edges[src] = _twin_topm(list(sc), dsts)
+    if n <= ALL_PAIRS_MAX:  # exact already — mirror _layer_graph
+        return sorted((s, d) for s, ds in edges.items() for d in ds)
     for _ in range(HNSW_ROUNDS):
         nbrs: dict[int, set[int]] = {}
         for src, ds in edges.items():
