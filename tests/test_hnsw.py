@@ -85,6 +85,24 @@ def test_probe_from_parquet_adjacency(spark, sf_dir, tmp_path):
     assert mem == pq
 
 
+def test_driver_beam_equals_distributed_probe(spark, sf_dir):
+    """The registered single-query path (driver-side beam, bounded
+    isin-pruned scoring jobs) must reproduce the distributed
+    frontier-join probe exactly — same hops, tie-breaks, scores."""
+    corpus = _corpus(spark, sf_dir)
+    art = hnsw.art_for(spark, sf_dir, corpus)
+    for vid in (0, 33):
+        q = _query(spark, sf_dir, vid)
+        qvec = [float(v) for v in
+                corpus.where(F.col("vec_id") == vid).first().vec]
+        dist = [(r.vec_id, r.score) for r in
+                hnsw.hnsw_probe(spark, corpus, art, q, k=10).collect()]
+        drv = [(r.vec_id, r.score) for r in
+               hnsw.hnsw_probe_driver(spark, corpus, art, qvec,
+                                      k=10).collect()]
+        assert dist == drv
+
+
 def test_degenerate_tiny_corpus(spark):
     """3-node corpus: level>=1 layer is (almost surely) empty, so the
     top layer falls back to every node and the probe degrades to an

@@ -230,8 +230,12 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
     through vec_id lookups of visited candidates."""
     score = D.cosine("vec", "qvec").alias("score")
 
+    # Beam state (frontier/visited) is bounded by ef·M rows — single-
+    # partition by construction, so every per-hop set op runs as one
+    # task instead of a shuffle.partitions-wide exchange. (A BATCH
+    # probe keeps state distributed, partitioned by qid.)
     def best(ids: DataFrame, limit: int) -> DataFrame:
-        return (corpus.join(ids, "vec_id")
+        return (corpus.join(F.broadcast(ids), "vec_id")
                       .crossJoin(F.broadcast(query_df))
                       .select("vec_id", score)
                       .orderBy(F.col("score").desc(), "vec_id")
@@ -240,18 +244,20 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
     f = best(_ids_df(spark, art["tops"]), HNSW_SEEDS)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
-        n = f.union(f.join(a, f.vec_id == a.src)
-                     .select(F.col("dst").alias("vec_id"))).distinct()
+        n = (f.union(a.join(F.broadcast(f), a.src == f.vec_id)
+                      .select(F.col("dst").alias("vec_id")))
+              .coalesce(1).distinct())
         f = best(n, HNSW_SEEDS)
     a0 = _adj_df(spark, art["adj"][0])
     visited = f
     for _ in range(hops):
-        n = visited.union(
-            f.join(a0, f.vec_id == a0.src)
-             .select(F.col("dst").alias("vec_id"))).distinct()
+        n = (visited.union(
+                a0.join(F.broadcast(f), a0.src == f.vec_id)
+                  .select(F.col("dst").alias("vec_id")))
+             .coalesce(1).distinct())
         f = best(n, ef)
         visited = n
-    return (corpus.join(visited, "vec_id")
+    return (corpus.join(F.broadcast(visited), "vec_id")
                   .crossJoin(F.broadcast(query_df))
                   .select("vec_id", score)
                   .orderBy(F.col("score").desc(), "vec_id")
@@ -269,18 +275,111 @@ def art_for(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> dict:
     return _ART_CACHE[sf_dir]
 
 
+# Per-session DataFrame twins of the artifact: the beam touches the
+# corpus/adjacency once per hop, so a naive plan re-runs the scan +
+# repartition per best() stage (measured 7.5 s/probe at sf0.1).
+# Checkpointing them once per session is the index-resident posture
+# every serving backend has — the graph and vectors live loaded,
+# queries pay only the beam joins.
+_SESSION_ART: dict[tuple[str, str], dict] = {}
+
+
+def session_art(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SESSION_ART:
+        emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+        corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
+        art = art_for(spark, sf_dir, corpus)
+        _SESSION_ART[key] = {
+            "L": art["L"],
+            "plain": art,  # the collected-lists artifact
+            # few partitions for the resident copy: a 2k-row lookup
+            # side shouldn't cost 32 task launches per beam hop
+            "corpus": corpus.coalesce(4).localCheckpoint(eager=False),
+            "tops": _ids_df(spark, art["tops"]).localCheckpoint(eager=False),
+            "adj": {lvl: _adj_df(spark, pairs).localCheckpoint(eager=False)
+                    for lvl, pairs in art["adj"].items()},
+        }
+    return _SESSION_ART[key]
+
+
+def _score_ids(corpus: DataFrame, qcol: F.Column, ids) -> dict:
+    """Cosine of the query against a bounded id set, computed by the
+    SAME JVM fold the distributed probe (and the oracle's twin) uses —
+    the collected doubles are bit-identical to a full-plan run. A
+    broadcast id join beats an isin literal list (~2x: the In()
+    expression re-analyzes per call, the join plan shape is stable)."""
+    spark = corpus.sparkSession
+    idf = spark.createDataFrame([(int(i),) for i in ids], "vec_id bigint")
+    return {int(r.vec_id): float(r.score) for r in
+            corpus.join(F.broadcast(idf), "vec_id")
+                  .select("vec_id", D.cosine("vec", qcol).alias("score"))
+                  .collect()}
+
+
+def hnsw_probe_driver(spark: SparkSession, corpus: DataFrame, art: dict,
+                      qvec: list[float], k: int,
+                      ef: int = HNSW_EF, hops: int = HNSW_HOPS) -> DataFrame:
+    """Single-query probe with the beam state driver-side: the
+    adjacency is already a driver-resident artifact and every hop's
+    state is ≤ ef·M ids, so the cluster only scores candidate ids
+    (one bounded isin-pruned job per hop — the ivf_probe_partitioned
+    qcells convention). Identical hop/tie-break semantics to
+    hnsw_probe; equality pinned in tests/test_hnsw.py. Batch probing
+    (many queries) uses hnsw_probe, which keeps state distributed."""
+    adj: dict[int, dict[int, list[int]]] = {}
+    for lvl, pairs in art["adj"].items():
+        m: dict[int, list[int]] = {}
+        for s, d in pairs:
+            m.setdefault(s, []).append(d)
+        adj[lvl] = m
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    scores: dict[int, float] = {}
+
+    def ensure(ids) -> None:
+        new = [i for i in ids if i not in scores]
+        if new:
+            scores.update(_score_ids(corpus, qcol, new))
+
+    def top(ids, lim: int) -> list[int]:
+        return sorted(ids, key=lambda i: (-scores[i], i))[:lim]
+
+    ensure(art["tops"])
+    f = top(art["tops"], HNSW_SEEDS)
+    for lvl in range(art["L"] - 1, 0, -1):
+        n = set(f) | {d for s in f for d in adj[lvl].get(s, ())}
+        ensure(n)
+        f = top(n, HNSW_SEEDS)
+    visited = set(f)
+    for h in range(hops):
+        n = visited | {d for s in f for d in adj[0].get(s, ())}
+        if h % 2 == 0:
+            # prefetch ONE hop of neighborhood into the same scoring
+            # job: the next hop's candidates are a subset, so every
+            # other ensure() is a no-op — pure job-count reduction,
+            # zero semantic change (ensure skips known ids; the beam
+            # still only ever ranks `n`).
+            ensure(n | {d2 for i in n for d2 in adj[0].get(i, ())})
+        else:
+            ensure(n)
+        f = top(n, ef)
+        visited = n
+    res = top(visited, k)
+    return spark.createDataFrame([(i, scores[i]) for i in res],
+                                 "vec_id bigint, score double")
+
+
 @register("hnsw_knn", oracle=lambda: _hnsw_oracle())
 def hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW probe for query vec_id=0: graph beam search + exact rerank
-    of the visited set. The graph build is amortized via art_for; the
-    oracle unrolls the identical beam over the numpy twin's adjacency
-    (bit-parity asserted in tests/test_hnsw.py)."""
-    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-    q = (emb.where(F.col("vec_id") == 0)
-            .select(D.vec_double("embedding").alias("qvec")))
-    art = art_for(spark, sf_dir, corpus)
-    return hnsw_probe(spark, corpus, art, q, k=10)
+    of the visited set. The graph build is amortized via art_for /
+    session_art; the oracle unrolls the identical beam over the numpy
+    twin's adjacency (bit-parity asserted in tests/test_hnsw.py)."""
+    sart = session_art(spark, sf_dir)
+    qvec = [float(v) for v in
+            sart["corpus"].where(F.col("vec_id") == 0).first().vec]
+    return hnsw_probe_driver(spark, sart["corpus"], sart["plain"],
+                             qvec, k=10)
 
 
 # ----------------------------------------------------- numpy twin
