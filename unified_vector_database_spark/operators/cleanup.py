@@ -500,8 +500,13 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import quality_score_t
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     q = quality_score_t(docs).where(F.col("n_tokens") > 0)
-    d = q.select("doc_id", F.col("n_tokens").alias("nt"),
-                 F.floor(F.col("quality") * 100).cast("int").alias("b"))
+    # checkpoint the DERIVED (doc_id, nt, bucket) ints — three columns
+    # of O(N) integers, never the text — so the bucket rollup and the
+    # tier-verdict pass tokenize the corpus ONCE, not twice (the 64x
+    # probe measured the recompute at ~2x the whole op)
+    d = (q.select("doc_id", F.col("n_tokens").alias("nt"),
+                  F.floor(F.col("quality") * 100).cast("int").alias("b"))
+          .localCheckpoint(eager=False))
     pb = d.groupBy("b").agg(F.sum("nt").cast("long").alias("tk"))
     # buckets collapse to ONE row: desc-sorted array, exact-integer
     # fold finds (threshold bucket, its size, remaining budget)
