@@ -55,6 +55,17 @@ def main() -> None:
          knn(corpus.where(F.col("label") == 3), q, k=5,
              payload=("label",)))
 
+    # ---- 2b. HNSW: build the layered graph once (NN-Descent, all
+    # co-keyed joins), then beam-probe it — the batch twin of the
+    # Qdrant/Weaviate/ES default ANN engine
+    from unified_vector_database_spark.operators import hnsw
+    art = hnsw.hnsw_build(spark, corpus.select("vec_id", "vec"))
+    qvec = [float(v) for v in
+            corpus.where(F.col("vec_id") == 0).first().vec]
+    show("hnsw beam-probe top-5",
+         hnsw.hnsw_probe_driver(spark, corpus.select("vec_id", "vec"),
+                                art, qvec, k=5))
+
     # ---- 3. every registered query runs through one uniform surface
     show("hybrid BM25+vector RRF", registry.QUERIES["hybrid_rrf"](spark, SF))
     show("ES 8.14 retriever tree",
