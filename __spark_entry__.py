@@ -223,6 +223,11 @@ _PRIORITY = [
     "binary_ivf_knn", "esql_having", "esql_dissect",
     # (ai) r21 capstone: the whole pre-training pipeline as one plan.
     "pretrain_pipeline_census", "snapshot_restore", "collection_cdc_diff",
+    # (aj) r8-built HNSW family extensions (VERDICT r7 #3/#8): the
+    # batch beam probe (I11's twin) and incremental ingest. Appended
+    # BEHIND the whole never-green backlog on purpose — the r8/r9
+    # rotations drain the 73 first; these queue after.
+    "hnsw_batch_knn", "hnsw_merge_knn",
     # ---- everything below re-proves stable greens if budget allows --
     "extended_stats_agg", "string_stats_agg", "matrix_stats_agg",
     "top_hits_agg", "auto_date_histogram", "geo_centroid_agg",

@@ -157,6 +157,8 @@ HEADLINE = [
     "near_video_search", "esql_dates", "esql_stats_where",
     "bool_query_search", "composite_mixed_page",
     "minhash_estimate_error",
+    # r8-built: HNSW batch probe + incremental ingest merge
+    "hnsw_batch_knn", "hnsw_merge_knn",
 ]
 
 

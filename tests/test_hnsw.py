@@ -1,6 +1,6 @@
 """Batch HNSW: build parity with the numpy twin, probe recall vs the
-exact FLAT baseline, the no-collect parquet-adjacency probe path, and
-degenerate-corpus behavior."""
+exact FLAT baseline, the collect-free written-artifact probe path,
+the size-switched registered route, and degenerate-corpus behavior."""
 
 from __future__ import annotations
 
@@ -24,11 +24,17 @@ def _query(spark, sf_dir, vid=0):
                .select(D.vec_double("embedding").alias("qvec")))
 
 
+def _plain(spark, sf_dir):
+    return hnsw.collect_art(hnsw.art_for(spark, sf_dir))
+
+
 def test_build_matches_numpy_twin(spark, sf_dir):
     """The distributed build and the Spark-free oracle twin must agree
     bit-for-bit — that equality is what makes the embedded-adjacency
-    DuckDB oracle a real hash gate rather than a self-check."""
-    art = hnsw.art_for(spark, sf_dir, _corpus(spark, sf_dir))
+    DuckDB oracle a real hash gate rather than a self-check. The
+    artifact here has round-tripped through hnsw_write/hnsw_read, so
+    the parity also covers the parquet materialization."""
+    art = _plain(spark, sf_dir)
     twin = hnsw._twin_build(sf_dir)
     assert art["L"] == twin["L"]
     assert art["tops"] == twin["tops"]
@@ -37,13 +43,38 @@ def test_build_matches_numpy_twin(spark, sf_dir):
         assert art["adj"][lvl] == twin["adj"][lvl], f"layer {lvl} diverged"
 
 
+def test_build_is_collect_free(spark, sf_dir, monkeypatch):
+    """VERDICT r7 #2's done-criterion: zero edge-list `.collect()` in
+    the build path. Intercept DataFrame.collect during hnsw_build and
+    assert the only collected frame is the ≤16-row level histogram."""
+    from pyspark.sql import DataFrame
+
+    seen = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        seen.append((self.columns, len(rows)))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    art = hnsw.hnsw_build(spark, _corpus(spark, sf_dir))
+    assert isinstance(art["tops"], DataFrame)
+    for df in art["adj"].values():
+        assert isinstance(df, DataFrame)
+    for cols, n in seen:
+        assert "dst" not in cols and "vec_id" not in cols, \
+            f"build collected {cols} ({n} rows)"
+        assert n <= 16, f"build collected {n} rows of {cols}"
+
+
 def test_probe_recall_vs_flat(spark, sf_dir):
     """Mean recall@10 against the exact FLAT scan over several query
     points. The synthetic embeddings are near-random (same-label mean
     cosine 0.019) — the hardest case for graph ANN — and the tuned
     build/probe still measured ~0.98 mean recall; gate at 0.8."""
     corpus = _corpus(spark, sf_dir)
-    art = hnsw.art_for(spark, sf_dir, corpus)
+    art = hnsw.art_for(spark, sf_dir)
     hits, total = 0, 0
     for vid in (0, 101, 202, 303, 404):
         q = _query(spark, sf_dir, vid)
@@ -60,37 +91,43 @@ def test_self_match_is_top1(spark, sf_dir):
     first with cosine exactly 1.0 — the beam reaching the query's own
     graph neighborhood is the navigability smoke test."""
     corpus = _corpus(spark, sf_dir)
-    art = hnsw.art_for(spark, sf_dir, corpus)
+    art = hnsw.art_for(spark, sf_dir)
     rows = hnsw.hnsw_probe(spark, corpus, art,
                            _query(spark, sf_dir, 0), k=10).collect()
     assert rows[0].vec_id == 0
     assert rows[0].score == pytest.approx(1.0)
 
 
-def test_probe_from_parquet_adjacency(spark, sf_dir, tmp_path):
-    """The 100 TB probe path: adjacency read back from a parquet
-    artifact (edges never collected to the driver) must reproduce the
-    in-memory probe exactly."""
+def test_probe_from_written_artifact(spark, sf_dir, tmp_path):
+    """The 100 TB probe path end to end: hnsw_write materializes the
+    build's DataFrames as the bucket-partitioned parquet artifact,
+    hnsw_read hands back lazy handles, and the probe over those
+    handles (bucket-pruned hop joins, no edge ever collected) must
+    reproduce the in-memory plain-artifact probe exactly."""
     corpus = _corpus(spark, sf_dir)
-    art = hnsw.art_for(spark, sf_dir, corpus)
-    path = str(tmp_path / "hnsw_adj0")
-    hnsw._adj_df(spark, art["adj"][0]).write.parquet(path)
-    art_pq = {"L": art["L"], "tops": art["tops"],
-              "adj": {**art["adj"], 0: spark.read.parquet(path)}}
+    built = hnsw.hnsw_build(spark, corpus)
+    path = str(tmp_path / "hnsw_art")
+    hnsw.hnsw_write(built, path)
+    art_pq = hnsw.hnsw_read(spark, path)
+    assert art_pq["n"] == built["n"]
+    for lvl in art_pq["adj"]:
+        assert "bucket" in art_pq["adj"][lvl].columns
+    plain = hnsw.collect_art(built)
     q = _query(spark, sf_dir, 7)
     mem = [(r.vec_id, r.score) for r in
-           hnsw.hnsw_probe(spark, corpus, art, q, k=10).collect()]
+           hnsw.hnsw_probe(spark, corpus, plain, q, k=10).collect()]
     pq = [(r.vec_id, r.score) for r in
           hnsw.hnsw_probe(spark, corpus, art_pq, q, k=10).collect()]
     assert mem == pq
 
 
 def test_driver_beam_equals_distributed_probe(spark, sf_dir):
-    """The registered single-query path (driver-side beam, bounded
+    """The small-corpus registered path (driver-side beam, bounded
     isin-pruned scoring jobs) must reproduce the distributed
     frontier-join probe exactly — same hops, tie-breaks, scores."""
     corpus = _corpus(spark, sf_dir)
-    art = hnsw.art_for(spark, sf_dir, corpus)
+    art = hnsw.art_for(spark, sf_dir)
+    plain = hnsw.collect_art(art)
     for vid in (0, 33):
         q = _query(spark, sf_dir, vid)
         qvec = [float(v) for v in
@@ -98,9 +135,115 @@ def test_driver_beam_equals_distributed_probe(spark, sf_dir):
         dist = [(r.vec_id, r.score) for r in
                 hnsw.hnsw_probe(spark, corpus, art, q, k=10).collect()]
         drv = [(r.vec_id, r.score) for r in
-               hnsw.hnsw_probe_driver(spark, corpus, art, qvec,
+               hnsw.hnsw_probe_driver(spark, corpus, plain, qvec,
                                       k=10).collect()]
         assert dist == drv
+
+
+def test_registered_route_equality(spark, sf_dir, monkeypatch):
+    """hnsw_knn's size switch must be invisible in the result: the
+    driver-beam route (default at test scale) and the forced
+    distributed route (DRIVER_BEAM_MAX_NODES = 0, fresh session
+    cache) return identical rows — the D12 route-equality pin."""
+    drv = [(r.vec_id, r.score) for r in
+           hnsw.hnsw_knn(spark, sf_dir).collect()]
+    monkeypatch.setattr(hnsw, "DRIVER_BEAM_MAX_NODES", 0)
+    monkeypatch.setattr(hnsw, "_SESSION_ART", {})
+    dist = [(r.vec_id, r.score) for r in
+            hnsw.hnsw_knn(spark, sf_dir).collect()]
+    assert drv == dist
+
+
+def test_batch_probe_equals_single_probes(spark, sf_dir):
+    """hnsw_probe_batch must be a pure batching of hnsw_probe: for
+    every query in the panel, identical ids AND scores in identical
+    rank order — the I11-twin contract (shared jobs, same beams)."""
+    corpus = _corpus(spark, sf_dir)
+    art = hnsw.art_for(spark, sf_dir)
+    queries = hnsw._batch_queries(corpus)
+    got: dict[int, list] = {}
+    for r in hnsw.hnsw_probe_batch(spark, corpus, art,
+                                   queries, k=10).collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.score))
+    assert set(got) == {r.qid for r in queries.collect()}
+    for qid, rows in got.items():
+        q = _query(spark, sf_dir, qid)
+        single = [(r.vec_id, r.score) for r in
+                  hnsw.hnsw_probe(spark, corpus, art, q, k=10).collect()]
+        assert rows == single, f"qid {qid} diverged"
+
+
+def test_merge_matches_twin(spark, sf_dir):
+    """Incremental ingest parity: the distributed hnsw_merge and the
+    Spark-free twin must produce the identical merged graph — the
+    same bit-for-bit bar the base build meets, and what makes the
+    merge oracle a real hash gate."""
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.where(F.col("vec_id") >= hnsw.MERGE_SPLIT)
+    batch = corpus.where(F.col("vec_id") < hnsw.MERGE_SPLIT)
+    art = hnsw.collect_art(
+        hnsw.hnsw_merge(spark, hnsw.hnsw_build(spark, base), base, batch))
+    twin = hnsw._twin_merge(sf_dir)
+    assert art["L"] == twin["L"]
+    assert art["tops"] == twin["tops"]
+    assert set(art["adj"]) == set(twin["adj"])
+    for lvl in art["adj"]:
+        assert art["adj"][lvl] == twin["adj"][lvl], f"layer {lvl} diverged"
+
+
+def test_merge_inserted_node_is_navigable(spark, sf_dir):
+    """Query an INSERTED node's own vector against the merged graph:
+    the beam must navigate base edges into the new node's wired
+    neighborhood — self as top-1 with cosine exactly 1.0."""
+    rows = hnsw.hnsw_merge_knn(spark, sf_dir).collect()
+    assert rows[0].vec_id == 0
+    assert rows[0].score == pytest.approx(1.0)
+
+
+def test_merge_touches_base_edges_only_via_new_nodes(spark, sf_dir):
+    """The frozen-structure contract: merge candidates for a base node
+    are its existing edges ∪ reverse proposals from NEW nodes — so a
+    base node's layer-0 edge set either survives verbatim or swaps
+    edges in ONLY toward inserted nodes; it can never rewire base→base
+    (that would be a rebuild, not an ingest). Some nodes must be
+    untouched (the batch's reach is bounded by M per new node)."""
+    ids, X, nrm, idx_of, lvl = hnsw._twin_corpus(sf_dir)
+    base_ids = sorted(i for i in ids if i >= hnsw.MERGE_SPLIT)
+    base = hnsw._twin_art(base_ids, X, nrm, idx_of, lvl)
+    twin = hnsw._twin_merge(sf_dir)
+
+    def by_src(pairs):
+        out = {}
+        for s, d in pairs:
+            out.setdefault(s, set()).add(d)
+        return out
+
+    b0, m0 = by_src(base["adj"][0]), by_src(twin["adj"][0])
+    untouched = 0
+    for s, ds in b0.items():
+        got = m0.get(s, set())
+        added = got - ds
+        assert all(d < hnsw.MERGE_SPLIT for d in added), \
+            f"base src {s} gained base neighbors {added} — rewired"
+        assert len(got) <= hnsw.HNSW_M
+        if got == ds:
+            untouched += 1
+    assert untouched > 0
+
+
+def test_collect_art_refuses_oversized(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(hnsw, "DRIVER_BEAM_MAX_NODES", 0)
+    with pytest.raises(ValueError, match="DRIVER_BEAM_MAX_NODES"):
+        hnsw.collect_art(hnsw.art_for(spark, sf_dir))
+
+
+def test_oracle_edge_cap(monkeypatch):
+    """ADVICE r7 #2: an oversized corpus must fail loudly instead of
+    emitting an unbounded VALUES literal."""
+    art = {"adj": {0: [(0, 1)] * 3}}
+    monkeypatch.setattr(hnsw, "ORACLE_EDGE_CAP", 2)
+    with pytest.raises(ValueError, match="ORACLE_EDGE_CAP"):
+        hnsw._guard_oracle_edges(art, "test")
 
 
 def test_degenerate_tiny_corpus(spark):
@@ -109,7 +252,7 @@ def test_degenerate_tiny_corpus(spark):
     exact scan — no crash, full result."""
     rows = [(i, [float(i + 1), 1.0, 0.0, 0.5]) for i in range(3)]
     corpus = spark.createDataFrame(rows, "vec_id bigint, vec array<double>")
-    art = hnsw.hnsw_build(spark, corpus)
+    art = hnsw.collect_art(hnsw.hnsw_build(spark, corpus))
     assert art["L"] == 1
     assert len(art["tops"]) >= 1
     q = spark.createDataFrame([([2.0, 1.0, 0.0, 0.5],)],

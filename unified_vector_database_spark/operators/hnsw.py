@@ -36,15 +36,28 @@ primitives and probes it with the SAME beam-search contract:
            a frontier-to-adjacency join co-keyed on the source id.
 
 100 TB shape: the adjacency list is the index artifact — N*M id
-pairs, written bucketed by src so each probe hop is a co-located
-join that touches only the frontier's buckets (see
-tests/test_hnsw.py::test_probe_from_parquet_adjacency for the
-no-collect probe path). Build cost is bounded: LSH bucket size is
-capped (BUCKET_CAP), NN-Descent candidate growth is (2M)^2 per node
-per round, and the round count is fixed — no step is ever
-corpus x corpus. The layer-l node set shrinks 16x per level, so the
-top-layer exact scan a probe starts from is O(N / 16^L) ~= TOP_MIN..
-TOP_MIN*16 rows — broadcastable at any corpus size.
+pairs. `hnsw_build` never collects an edge: each layer's edges stay
+a DataFrame, `hnsw_write` materializes them as a parquet artifact
+partitioned by `bucket = pmod(src, ADJ_BUCKETS)`, and `hnsw_read`
+hands back lazy handles. A probe hop joins the bounded frontier
+(which carries the same bucket key) against the artifact, so the
+scan prunes to the frontier's buckets instead of walking all
+partitions (see tests/test_hnsw.py::test_probe_from_written_artifact
+for the end-to-end no-collect path). Build cost is bounded: LSH
+bucket size is capped (BUCKET_CAP), NN-Descent candidate growth is
+(2M)^2 per node per round, and the round count is fixed — no step is
+ever corpus x corpus. The layer-l node set shrinks 16x per level, so
+the top-layer exact scan a probe starts from is O(N / 16^L) ~=
+TOP_MIN..TOP_MIN*16 rows — broadcastable at any corpus size. Probe
+COST per query: the candidate set is constant in N (O(ef·M·hops)
+ids), and candidate scoring is an id-join against the corpus — on
+the bucket-partitioned artifact/corpus layout that join reads only
+the frontier's buckets; on an unpartitioned corpus it is a pruned
+but full-listing scan (linear in file count, constant in rows
+scored). The registered probe size-switches (the D12 pattern):
+corpora ≤ DRIVER_BEAM_MAX_NODES collect the bounded artifact once
+per session and run the beam driver-side; larger corpora route
+through the distributed `hnsw_probe`, which never collects edges.
 
 Determinism & oracle: every choice (LSH planes, bucket caps, level
 hash, (score, id) tie-breaks) is seeded/deterministic, so the whole
@@ -80,6 +93,12 @@ INIT_BUCKET = 6     # expected init bucket size (Poisson)
 ALL_PAIRS_MAX = 256  # layers at/below this size pair exhaustively
 BUCKET_CAP = 256    # hard cap on pairing fan-out inside one bucket
 TOP_MIN = 8         # grow L while the NEXT layer still has >= this
+ADJ_BUCKETS = 64    # artifact partition count: bucket = pmod(src, ·)
+# Corpora at/below this node count may collect the adjacency (≤ N*M
+# = 2M id pairs ≈ 32 MB) for the driver-side single-query beam; above
+# it the registered probe routes through the distributed hnsw_probe
+# and no edge ever reaches the driver — the D12 size switch.
+DRIVER_BEAM_MAX_NODES = 250_000
 
 
 # ------------------------------------------------------------- build
@@ -171,10 +190,14 @@ def _layer_graph(nodes: DataFrame, n: int) -> DataFrame:
 
 
 def hnsw_build(spark: SparkSession, corpus: DataFrame) -> dict:
-    """Build the layered graph; returns {L, tops, adj[level]} with the
-    adjacency collected (bounded N*M id pairs at test scale — the
-    100 TB route materializes `adj` as a src-bucketed parquet artifact
-    instead, see hnsw_write / probe_from_parquet test)."""
+    """Build the layered graph COLLECT-FREE: returns
+    {L, n, tops: DataFrame, adj: {level: DataFrame}}. The only driver
+    round-trip is the ≤16-row level histogram that sizes L — every
+    layer's edge list stays a (localCheckpoint-materialized)
+    DataFrame, ready for `hnsw_write`'s bucket-partitioned parquet
+    artifact. `tops` is bounded TOP_MIN..TOP_MIN*16 rows by the L
+    rule, so it is broadcastable at any corpus size (and safe to
+    collect where a caller needs the id list)."""
     nodes = corpus.select("vec_id", "vec",
                           _level_col("vec_id").alias("level")).cache()
     hist = {int(r.level): int(r.n) for r in
@@ -186,21 +209,68 @@ def hnsw_build(spark: SparkSession, corpus: DataFrame) -> dict:
     big_l = 1
     while at_least(big_l + 1) >= TOP_MIN:
         big_l += 1
-    tops = [int(r.vec_id) for r in
-            nodes.where(F.col("level") >= big_l)
-                 .select("vec_id").orderBy("vec_id").collect()]
-    if not tops:  # degenerate tiny corpus: flat, top layer = everyone
-        tops = [int(r.vec_id) for r in
-                nodes.select("vec_id").orderBy("vec_id").collect()]
-    adj: dict[int, list[tuple[int, int]]] = {}
+    if at_least(big_l) > 0:
+        tops = nodes.where(F.col("level") >= big_l).select("vec_id")
+    else:  # degenerate tiny corpus: flat, top layer = everyone
+        tops = nodes.select("vec_id")
+    tops = tops.coalesce(1).localCheckpoint()
+    adj: dict[int, DataFrame] = {}
     for lvl in range(0, big_l):
         layer = nodes.where(F.col("level") >= lvl).select("vec_id", "vec")
         n = at_least(lvl)
-        edges = _layer_graph(layer, n)
-        adj[lvl] = [(int(r.src), int(r.dst)) for r in
-                    edges.orderBy("src", "dst").collect()]
+        adj[lvl] = _layer_graph(layer, n)  # checkpointed, never collected
     nodes.unpersist()
-    return {"L": big_l, "tops": tops, "adj": adj}
+    return {"L": big_l, "n": at_least(0), "tops": tops, "adj": adj}
+
+
+def collect_art(art: dict) -> dict:
+    """Bounded materialization of a DataFrame-handle artifact into the
+    plain-lists form the driver-side beam (and the twin-parity tests)
+    consume. Guarded by the same node cap the registered size switch
+    uses — above it the caller must stay on the distributed probe."""
+    if not isinstance(art.get("tops"), DataFrame):
+        return art  # already plain
+    n = art.get("n")
+    if n is not None and n > DRIVER_BEAM_MAX_NODES:
+        raise ValueError(
+            f"refusing to collect HNSW artifact for n={n} nodes "
+            f"(> DRIVER_BEAM_MAX_NODES={DRIVER_BEAM_MAX_NODES}); "
+            "use the distributed hnsw_probe")
+    tops = sorted(int(r.vec_id) for r in art["tops"].collect())
+    adj = {lvl: [(int(r.src), int(r.dst)) for r in
+                 e.select("src", "dst").orderBy("src", "dst").collect()]
+           for lvl, e in art["adj"].items()}
+    return {"L": art["L"], "n": n, "tops": tops, "adj": adj}
+
+
+def hnsw_write(art: dict, path: str) -> None:
+    """Materialize the graph as the on-disk index artifact: per layer
+    `adj<lvl>/` parquet partitioned by `bucket = pmod(src,
+    ADJ_BUCKETS)` (so a probe hop's frontier join prunes at the file
+    listing — the ivf_write_partitioned convention), plus the bounded
+    `tops/` id list and a one-row `meta/` (L, n). Straight
+    DataFrame writes — no edge ever reaches the driver."""
+    spark = art["tops"].sparkSession
+    for lvl, edges in art["adj"].items():
+        (edges.select("src", "dst",
+                      F.pmod("src", F.lit(ADJ_BUCKETS)).cast("int")
+                       .alias("bucket"))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(f"{path}/adj{lvl}"))
+    art["tops"].write.mode("overwrite").parquet(f"{path}/tops")
+    (spark.createDataFrame([(int(art["L"]), int(art["n"]))], "L int, n bigint")
+          .write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def hnsw_read(spark: SparkSession, path: str) -> dict:
+    """Lazy handles onto a written artifact — the index-resident form
+    the distributed probe consumes. Adjacency keeps its `bucket`
+    partition column so hop joins prune."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    adj = {lvl: spark.read.parquet(f"{path}/adj{lvl}")
+           for lvl in range(int(meta.L))}
+    return {"L": int(meta.L), "n": int(meta.n),
+            "tops": spark.read.parquet(f"{path}/tops"), "adj": adj}
 
 
 # ------------------------------------------------------------- probe
@@ -219,6 +289,26 @@ def _adj_df(spark: SparkSession, pairs) -> DataFrame:
     if isinstance(pairs, DataFrame):
         return pairs
     return spark.createDataFrame(pairs or [], "src bigint, dst bigint")
+
+
+def _expand(adj: DataFrame, frontier: DataFrame,
+            qid: bool = False) -> DataFrame:
+    """One hop: frontier ids -> their out-neighbors. The frontier is
+    bounded (ef·M ids per query) so it broadcasts; when the adjacency
+    is the bucket-partitioned artifact the join carries the bucket
+    key too, so the artifact scan prunes to the frontier's buckets
+    instead of listing every partition."""
+    cols = [frontier["qid"], adj["dst"].alias("vec_id")] if qid else \
+        [adj["dst"].alias("vec_id")]
+    if "bucket" in adj.columns:
+        f = frontier.withColumn(
+            "_b", F.pmod("vec_id", F.lit(ADJ_BUCKETS)).cast("int"))
+        cond = (adj["bucket"] == f["_b"]) & (adj["src"] == f["vec_id"])
+        if qid:
+            cols = [f["qid"], adj["dst"].alias("vec_id")]
+        return adj.join(F.broadcast(f), cond).select(*cols)
+    return (adj.join(F.broadcast(frontier), adj["src"] == frontier["vec_id"])
+               .select(*cols))
 
 
 def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
@@ -241,20 +331,15 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
                       .orderBy(F.col("score").desc(), "vec_id")
                       .limit(limit).select("vec_id"))
 
-    f = best(_ids_df(spark, art["tops"]), HNSW_SEEDS)
+    f = best(_ids_df(spark, art["tops"]).select("vec_id"), HNSW_SEEDS)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
-        n = (f.union(a.join(F.broadcast(f), a.src == f.vec_id)
-                      .select(F.col("dst").alias("vec_id")))
-              .coalesce(1).distinct())
+        n = f.union(_expand(a, f)).coalesce(1).distinct()
         f = best(n, HNSW_SEEDS)
     a0 = _adj_df(spark, art["adj"][0])
     visited = f
     for _ in range(hops):
-        n = (visited.union(
-                a0.join(F.broadcast(f), a0.src == f.vec_id)
-                  .select(F.col("dst").alias("vec_id")))
-             .coalesce(1).distinct())
+        n = visited.union(_expand(a0, f)).coalesce(1).distinct()
         f = best(n, ef)
         visited = n
     return (corpus.join(F.broadcast(visited), "vec_id")
@@ -264,18 +349,37 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
                   .limit(k))
 
 
-# graph artifacts cache per sf_dir, like index.py's _CENTROID_CACHE:
-# the build is the offline path, probes are the online path.
-_ART_CACHE: dict[str, dict] = {}
+def _corpus_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    return emb.select("vec_id", D.vec_double("embedding").alias("vec"))
 
 
-def art_for(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> dict:
-    if sf_dir not in _ART_CACHE:
-        _ART_CACHE[sf_dir] = hnsw_build(spark, corpus)
-    return _ART_CACHE[sf_dir]
+# graph artifacts cache per (application, sf_dir), like index.py's
+# _CENTROID_CACHE: the build is the offline path, probes are the
+# online path. The corpus is derived from sf_dir internally, so the
+# cache can never return a graph built from a different corpus than
+# the key names (ADVICE r7 #3).
+_ART_CACHE: dict[tuple[str, str], dict] = {}
 
 
-# Per-session DataFrame twins of the artifact: the beam touches the
+def art_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Build-or-reuse the WRITTEN artifact for sf_dir: the graph is
+    built collect-free, materialized via hnsw_write into a session
+    temp dir, and handed back as hnsw_read's lazy handles — every
+    registered probe therefore exercises the real on-disk artifact
+    path (write → bucket-partitioned parquet → read)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ART_CACHE:
+        import tempfile
+
+        built = hnsw_build(spark, _corpus_for(spark, sf_dir))
+        path = tempfile.mkdtemp(prefix="uvdb_hnsw_")
+        hnsw_write(built, path)
+        _ART_CACHE[key] = hnsw_read(spark, path)
+    return _ART_CACHE[key]
+
+
+# Per-session resident twins of the artifact: the beam touches the
 # corpus/adjacency once per hop, so a naive plan re-runs the scan +
 # repartition per best() stage (measured 7.5 s/probe at sf0.1).
 # Checkpointing them once per session is the index-resident posture
@@ -287,19 +391,23 @@ _SESSION_ART: dict[tuple[str, str], dict] = {}
 def session_art(spark: SparkSession, sf_dir: str) -> dict:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SESSION_ART:
-        emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
-        corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-        art = art_for(spark, sf_dir, corpus)
-        _SESSION_ART[key] = {
-            "L": art["L"],
-            "plain": art,  # the collected-lists artifact
+        art = art_for(spark, sf_dir)
+        sart = {
+            "L": art["L"], "n": art["n"],
             # few partitions for the resident copy: a 2k-row lookup
             # side shouldn't cost 32 task launches per beam hop
-            "corpus": corpus.coalesce(4).localCheckpoint(eager=False),
-            "tops": _ids_df(spark, art["tops"]).localCheckpoint(eager=False),
-            "adj": {lvl: _adj_df(spark, pairs).localCheckpoint(eager=False)
-                    for lvl, pairs in art["adj"].items()},
+            "corpus": _corpus_for(spark, sf_dir)
+            .coalesce(4).localCheckpoint(eager=False),
+            "tops": art["tops"].localCheckpoint(eager=False),
+            "adj": {lvl: df.localCheckpoint(eager=False)
+                    for lvl, df in art["adj"].items()},
         }
+        # Size switch (the D12 route pattern): small corpora collect
+        # the bounded artifact once and serve single queries from the
+        # driver-side beam; larger ones keep every edge distributed.
+        if art["n"] <= DRIVER_BEAM_MAX_NODES:
+            sart["plain"] = collect_art(art)
+        _SESSION_ART[key] = sart
     return _SESSION_ART[key]
 
 
@@ -374,12 +482,311 @@ def hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW probe for query vec_id=0: graph beam search + exact rerank
     of the visited set. The graph build is amortized via art_for /
     session_art; the oracle unrolls the identical beam over the numpy
-    twin's adjacency (bit-parity asserted in tests/test_hnsw.py)."""
+    twin's adjacency (bit-parity asserted in tests/test_hnsw.py).
+    Route is size-switched: the driver-side beam over the collected
+    (bounded) artifact when n ≤ DRIVER_BEAM_MAX_NODES, else the
+    distributed hnsw_probe over the written artifact handles — route
+    equality pinned in tests/test_hnsw.py."""
     sart = session_art(spark, sf_dir)
-    qvec = [float(v) for v in
-            sart["corpus"].where(F.col("vec_id") == 0).first().vec]
-    return hnsw_probe_driver(spark, sart["corpus"], sart["plain"],
-                             qvec, k=10)
+    if "plain" in sart:
+        qrow = sart["corpus"].where(F.col("vec_id") == 0).first()
+        if qrow is None:
+            raise ValueError(
+                f"hnsw_knn: query vector vec_id=0 not present in "
+                f"{sf_dir}/embeddings — the query-id convention needs it")
+        return hnsw_probe_driver(spark, sart["corpus"], sart["plain"],
+                                 [float(v) for v in qrow.vec], k=10)
+    qdf = (sart["corpus"].where(F.col("vec_id") == 0)
+           .select(F.col("vec").alias("qvec")))
+    if qdf.first() is None:
+        raise ValueError(
+            f"hnsw_knn: query vector vec_id=0 not present in "
+            f"{sf_dir}/embeddings — the query-id convention needs it")
+    return hnsw_probe(spark, sart["corpus"], sart, qdf, k=10)
+
+
+# -------------------------------------------------------- batch probe
+
+def _batch_visited(spark: SparkSession, corpus: DataFrame, art: dict,
+                   queries: DataFrame, ef: int, hops: int) -> DataFrame:
+    """The shared beam engine of the batch probe AND the ingest merge:
+    advance every query's frontier in the same jobs, return the final
+    per-query visited candidate set (qid, vec_id). State is bounded by
+    |Q|·ef·M rows; per-hop localCheckpoint keeps the iterative plan
+    flat (the dedup_clusters fixpoint convention)."""
+    score = D.cosine("vec", "qvec").alias("score")
+    wq = W.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+
+    def best(cand: DataFrame, limit: int) -> DataFrame:
+        return (corpus.join(F.broadcast(cand), "vec_id")
+                      .join(F.broadcast(queries), "qid")
+                      .select("qid", "vec_id", score)
+                      .withColumn("rn", F.row_number().over(wq))
+                      .where(F.col("rn") <= limit)
+                      .select("qid", "vec_id"))
+
+    seeds = (queries.select("qid")
+             .crossJoin(F.broadcast(_ids_df(spark, art["tops"])
+                                    .select("vec_id"))))
+    f = best(seeds, HNSW_SEEDS).localCheckpoint(eager=False)
+    for lvl in range(art["L"] - 1, 0, -1):
+        a = _adj_df(spark, art["adj"][lvl])
+        n = f.union(_expand(a, f, qid=True)).distinct()
+        f = best(n, HNSW_SEEDS).localCheckpoint(eager=False)
+    a0 = _adj_df(spark, art["adj"][0])
+    visited = f
+    for _ in range(hops):
+        n = (visited.union(_expand(a0, f, qid=True)).distinct()
+             .localCheckpoint(eager=False))
+        f = best(n, ef).localCheckpoint(eager=False)
+        visited = n
+    return visited
+
+
+def hnsw_probe_batch(spark: SparkSession, corpus: DataFrame, art: dict,
+                     queries: DataFrame, k: int,
+                     ef: int = HNSW_EF, hops: int = HNSW_HOPS) -> DataFrame:
+    """Multi-query beam search — the HNSW twin of ivf_batch_knn (I11),
+    and the engine's actual deployment shape at scale: retrieval runs
+    as query BATCHES, not one driver-side beam per call.
+
+    `queries` = (qid, qvec). Beam state is a distributed (qid, vec_id)
+    frame — every query's frontier advances in the SAME jobs: one
+    bucket-pruned adjacency join expands all frontiers at once, one
+    corpus id-join scores all candidates, one qid-partitioned window
+    (WindowGroupLimit) keeps each query's best ef. State is bounded by
+    |Q|·ef·M rows, broadcastable into the expansion/scoring joins at
+    any corpus size; per-hop localCheckpoint keeps the iterative plan
+    tree flat (the dedup_clusters fixpoint convention). Hop count and
+    tie-breaks are identical to hnsw_probe — per-query equality is
+    pinned in tests/test_hnsw.py."""
+    visited = _batch_visited(spark, corpus, art, queries, ef, hops)
+    score = D.cosine("vec", "qvec").alias("score")
+    wq = W.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return (corpus.join(F.broadcast(visited), "vec_id")
+                  .join(F.broadcast(queries), "qid")
+                  .select("qid", "vec_id", score)
+                  .withColumn("rank", F.row_number().over(wq))
+                  .where(F.col("rank") <= k)
+                  .select("qid", "vec_id", "score",
+                          F.col("rank").cast("int").alias("rank"))
+                  .orderBy("qid", "rank"))
+
+
+def _batch_queries(corpus: DataFrame) -> DataFrame:
+    """The fixed bounded query panel ivf_batch_knn uses (I11): every
+    100th vector below 2000 — 5 queries at sf0.01, 20 at sf0.1."""
+    return (corpus.where((F.col("vec_id") % 100 == 0)
+                         & (F.col("vec_id") < 2000))
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("vec").alias("qvec")))
+
+
+_COS_B = ("list_dot_product(e.vec, qs.qvec)"
+          "/(sqrt(list_dot_product(e.vec, e.vec))"
+          "*sqrt(list_dot_product(qs.qvec, qs.qvec)))")
+
+
+def _hnsw_batch_oracle() -> str:
+    """The single-query oracle's unrolled beam, lifted per-qid: every
+    `best` stage becomes a row_number window partitioned by qid."""
+    art = _twin_build()
+    _guard_oracle_edges(art, "_hnsw_batch_oracle")
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        "qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec "
+        "FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000)",
+        "tops(vec_id) AS (VALUES " +
+        ",".join(f"({i})" for i in art["tops"]) + ")",
+    ]
+    for lvl, pairs in art["adj"].items():
+        ctes.append(f"adj{lvl}(src, dst) AS (VALUES {_vals(pairs)})")
+
+    def best(src_cte: str, name: str, limit: int) -> str:
+        return (f"{name} AS (SELECT qid, vec_id FROM ("
+                f"SELECT s.qid, s.vec_id, row_number() OVER ("
+                f"PARTITION BY s.qid ORDER BY {_COS_B} DESC, s.vec_id)"
+                f" AS rn FROM {src_cte} s JOIN e USING (vec_id) "
+                f"JOIN qs USING (qid)) WHERE rn <= {limit})")
+
+    ctes.append("s0 AS (SELECT qs.qid, t.vec_id FROM qs, tops t)")
+    ctes.append(best("s0", "f_top", HNSW_SEEDS))
+    prev = "f_top"
+    for lvl in range(art["L"] - 1, 0, -1):
+        ctes.append(
+            f"u{lvl} AS (SELECT qid, vec_id FROM {prev} "
+            f"UNION SELECT f.qid, a.dst AS vec_id FROM adj{lvl} a "
+            f"JOIN {prev} f ON a.src = f.vec_id)")
+        ctes.append(best(f"u{lvl}", f"f{lvl}", HNSW_SEEDS))
+        prev = f"f{lvl}"
+    vis = prev
+    for h in range(HNSW_HOPS):
+        ctes.append(
+            f"v{h} AS (SELECT qid, vec_id FROM {vis} "
+            f"UNION SELECT f.qid, a.dst AS vec_id FROM adj0 a "
+            f"JOIN {prev} f ON a.src = f.vec_id)")
+        ctes.append(best(f"v{h}", f"f0_{h}", HNSW_EF))
+        prev, vis = f"f0_{h}", f"v{h}"
+    return (
+        "WITH " + ",\n".join(ctes) +
+        f"\nSELECT qid, vec_id, score, CAST(rank AS INT) AS rank FROM ("
+        f"SELECT s.qid, s.vec_id, {_COS_B} AS score, row_number() OVER ("
+        f"PARTITION BY s.qid ORDER BY {_COS_B} DESC, s.vec_id) AS rank "
+        f"FROM {vis} s JOIN e USING (vec_id) JOIN qs USING (qid)) "
+        "WHERE rank <= 10 ORDER BY qid, rank")
+
+
+@register("hnsw_batch_knn", oracle=lambda: _hnsw_batch_oracle())
+def hnsw_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN through the HNSW graph: the fixed bounded query panel
+    (I11's convention) beam-searches the artifact together — one
+    expansion join + one scoring join + one qid window per hop for
+    ALL queries. Graph amortized via session_art; oracle unrolls the
+    same per-qid beam over the twin's embedded adjacency."""
+    sart = session_art(spark, sf_dir)
+    return hnsw_probe_batch(spark, sart["corpus"], sart,
+                            _batch_queries(sart["corpus"]), k=10)
+
+
+# -------------------------------------------------- incremental ingest
+
+MERGE_SPLIT = 50  # vec_id < MERGE_SPLIT arrive as the ingest batch
+
+
+def hnsw_merge(spark: SparkSession, base_art: dict, base_corpus: DataFrame,
+               batch: DataFrame) -> dict:
+    """Incremental ingest — classic HNSW insert, batched (VERDICT r7
+    #8, the I21 frozen-structure pattern: FAISS merge_from keeps the
+    trained quantizer; here L and the base levels stay frozen).
+
+    Per the sequential algorithm, an inserted node finds its
+    neighbors by SEARCHING the existing graph; the batch form runs
+    that search for every new node at once (`_batch_visited` — the
+    same shared-job beam the batch probe uses) and wires edges with
+    bounded joins:
+      1. each new node's base candidate pool = its layer-0 visited
+         set (ef·M ids), intersected per layer with that layer's
+         membership (levels are the same md5 draw, so membership is
+         a map-side predicate, no lookup);
+      2. new×new candidates per layer come from an NN-Descent graph
+         over just the new nodes (the "reseeded over new" half of
+         the r7 sketch) — never new×base beyond the visited pool,
+         never base×base;
+      3. a new node's out-edges = top-M over (1)∪(2); reverse edges
+         then re-rank ONLY the affected targets: a base node that
+         received a reverse proposal re-ranks its existing M edges ∪
+         proposals — every untouched base edge list is carried
+         through unchanged (left_anti on the affected src set).
+    Cost: one batch beam probe + O(|batch|·M) reverse re-ranks —
+    independent of |base| size beyond the probe's bounded hops. The
+    merged artifact is the same {L, n, tops, adj} shape, so probes,
+    hnsw_write, and collect_art apply unchanged. Twin parity
+    (`_twin_merge`) is asserted bit-for-bit in tests/test_hnsw.py."""
+    levels_b = (batch.select("vec_id", "vec",
+                             _level_col("vec_id").alias("level"))
+                .localCheckpoint(eager=False))
+    bhist = {int(r.level): int(r.n) for r in
+             levels_b.groupBy("level").agg(F.count("*").alias("n"))
+             .collect()}
+
+    def new_at(lvl: int) -> int:
+        return sum(n for lv, n in bhist.items() if lv >= lvl)
+
+    full = base_corpus.union(batch.select("vec_id", "vec"))
+    n_full = int(base_art["n"]) + new_at(0)
+    queries = batch.select(F.col("vec_id").alias("qid"),
+                           F.col("vec").alias("qvec"))
+    vis = _batch_visited(spark, base_corpus, base_art, queries,
+                         HNSW_EF, HNSW_HOPS)
+    adj: dict[int, DataFrame] = {}
+    for lvl in range(0, base_art["L"]):
+        base_adj = _adj_df(spark, base_art["adj"][lvl]).select("src", "dst")
+        new_lvl = (levels_b.where(F.col("level") >= lvl)
+                   .select("vec_id", "vec"))
+        if new_at(lvl) == 0:
+            adj[lvl] = base_adj.localCheckpoint(eager=False)
+            continue
+        # (1) visited pool, restricted to this layer's base members
+        cand_base = (vis.select(F.col("qid").alias("src"),
+                                F.col("vec_id").alias("dst"))
+                     .join(F.broadcast(new_lvl.select(
+                         F.col("vec_id").alias("src"))), "src")
+                     .where(_level_col("dst") >= lvl))
+        # (2) NN-Descent graph among the new nodes at this layer
+        new_graph = _layer_graph(new_lvl, new_at(lvl))
+        cand = cand_base.union(new_graph).distinct()
+        new_out = _topm(_scored(cand, full, n_full), "src")\
+            .localCheckpoint()
+        # (3) reverse proposals re-rank only the affected targets
+        # (classified by batch membership, not by any id convention)
+        new_ids = levels_b.select(F.col("vec_id").alias("src"))
+        rev = new_out.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+        rev_base = rev.join(F.broadcast(new_ids), "src", "left_anti")
+        affected = rev_base.select("src").distinct()
+        base_keep = base_adj.join(F.broadcast(affected), "src",
+                                  "left_anti")
+        base_upd = _topm(_scored(
+            base_adj.join(F.broadcast(affected), "src")
+                    .union(rev_base).distinct(), full, n_full), "src")
+        new_final = _topm(_scored(
+            new_out.union(rev.join(F.broadcast(new_ids), "src"))
+                   .distinct(), full, n_full), "src")
+        adj[lvl] = (base_keep.union(base_upd).union(new_final)
+                    .localCheckpoint())
+    tops = (_ids_df(spark, base_art["tops"]).select("vec_id")
+            .union(levels_b.where(F.col("level") >= base_art["L"])
+                   .select("vec_id"))
+            .coalesce(1).localCheckpoint())
+    return {"L": base_art["L"], "n": n_full, "tops": tops, "adj": adj}
+
+
+_MERGED_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def merged_art_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Base graph over vec_id >= MERGE_SPLIT, then the vec_id <
+    MERGE_SPLIT slice ingested via hnsw_merge — cached per session
+    like session_art, with a resident corpus copy."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MERGED_CACHE:
+        corpus = _corpus_for(spark, sf_dir)
+        base = corpus.where(F.col("vec_id") >= MERGE_SPLIT)
+        batch = corpus.where(F.col("vec_id") < MERGE_SPLIT)
+        base_art = hnsw_build(spark, base)
+        art = hnsw_merge(spark, base_art, base, batch)
+        cached = {
+            "L": art["L"], "n": art["n"],
+            "corpus": corpus.coalesce(4).localCheckpoint(eager=False),
+            "tops": art["tops"],
+            "adj": art["adj"],
+        }
+        if art["n"] <= DRIVER_BEAM_MAX_NODES:
+            cached["plain"] = collect_art(art)
+        _MERGED_CACHE[key] = cached
+    return _MERGED_CACHE[key]
+
+
+@register("hnsw_merge_knn", oracle=lambda: _hnsw_merge_oracle())
+def hnsw_merge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the MERGED graph for query vec_id=0 — which is itself a
+    freshly-ingested node, so a correct answer proves the insert
+    wiring end to end (the beam must navigate base edges into the
+    new node's neighborhood and back out). Same size-switched route
+    as hnsw_knn; oracle unrolls the identical beam over the twin
+    merge's embedded adjacency."""
+    mart = merged_art_for(spark, sf_dir)
+    qrow = mart["corpus"].where(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            f"hnsw_merge_knn: query vector vec_id=0 not present in "
+            f"{sf_dir}/embeddings — the query-id convention needs it")
+    if "plain" in mart:
+        return hnsw_probe_driver(spark, mart["corpus"], mart["plain"],
+                                 [float(v) for v in qrow.vec], k=10)
+    qdf = (mart["corpus"].where(F.col("vec_id") == 0)
+           .select(F.col("vec").alias("qvec")))
+    return hnsw_probe(spark, mart["corpus"], mart, qdf, k=10)
 
 
 # ----------------------------------------------------- numpy twin
@@ -461,15 +868,16 @@ def _twin_layer_edges(ids, X, nrm, idx_of):
     return sorted((s, d) for s, ds in edges.items() for d in ds)
 
 
-def _twin_build(sf_dir: str | None = None) -> dict:
-    """Spark-free rebuild of the exact graph hnsw_build produces."""
+_TWIN_CORPUS_CACHE: dict[str, tuple] = {}
+
+
+def _twin_corpus(sf: str) -> tuple:
+    """(ids, X, nrm, idx_of, lvl) for sf's embeddings, DuckDB-loaded."""
     import duckdb
     import numpy as np
 
-    sf = sf_dir or os.environ.get("UVDB_SIM_SF_DIR",
-                                  "/root/testdata/sf0.01")
-    if sf in _TWIN_CACHE:
-        return _TWIN_CACHE[sf]
+    if sf in _TWIN_CORPUS_CACHE:
+        return _TWIN_CORPUS_CACHE[sf]
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
@@ -484,9 +892,14 @@ def _twin_build(sf_dir: str | None = None) -> dict:
     nrm = np.sqrt(nrm2)
     lvl = {i: len(re.match("0*", hashlib.md5(
         str(i).encode()).hexdigest()).group(0)) for i in ids}
+    _TWIN_CORPUS_CACHE[sf] = (ids, X, nrm, idx_of, lvl)
+    return _TWIN_CORPUS_CACHE[sf]
 
+
+def _twin_art(ids, X, nrm, idx_of, lvl) -> dict:
+    """numpy mirror of hnsw_build over the node subset `ids`."""
     def at_least(l: int) -> int:
-        return sum(1 for v in lvl.values() if v >= l)
+        return sum(1 for i in ids if lvl[i] >= l)
 
     big_l = 1
     while at_least(big_l + 1) >= TOP_MIN:
@@ -496,8 +909,119 @@ def _twin_build(sf_dir: str | None = None) -> dict:
     for level in range(0, big_l):
         layer_ids = sorted(i for i in ids if lvl[i] >= level)
         adj[level] = _twin_layer_edges(layer_ids, X, nrm, idx_of)
-    _TWIN_CACHE[sf] = {"L": big_l, "tops": tops, "adj": adj}
+    return {"L": big_l, "n": len(ids), "tops": tops, "adj": adj}
+
+
+def _twin_build(sf_dir: str | None = None) -> dict:
+    """Spark-free rebuild of the exact graph hnsw_build produces."""
+    sf = sf_dir or os.environ.get("UVDB_SIM_SF_DIR",
+                                  "/root/testdata/sf0.01")
+    if sf in _TWIN_CACHE:
+        return _TWIN_CACHE[sf]
+    ids, X, nrm, idx_of, lvl = _twin_corpus(sf)
+    _TWIN_CACHE[sf] = _twin_art(ids, X, nrm, idx_of, lvl)
     return _TWIN_CACHE[sf]
+
+
+def _twin_visited(art: dict, X, nrm, idx_of, q: int,
+                  ef: int = HNSW_EF, hops: int = HNSW_HOPS) -> set:
+    """numpy mirror of _batch_visited for ONE query (a corpus node):
+    identical hops, identical (-score, id) tie-breaks, scores from
+    the same dimension-ordered fold — so the visited set is exactly
+    what the distributed beam produces."""
+    adj: dict[int, dict[int, list[int]]] = {}
+    for lvl, pairs in art["adj"].items():
+        m: dict[int, list[int]] = {}
+        for s, d in pairs:
+            m.setdefault(s, []).append(d)
+        adj[lvl] = m
+    scores: dict[int, float] = {}
+
+    def sc(i: int) -> float:
+        if i not in scores:
+            scores[i] = float(_seq_cos(X, nrm, [idx_of[i]],
+                                       [idx_of[q]])[0])
+        return scores[i]
+
+    def top(ids, lim: int) -> list[int]:
+        return sorted(ids, key=lambda i: (-sc(i), i))[:lim]
+
+    f = top(art["tops"], HNSW_SEEDS)
+    for lvl in range(art["L"] - 1, 0, -1):
+        n = set(f) | {d for s in f for d in adj[lvl].get(s, ())}
+        f = top(n, HNSW_SEEDS)
+    visited = set(f)
+    for _ in range(hops):
+        n = visited | {d for s in f for d in adj[0].get(s, ())}
+        f = top(n, ef)
+        visited = n
+    return visited
+
+
+_TWIN_MERGE_CACHE: dict[str, dict] = {}
+
+
+def _twin_merge(sf_dir: str | None = None) -> dict:
+    """Spark-free mirror of merged_art_for: base build over vec_id >=
+    MERGE_SPLIT, then hnsw_merge's candidate/reverse wiring step for
+    the vec_id < MERGE_SPLIT batch — bit-for-bit the merged graph."""
+    sf = sf_dir or os.environ.get("UVDB_SIM_SF_DIR",
+                                  "/root/testdata/sf0.01")
+    if sf in _TWIN_MERGE_CACHE:
+        return _TWIN_MERGE_CACHE[sf]
+    ids, X, nrm, idx_of, lvl = _twin_corpus(sf)
+    base_ids = sorted(i for i in ids if i >= MERGE_SPLIT)
+    new_ids = sorted(i for i in ids if i < MERGE_SPLIT)
+    base = _twin_art(base_ids, X, nrm, idx_of, lvl)
+    vis = {q: _twin_visited(base, X, nrm, idx_of, q) for q in new_ids}
+    new_set = set(new_ids)
+    adj: dict[int, list] = {}
+    for level in range(base["L"]):
+        base_pairs = base["adj"][level]
+        new_at = sorted(q for q in new_ids if lvl[q] >= level)
+        if not new_at:
+            adj[level] = base_pairs
+            continue
+        cand = {q: {d for d in vis[q] if lvl[d] >= level}
+                for q in new_at}
+        for s, d in _twin_layer_edges(new_at, X, nrm, idx_of):
+            cand[s].add(d)
+
+        def topm(src: int, dset: set) -> list[int]:
+            ds = sorted(dset)
+            scv = _seq_cos(X, nrm, [idx_of[src]] * len(ds),
+                           [idx_of[d] for d in ds])
+            return _twin_topm(list(scv), ds)
+
+        new_out = {q: topm(q, ds) for q, ds in cand.items() if ds}
+        rev: dict[int, set[int]] = {}
+        for q, ds in new_out.items():
+            for d in ds:
+                rev.setdefault(d, set()).add(q)
+        base_out: dict[int, list[int]] = {}
+        for s, d in base_pairs:
+            base_out.setdefault(s, []).append(d)
+        merged: dict[int, list[int]] = {}
+        for s, ds in base_out.items():
+            if s in rev and s not in new_set:
+                merged[s] = topm(s, set(ds) | rev[s])
+            else:
+                merged[s] = ds
+        for s in rev:
+            if s not in new_set and s not in base_out:
+                merged[s] = topm(s, rev[s])
+        for q in new_at:
+            dset = set(new_out.get(q, ())) | (rev.get(q, set())
+                                              & new_set)
+            if dset:
+                merged[q] = topm(q, dset)
+        adj[level] = sorted((s, d) for s, ds in merged.items()
+                            for d in ds)
+    tops = sorted(set(base["tops"])
+                  | {q for q in new_ids if lvl[q] >= base["L"]})
+    art = {"L": base["L"], "n": len(ids), "tops": tops, "adj": adj}
+    _TWIN_MERGE_CACHE[sf] = art
+    return art
 
 
 # ---------------------------------------------------------- oracle
@@ -513,10 +1037,37 @@ def _vals(pairs) -> str:
     return ",".join(f"({s},{d})" for s, d in pairs)
 
 
+# Oracle-embedding guard: the adjacency goes into the SQL string as
+# VALUES literals (~12 bytes/edge), so cap it like _oracle_artifacts
+# caps its sampled literals — a larger sf dir must fail loudly here
+# rather than emit a multi-MB statement (ADVICE r7 #2).
+ORACLE_EDGE_CAP = 200_000
+
+
+def _guard_oracle_edges(art: dict, what: str) -> None:
+    edges = sum(len(p) for p in art["adj"].values())
+    if edges > ORACLE_EDGE_CAP:
+        raise ValueError(
+            f"{what}: {edges} adjacency edges exceed ORACLE_EDGE_CAP="
+            f"{ORACLE_EDGE_CAP}; the VALUES-literal oracle is bounded "
+            "by design — run correctness at a smaller sf_dir")
+
+
 def _hnsw_oracle() -> str:
     """Unrolled beam search over the twin's embedded adjacency: the
     fixed layer/hop depth makes the iteration pure CTE stages."""
-    art = _twin_build()
+    return _beam_oracle_sql(_twin_build(), "_hnsw_oracle")
+
+
+def _hnsw_merge_oracle() -> str:
+    """Same unrolled beam, over the twin MERGE's adjacency — what it
+    proves is the ingest wiring: only a correctly-inserted vec_id=0
+    neighborhood makes Spark's probe of the merged graph match."""
+    return _beam_oracle_sql(_twin_merge(), "_hnsw_merge_oracle")
+
+
+def _beam_oracle_sql(art: dict, what: str) -> str:
+    _guard_oracle_edges(art, what)
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
         "q AS (SELECT vec FROM e WHERE vec_id = 0)",

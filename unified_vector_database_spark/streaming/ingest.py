@@ -872,10 +872,23 @@ def stream_upsert_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ck = os.path.join(tempfile.gettempdir(),
                       "uvdb_upsertcol_ck_" + uuid.uuid4().hex[:8])
-    q = (stream.writeStream.foreachBatch(_sink)
-               .option("checkpointLocation", ck)
-               .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # The foreachBatch body runs OUTSIDE _run_to_memory, so it was the
+    # one streaming twin still paying session-width (32) shuffles for
+    # its per-batch window + upsert anti-join — 2 shuffles x 4 commits
+    # of scheduler overhead (VERDICT r7 #3's 1.28x regression). Pin
+    # the same replay-scale state width every sibling uses; results
+    # are partition-count invariant.
+    parts = os.environ.get("UVDB_STREAM_SHUFFLE_PARTITIONS",
+                           str(STREAM_SHUFFLE_PARTITIONS))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+                   .option("checkpointLocation", ck)
+                   .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     version = col.describe().version
     return (col.read()
                .groupBy("event_type")
