@@ -515,3 +515,23 @@ def test_r6c_ops_plan_shapes(spark, sf_dir):
 
     for op in (moving_fn_lin_wavg, moving_fn_min_max):
         assert "Window" not in plan_text(op(spark, sf_dir)), op.__name__
+
+
+def test_hnsw_probe_hops_prune_artifact_partitions(spark, sf_dir):
+    """The distributed beam's hop joins against the written artifact
+    must prune at the FILE LISTING: the adjacency is parquet
+    partitioned by bucket = pmod(src, ADJ_BUCKETS), the frontier
+    carries the same key, and Catalyst turns the bucket-equality
+    broadcast join into a dynamic partition pruning subquery — so a
+    hop reads only the frontier's buckets, not every partition. This
+    is the plan shape ADVICE r7 #1 asked the docs claim to match."""
+    from pyspark.sql import functions as F
+
+    from unified_vector_database_spark.operators import hnsw
+
+    art = hnsw.art_for(spark, sf_dir)
+    corpus = hnsw._corpus_for(spark, sf_dir)
+    q = (corpus.where(F.col("vec_id") == 7)
+         .select(F.col("vec").alias("qvec")))
+    txt = plan_text(hnsw.hnsw_probe(spark, corpus, art, q, k=10))
+    assert "dynamicpruning" in txt.lower(), "hop scans read all buckets"

@@ -156,6 +156,10 @@ def _layer_graph(nodes: DataFrame, n: int) -> DataFrame:
                     .select("t", _init_bucket_col("vec_id", F.col("t"),
                                                   n_buckets).alias("bucket"),
                             "vec_id", "vec"))
+    # In the all-pairs branch the keys are folded constants, so the
+    # cap window runs single-partition — intended: the branch is gated
+    # on n <= ALL_PAIRS_MAX rows (the WindowExec "no partition" WARN
+    # it logs is this bounded case, not an unpartitioned-window bug).
     keys = ["t", "bucket"]
     left = bucketed.select(*keys, F.col("vec_id").alias("src"))
     wcap = W.partitionBy(*keys).orderBy("vec_id")
@@ -535,6 +539,12 @@ def _batch_visited(spark: SparkSession, corpus: DataFrame, art: dict,
         f = best(n, HNSW_SEEDS).localCheckpoint(eager=False)
     a0 = _adj_df(spark, art["adj"][0])
     visited = f
+    # Both per-hop states checkpoint: the frontier feeds TWO consumers
+    # (next hop's expansion and its union into visited) and visited
+    # feeds two more — without the cut, each branch re-evaluates the
+    # whole beam prefix and the probe re-scores hop 1 exponentially
+    # often (measured 14.7 s vs 5.0 s at sf0.1 with a sparser
+    # checkpoint cadence).
     for _ in range(hops):
         n = (visited.union(_expand(a0, f, qid=True)).distinct()
              .localCheckpoint(eager=False))
