@@ -287,7 +287,10 @@ _PRIORITY = [
 # CORRECTNESS row.  Their old rows describe old outputs, so they jump
 # the stable-green tail and re-verify right after the never-green
 # backlog.  Clear entries once a new green row lands.
-_FORCE_RECHECK: list[str] = []
+# r8: hnsw_knn's route layer was reworked (collect-free build, written
+# artifact, size switch) — outputs verified identical under the
+# vanilla contract, queued for a fresh driver row behind the backlog.
+_FORCE_RECHECK: list[str] = ["hnsw_knn"]
 
 
 def _lifetime_green() -> set[str]:

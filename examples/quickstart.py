@@ -56,15 +56,25 @@ def main() -> None:
              payload=("label",)))
 
     # ---- 2b. HNSW: build the layered graph once (NN-Descent, all
-    # co-keyed joins), then beam-probe it — the batch twin of the
-    # Qdrant/Weaviate/ES default ANN engine
+    # co-keyed joins, collect-free — edges stay DataFrames), write it
+    # as the bucket-partitioned parquet artifact, then beam-probe it —
+    # the batch twin of the Qdrant/Weaviate/ES default ANN engine
     from unified_vector_database_spark.operators import hnsw
-    art = hnsw.hnsw_build(spark, corpus.select("vec_id", "vec"))
+    built = hnsw.hnsw_build(spark, corpus.select("vec_id", "vec"))
+    art_dir = tempfile.mkdtemp(prefix="quickstart_hnsw_")
+    hnsw.hnsw_write(built, art_dir)          # the on-disk index
+    art = hnsw.hnsw_read(spark, art_dir)     # lazy handles, hops prune
     qvec = [float(v) for v in
             corpus.where(F.col("vec_id") == 0).first().vec]
-    show("hnsw beam-probe top-5",
+    show("hnsw beam-probe top-5 (driver beam over the bounded artifact)",
          hnsw.hnsw_probe_driver(spark, corpus.select("vec_id", "vec"),
-                                art, qvec, k=5))
+                                hnsw.collect_art(art), qvec, k=5))
+    show("hnsw BATCH probe (every 100th vector as a query)",
+         hnsw.hnsw_probe_batch(spark, corpus.select("vec_id", "vec"),
+                               art,
+                               hnsw._batch_queries(
+                                   corpus.select("vec_id", "vec")),
+                               k=3))
 
     # ---- 3. every registered query runs through one uniform surface
     show("hybrid BM25+vector RRF", registry.QUERIES["hybrid_rrf"](spark, SF))
