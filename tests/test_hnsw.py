@@ -246,6 +246,135 @@ def test_oracle_edge_cap(monkeypatch):
         hnsw._guard_oracle_edges(art, "test")
 
 
+# ---- multi-layer coverage: the test/driver sf dirs are small enough
+# that the md5 level draw yields L=1, so the upper-layer hop logic
+# would otherwise only run at sf0.1+. Build a synthetic corpus whose
+# id set forces L=2 (enough ids with >= 2 leading md5 zeros) and pin
+# build parity, probe route equality, and merge parity on it.
+
+def _ml_ids():
+    import hashlib
+    import re as _re
+
+    def lvl(i):
+        return len(_re.match(
+            "0*", hashlib.md5(str(i).encode()).hexdigest()).group(0))
+
+    deep, shallow, i = [], [], 0
+    while len(deep) < 10 or len(shallow) < 290:
+        if lvl(i) >= 2:
+            if len(deep) < 10:
+                deep.append(i)
+        elif len(shallow) < 290:
+            shallow.append(i)
+        i += 1
+    return sorted(deep + shallow)
+
+
+def _ml_vec(i):
+    # deterministic rationals — exact in float64 on both engines
+    return [((i * 31 + j * 17) % 97) / 97.0 + (1.0 if j == i % 8 else 0.0)
+            for j in range(8)]
+
+
+def _ml_corpus(spark):
+    ids = _ml_ids()
+    return ids, spark.createDataFrame(
+        [(i, _ml_vec(i)) for i in ids],
+        "vec_id bigint, vec array<double>")
+
+
+def _ml_twin_parts(ids):
+    import numpy as np
+
+    X = np.array([_ml_vec(i) for i in ids], dtype=np.float64)
+    idx_of = {i: n for n, i in enumerate(ids)}
+    nrm2 = np.zeros(len(ids), dtype=np.float64)
+    for j in range(X.shape[1]):
+        nrm2 = nrm2 + X[:, j] * X[:, j]
+    import hashlib
+    import re as _re
+    lvl = {i: len(_re.match("0*", hashlib.md5(
+        str(i).encode()).hexdigest()).group(0)) for i in ids}
+    return X, np.sqrt(nrm2), idx_of, lvl
+
+
+def test_multilayer_build_matches_twin(spark):
+    ids, corpus = _ml_corpus(spark)
+    art = hnsw.collect_art(hnsw.hnsw_build(spark, corpus))
+    assert art["L"] >= 2, f"synthetic corpus must be multi-layer, L={art['L']}"
+    X, nrm, idx_of, lvl = _ml_twin_parts(ids)
+    twin = hnsw._twin_art(ids, X, nrm, idx_of, lvl)
+    assert art["L"] == twin["L"]
+    assert art["tops"] == twin["tops"]
+    for level in art["adj"]:
+        assert art["adj"][level] == twin["adj"][level], \
+            f"layer {level} diverged"
+
+
+def test_multilayer_probe_routes_agree(spark):
+    """With L >= 2 the upper-layer greedy hop actually executes — the
+    driver beam and the distributed frontier-join probe must still
+    agree row for row."""
+    ids, corpus = _ml_corpus(spark)
+    art = hnsw.collect_art(hnsw.hnsw_build(spark, corpus))
+    assert art["L"] >= 2
+    # a shallow node (route equality on an approximate result) and a
+    # top-layer node (always visited, so self-match is guaranteed —
+    # proving the descent doesn't lose the entry point's own id)
+    for qid, want_self in ((ids[7], False), (art["tops"][0], True)):
+        qvec = _ml_vec(qid)
+        q = spark.createDataFrame([(qvec,)], "qvec array<double>")
+        dist = [(r.vec_id, r.score) for r in
+                hnsw.hnsw_probe(spark, corpus, art, q, k=10).collect()]
+        drv = [(r.vec_id, r.score) for r in
+               hnsw.hnsw_probe_driver(spark, corpus, art, qvec,
+                                      k=10).collect()]
+        assert dist == drv, f"routes diverged for qid {qid}"
+        if want_self:
+            assert dist[0][0] == qid
+
+
+def test_multilayer_merge_matches_twin(spark):
+    """Merge parity where it matters most: L = 2, a batch containing
+    BOTH deep (level >= L, extends the top layer) and shallow nodes,
+    per-layer wiring + frozen-L tops union all mirrored bit-for-bit."""
+    ids, corpus = _ml_corpus(spark)
+    X, nrm, idx_of, lvl = _ml_twin_parts(ids)
+    deep = [i for i in ids if lvl[i] >= 2]
+    shallow = [i for i in ids if lvl[i] < 2]
+    new_ids = sorted(deep[:2] + shallow[:38])
+    base_ids = sorted(set(ids) - set(new_ids))
+    new_set = set(new_ids)
+    from pyspark.sql import functions as F  # noqa: F811
+    base_df = corpus.where(F.col("vec_id").isin(base_ids))
+    batch_df = corpus.where(F.col("vec_id").isin(new_ids))
+    base_art = hnsw.hnsw_build(spark, base_df)
+    art = hnsw.collect_art(
+        hnsw.hnsw_merge(spark, base_art, base_df, batch_df))
+    twin = hnsw._twin_merge_parts(ids, X, nrm, idx_of, lvl,
+                                  base_ids, new_ids)
+    assert art["L"] == twin["L"] >= 2
+    assert art["tops"] == twin["tops"]
+    assert any(i in new_set for i in art["tops"]), \
+        "a deep inserted node must join the frozen-L top layer"
+    for level in art["adj"]:
+        assert art["adj"][level] == twin["adj"][level], \
+            f"layer {level} diverged"
+
+
+def test_merge_empty_batch_is_identity(spark, sf_dir):
+    """Ingesting an empty batch must return the base graph verbatim."""
+    corpus = _corpus(spark, sf_dir)
+    base_art = hnsw.hnsw_build(spark, corpus)
+    empty = corpus.where(F.lit(False))
+    art = hnsw.collect_art(hnsw.hnsw_merge(spark, base_art, corpus, empty))
+    plain = hnsw.collect_art(base_art)
+    assert art["L"] == plain["L"]
+    assert art["tops"] == plain["tops"]
+    assert art["adj"] == plain["adj"]
+
+
 def test_degenerate_tiny_corpus(spark):
     """3-node corpus: level>=1 layer is (almost surely) empty, so the
     top layer falls back to every node and the probe degrades to an

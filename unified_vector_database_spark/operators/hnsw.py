@@ -702,6 +702,12 @@ def hnsw_merge(spark: SparkSession, base_art: dict, base_corpus: DataFrame,
     def new_at(lvl: int) -> int:
         return sum(n for lv, n in bhist.items() if lv >= lvl)
 
+    if new_at(0) == 0:  # empty ingest batch: merge is the identity
+        return {"L": base_art["L"], "n": int(base_art["n"]),
+                "tops": _ids_df(spark, base_art["tops"]).select("vec_id"),
+                "adj": {lvl: _adj_df(spark, base_art["adj"][lvl])
+                        .select("src", "dst")
+                        for lvl in range(base_art["L"])}}
     full = base_corpus.union(batch.select("vec_id", "vec"))
     n_full = int(base_art["n"]) + new_at(0)
     queries = batch.select(F.col("vec_id").alias("qid"),
@@ -982,6 +988,15 @@ def _twin_merge(sf_dir: str | None = None) -> dict:
     ids, X, nrm, idx_of, lvl = _twin_corpus(sf)
     base_ids = sorted(i for i in ids if i >= MERGE_SPLIT)
     new_ids = sorted(i for i in ids if i < MERGE_SPLIT)
+    _TWIN_MERGE_CACHE[sf] = _twin_merge_parts(
+        ids, X, nrm, idx_of, lvl, base_ids, new_ids)
+    return _TWIN_MERGE_CACHE[sf]
+
+
+def _twin_merge_parts(ids, X, nrm, idx_of, lvl,
+                      base_ids, new_ids) -> dict:
+    """numpy mirror of hnsw_merge over an explicit base/batch split —
+    reusable for synthetic multi-layer corpora in tests."""
     base = _twin_art(base_ids, X, nrm, idx_of, lvl)
     vis = {q: _twin_visited(base, X, nrm, idx_of, q) for q in new_ids}
     new_set = set(new_ids)
@@ -1029,9 +1044,7 @@ def _twin_merge(sf_dir: str | None = None) -> dict:
                             for d in ds)
     tops = sorted(set(base["tops"])
                   | {q for q in new_ids if lvl[q] >= base["L"]})
-    art = {"L": base["L"], "n": len(ids), "tops": tops, "adj": adj}
-    _TWIN_MERGE_CACHE[sf] = art
-    return art
+    return {"L": base["L"], "n": len(ids), "tops": tops, "adj": adj}
 
 
 # ---------------------------------------------------------- oracle
