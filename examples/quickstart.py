@@ -69,12 +69,12 @@ def main() -> None:
     show("hnsw beam-probe top-5 (driver beam over the bounded artifact)",
          hnsw.hnsw_probe_driver(spark, corpus.select("vec_id", "vec"),
                                 hnsw.collect_art(art), qvec, k=5))
+    batch_queries = (corpus.where(F.col("vec_id") % 100 == 0)
+                           .select(F.col("vec_id").alias("qid"),
+                                   F.col("vec").alias("qvec")))
     show("hnsw BATCH probe (every 100th vector as a query)",
          hnsw.hnsw_probe_batch(spark, corpus.select("vec_id", "vec"),
-                               art,
-                               hnsw._batch_queries(
-                                   corpus.select("vec_id", "vec")),
-                               k=3))
+                               art, batch_queries, k=3))
 
     # ---- 3. every registered query runs through one uniform surface
     show("hybrid BM25+vector RRF", registry.QUERIES["hybrid_rrf"](spark, SF))

@@ -262,18 +262,25 @@ def hnsw_write(art: dict, path: str) -> None:
               .write.mode("overwrite").partitionBy("bucket")
               .parquet(f"{path}/adj{lvl}"))
     art["tops"].write.mode("overwrite").parquet(f"{path}/tops")
-    (spark.createDataFrame([(int(art["L"]), int(art["n"]))], "L int, n bigint")
+    (spark.createDataFrame(
+        [(int(art["L"]), int(art["n"]), int(ADJ_BUCKETS))],
+        "L int, n bigint, buckets int")
           .write.mode("overwrite").parquet(f"{path}/meta"))
 
 
 def hnsw_read(spark: SparkSession, path: str) -> dict:
     """Lazy handles onto a written artifact — the index-resident form
     the distributed probe consumes. Adjacency keeps its `bucket`
-    partition column so hop joins prune."""
+    partition column so hop joins prune; meta carries the bucket
+    modulus the artifact was written with, so probes of an artifact
+    from a different ADJ_BUCKETS era still join on the right key
+    (persisted-format compatibility, review-caught)."""
     meta = spark.read.parquet(f"{path}/meta").first()
     adj = {lvl: spark.read.parquet(f"{path}/adj{lvl}")
            for lvl in range(int(meta.L))}
-    return {"L": int(meta.L), "n": int(meta.n),
+    buckets = int(meta.buckets) if "buckets" in meta.__fields__ \
+        else ADJ_BUCKETS
+    return {"L": int(meta.L), "n": int(meta.n), "buckets": buckets,
             "tops": spark.read.parquet(f"{path}/tops"), "adj": adj}
 
 
@@ -295,18 +302,21 @@ def _adj_df(spark: SparkSession, pairs) -> DataFrame:
     return spark.createDataFrame(pairs or [], "src bigint, dst bigint")
 
 
-def _expand(adj: DataFrame, frontier: DataFrame,
-            qid: bool = False) -> DataFrame:
+def _expand(adj: DataFrame, frontier: DataFrame, qid: bool = False,
+            buckets: int = ADJ_BUCKETS) -> DataFrame:
     """One hop: frontier ids -> their out-neighbors. The frontier is
     bounded (ef·M ids per query) so it broadcasts; when the adjacency
     is the bucket-partitioned artifact the join carries the bucket
     key too, so the artifact scan prunes to the frontier's buckets
-    instead of listing every partition."""
+    instead of listing every partition. `buckets` MUST be the modulus
+    the artifact was WRITTEN with (persisted in meta, threaded from
+    art['buckets']) — recomputing with a different modulus would
+    silently drop valid edges."""
     cols = [frontier["qid"], adj["dst"].alias("vec_id")] if qid else \
         [adj["dst"].alias("vec_id")]
     if "bucket" in adj.columns:
         f = frontier.withColumn(
-            "_b", F.pmod("vec_id", F.lit(ADJ_BUCKETS)).cast("int"))
+            "_b", F.pmod("vec_id", F.lit(buckets)).cast("int"))
         cond = (adj["bucket"] == f["_b"]) & (adj["src"] == f["vec_id"])
         if qid:
             cols = [f["qid"], adj["dst"].alias("vec_id")]
@@ -335,15 +345,17 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
                       .orderBy(F.col("score").desc(), "vec_id")
                       .limit(limit).select("vec_id"))
 
+    nb = art.get("buckets", ADJ_BUCKETS)
     f = best(_ids_df(spark, art["tops"]).select("vec_id"), HNSW_SEEDS)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
-        n = f.union(_expand(a, f)).coalesce(1).distinct()
+        n = f.union(_expand(a, f, buckets=nb)).coalesce(1).distinct()
         f = best(n, HNSW_SEEDS)
     a0 = _adj_df(spark, art["adj"][0])
     visited = f
     for _ in range(hops):
-        n = visited.union(_expand(a0, f)).coalesce(1).distinct()
+        n = visited.union(_expand(a0, f, buckets=nb)) \
+            .coalesce(1).distinct()
         f = best(n, ef)
         visited = n
     return (corpus.join(F.broadcast(visited), "vec_id")
@@ -374,10 +386,17 @@ def art_for(spark: SparkSession, sf_dir: str) -> dict:
     path (write → bucket-partitioned parquet → read)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ART_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         built = hnsw_build(spark, _corpus_for(spark, sf_dir))
         path = tempfile.mkdtemp(prefix="uvdb_hnsw_")
+        # session-scoped artifact: remove on interpreter exit so
+        # repeated runs don't accumulate stale copies (review-caught;
+        # a production deployment writes to a managed artifact store
+        # via hnsw_write directly and owns the lifecycle)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         hnsw_write(built, path)
         _ART_CACHE[key] = hnsw_read(spark, path)
     return _ART_CACHE[key]
@@ -398,6 +417,7 @@ def session_art(spark: SparkSession, sf_dir: str) -> dict:
         art = art_for(spark, sf_dir)
         sart = {
             "L": art["L"], "n": art["n"],
+            "buckets": art.get("buckets", ADJ_BUCKETS),
             # few partitions for the resident copy: a 2k-row lookup
             # side shouldn't cost 32 task launches per beam hop
             "corpus": _corpus_for(spark, sf_dir)
@@ -492,20 +512,16 @@ def hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed hnsw_probe over the written artifact handles — route
     equality pinned in tests/test_hnsw.py."""
     sart = session_art(spark, sf_dir)
-    if "plain" in sart:
-        qrow = sart["corpus"].where(F.col("vec_id") == 0).first()
-        if qrow is None:
-            raise ValueError(
-                f"hnsw_knn: query vector vec_id=0 not present in "
-                f"{sf_dir}/embeddings — the query-id convention needs it")
-        return hnsw_probe_driver(spark, sart["corpus"], sart["plain"],
-                                 [float(v) for v in qrow.vec], k=10)
-    qdf = (sart["corpus"].where(F.col("vec_id") == 0)
-           .select(F.col("vec").alias("qvec")))
-    if qdf.first() is None:
+    qrow = sart["corpus"].where(F.col("vec_id") == 0).first()
+    if qrow is None:
         raise ValueError(
             f"hnsw_knn: query vector vec_id=0 not present in "
             f"{sf_dir}/embeddings — the query-id convention needs it")
+    qvec = [float(v) for v in qrow.vec]
+    if "plain" in sart:
+        return hnsw_probe_driver(spark, sart["corpus"], sart["plain"],
+                                 qvec, k=10)
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
     return hnsw_probe(spark, sart["corpus"], sart, qdf, k=10)
 
 
@@ -529,13 +545,14 @@ def _batch_visited(spark: SparkSession, corpus: DataFrame, art: dict,
                       .where(F.col("rn") <= limit)
                       .select("qid", "vec_id"))
 
+    nb = art.get("buckets", ADJ_BUCKETS)
     seeds = (queries.select("qid")
              .crossJoin(F.broadcast(_ids_df(spark, art["tops"])
                                     .select("vec_id"))))
     f = best(seeds, HNSW_SEEDS).localCheckpoint(eager=False)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
-        n = f.union(_expand(a, f, qid=True)).distinct()
+        n = f.union(_expand(a, f, qid=True, buckets=nb)).distinct()
         f = best(n, HNSW_SEEDS).localCheckpoint(eager=False)
     a0 = _adj_df(spark, art["adj"][0])
     visited = f
@@ -546,8 +563,8 @@ def _batch_visited(spark: SparkSession, corpus: DataFrame, art: dict,
     # often (measured 14.7 s vs 5.0 s at sf0.1 with a sparser
     # checkpoint cadence).
     for _ in range(hops):
-        n = (visited.union(_expand(a0, f, qid=True)).distinct()
-             .localCheckpoint(eager=False))
+        n = (visited.union(_expand(a0, f, qid=True, buckets=nb))
+             .distinct().localCheckpoint(eager=False))
         f = best(n, ef).localCheckpoint(eager=False)
         visited = n
     return visited
@@ -797,11 +814,11 @@ def hnsw_merge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"hnsw_merge_knn: query vector vec_id=0 not present in "
             f"{sf_dir}/embeddings — the query-id convention needs it")
+    qvec = [float(v) for v in qrow.vec]
     if "plain" in mart:
         return hnsw_probe_driver(spark, mart["corpus"], mart["plain"],
-                                 [float(v) for v in qrow.vec], k=10)
-    qdf = (mart["corpus"].where(F.col("vec_id") == 0)
-           .select(F.col("vec").alias("qvec")))
+                                 qvec, k=10)
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
     return hnsw_probe(spark, mart["corpus"], mart, qdf, k=10)
 
 

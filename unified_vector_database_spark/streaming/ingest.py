@@ -249,8 +249,28 @@ def _replay_events(spark: SparkSession, sf_dir: str, tag: str,
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _pinned_stream_shuffle(spark: SparkSession):
+    """Context manager pinning the replay-scale state width
+    (UVDB_STREAM_SHUFFLE_PARTITIONS, default STREAM_SHUFFLE_PARTITIONS)
+    for the duration of a one-shot streaming run — shared by
+    _run_to_memory and the foreachBatch sinks that run outside it."""
     import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _pin():
+        parts = os.environ.get("UVDB_STREAM_SHUFFLE_PARTITIONS",
+                               str(STREAM_SHUFFLE_PARTITIONS))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _pin()
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     import uuid
 
     if not stream_df.isStreaming:
@@ -259,16 +279,10 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
         return stream_df
     spark = stream_df.sparkSession
     name = "uvdb_mem_" + uuid.uuid4().hex[:8]
-    parts = os.environ.get("UVDB_STREAM_SHUFFLE_PARTITIONS",
-                           str(STREAM_SHUFFLE_PARTITIONS))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try:
+    with _pinned_stream_shuffle(spark):
         q = (stream_df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -878,17 +892,11 @@ def stream_upsert_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of scheduler overhead (VERDICT r7 #3's 1.28x regression). Pin
     # the same replay-scale state width every sibling uses; results
     # are partition-count invariant.
-    parts = os.environ.get("UVDB_STREAM_SHUFFLE_PARTITIONS",
-                           str(STREAM_SHUFFLE_PARTITIONS))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try:
+    with _pinned_stream_shuffle(spark):
         q = (stream.writeStream.foreachBatch(_sink)
                    .option("checkpointLocation", ck)
                    .trigger(availableNow=True).start())
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     version = col.describe().version
     return (col.read()
                .groupBy("event_type")
