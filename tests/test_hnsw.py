@@ -231,6 +231,23 @@ def test_merge_touches_base_edges_only_via_new_nodes(spark, sf_dir):
     assert untouched > 0
 
 
+def test_batch_driver_route_equals_distributed(spark, sf_dir):
+    """The batched driver beam (small-corpus route of hnsw_batch_knn)
+    must reproduce the fully distributed batch probe row for row —
+    same hops, tie-breaks, scores, ranks, and row order."""
+    corpus = _corpus(spark, sf_dir)
+    art = hnsw.art_for(spark, sf_dir)
+    queries = hnsw._batch_queries(corpus)
+    dist = [tuple(r) for r in
+            hnsw.hnsw_probe_batch(spark, corpus, art,
+                                  queries, k=10).collect()]
+    drv = [tuple(r) for r in
+           hnsw.hnsw_probe_batch_driver(spark, corpus,
+                                        hnsw.collect_art(art),
+                                        queries, k=10).collect()]
+    assert dist == drv
+
+
 def test_collect_art_refuses_oversized(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(hnsw, "DRIVER_BEAM_MAX_NODES", 0)
     with pytest.raises(ValueError, match="DRIVER_BEAM_MAX_NODES"):

@@ -600,6 +600,85 @@ def hnsw_probe_batch(spark: SparkSession, corpus: DataFrame, art: dict,
                   .orderBy("qid", "rank"))
 
 
+def _score_pairs(corpus: DataFrame, queries: DataFrame,
+                 pairs: list[tuple[int, int]]) -> dict:
+    """Cosine for a bounded (qid, vec_id) pair set in ONE job — the
+    batch twin of _score_ids: same JVM fold, same operand order, so
+    the collected doubles are bit-identical to the distributed
+    probe's window inputs."""
+    spark = corpus.sparkSession
+    pdf = spark.createDataFrame([(int(q), int(v)) for q, v in pairs],
+                                "qid bigint, vec_id bigint")
+    rows = (corpus.join(F.broadcast(pdf), "vec_id")
+                  .join(F.broadcast(queries), "qid")
+                  .select("qid", "vec_id",
+                          D.cosine("vec", "qvec").alias("score"))
+                  .collect())
+    return {(int(r.qid), int(r.vec_id)): float(r.score) for r in rows}
+
+
+def hnsw_probe_batch_driver(spark: SparkSession, corpus: DataFrame,
+                            art: dict, queries: DataFrame, k: int,
+                            ef: int = HNSW_EF,
+                            hops: int = HNSW_HOPS) -> DataFrame:
+    """Batch probe with the beam state driver-side — the multi-query
+    twin of hnsw_probe_driver, used on the size-switched small-corpus
+    route where the artifact is already collected: every hop advances
+    ALL queries' beams with ONE bounded pair-scoring job (≤ |Q|·ef·M
+    rows), ~L+hops jobs total vs the distributed form's per-hop
+    materializations. Hop order and (-score, id) tie-breaks are
+    identical to hnsw_probe_batch; equality pinned in tests."""
+    adj: dict[int, dict[int, list[int]]] = {}
+    for lvl, prs in art["adj"].items():
+        m: dict[int, list[int]] = {}
+        for s, d in prs:
+            m.setdefault(s, []).append(d)
+        adj[lvl] = m
+    qids = [int(r.qid) for r in queries.select("qid").collect()]
+    scores: dict[tuple[int, int], float] = {}
+
+    def ensure(state: dict[int, set]) -> None:
+        new = [(q, v) for q, ids in state.items() for v in ids
+               if (q, v) not in scores]
+        if new:
+            scores.update(_score_pairs(corpus, queries, new))
+
+    def top(q: int, ids, lim: int) -> list[int]:
+        return sorted(ids, key=lambda i: (-scores[(q, i)], i))[:lim]
+
+    tops = set(art["tops"])
+    ensure({q: tops for q in qids})
+    f = {q: top(q, tops, HNSW_SEEDS) for q in qids}
+    for lvl in range(art["L"] - 1, 0, -1):
+        n = {q: set(f[q]) | {d for s in f[q]
+                             for d in adj[lvl].get(s, ())} for q in qids}
+        ensure(n)
+        f = {q: top(q, n[q], HNSW_SEEDS) for q in qids}
+    visited = {q: set(f[q]) for q in qids}
+    for h in range(hops):
+        n = {q: visited[q] | {d for s in f[q]
+                              for d in adj[0].get(s, ())} for q in qids}
+        if h % 2 == 0:
+            # the hnsw_probe_driver prefetch: pull one extra hop of
+            # neighborhood into the same scoring job — every other
+            # ensure() is then a no-op (subset), pure job-count
+            # reduction, zero semantic change (the beam still only
+            # ranks n[q])
+            ensure({q: n[q] | {d2 for i in n[q]
+                               for d2 in adj[0].get(i, ())}
+                    for q in qids})
+        else:
+            ensure(n)
+        f = {q: top(q, n[q], ef) for q in qids}
+        visited = n
+    out = []
+    for q in sorted(qids):
+        for rank, v in enumerate(top(q, visited[q], k), start=1):
+            out.append((q, v, scores[(q, v)], rank))
+    return spark.createDataFrame(
+        out, "qid bigint, vec_id bigint, score double, rank int")
+
+
 def _batch_queries(corpus: DataFrame) -> DataFrame:
     """The fixed bounded query panel ivf_batch_knn uses (I11): every
     100th vector below 2000 — 5 queries at sf0.01, 20 at sf0.1."""
@@ -669,10 +748,16 @@ def hnsw_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (I11's convention) beam-searches the artifact together — one
     expansion join + one scoring join + one qid window per hop for
     ALL queries. Graph amortized via session_art; oracle unrolls the
-    same per-qid beam over the twin's embedded adjacency."""
+    same per-qid beam over the twin's embedded adjacency. Route is
+    size-switched like hnsw_knn: small corpora run the batched
+    driver beam (one pair-scoring job per hop), large ones the fully
+    distributed hnsw_probe_batch — route equality pinned in tests."""
     sart = session_art(spark, sf_dir)
-    return hnsw_probe_batch(spark, sart["corpus"], sart,
-                            _batch_queries(sart["corpus"]), k=10)
+    queries = _batch_queries(sart["corpus"])
+    if "plain" in sart:
+        return hnsw_probe_batch_driver(spark, sart["corpus"],
+                                       sart["plain"], queries, k=10)
+    return hnsw_probe_batch(spark, sart["corpus"], sart, queries, k=10)
 
 
 # -------------------------------------------------- incremental ingest
