@@ -254,6 +254,76 @@ def test_collect_art_refuses_oversized(spark, sf_dir, monkeypatch):
         hnsw.collect_art(hnsw.art_for(spark, sf_dir))
 
 
+def test_collect_art_edge_guard_without_n(spark, sf_dir, monkeypatch):
+    """ADVICE r8 #2 + VERDICT r8 #6: the collect guard must bind on
+    EDGES, and an artifact handed over without an 'n' key must hit the
+    guard instead of bypassing it into an unbounded collect."""
+    art = dict(hnsw.art_for(spark, sf_dir))
+    art.pop("n", None)
+    monkeypatch.setattr(hnsw, "DRIVER_BEAM_MAX_EDGES", 10)
+    with pytest.raises(ValueError, match="DRIVER_BEAM_MAX_EDGES"):
+        hnsw.collect_art(art)
+
+
+def test_collect_art_missing_n_collects_within_bounds(spark, sf_dir):
+    """An in-bounds artifact without 'n' still collects (the guard
+    counts edges/tops itself) and matches the keyed-artifact collect."""
+    art = dict(hnsw.art_for(spark, sf_dir))
+    art.pop("n", None)
+    plain = hnsw.collect_art(art)
+    keyed = hnsw.collect_art(hnsw.art_for(spark, sf_dir))
+    assert plain["tops"] == keyed["tops"]
+    assert plain["adj"] == keyed["adj"]
+
+
+def test_hnsw_read_refuses_meta_without_buckets(spark, sf_dir, tmp_path):
+    """ADVICE r8 #1: a meta lacking the persisted partition modulus
+    must fail loudly — assuming the current ADJ_BUCKETS would mis-join
+    the bucket key if the constant ever moves."""
+    built = hnsw.hnsw_build(spark, _corpus(spark, sf_dir))
+    path = str(tmp_path / "hnsw_art")
+    hnsw.hnsw_write(built, path)
+    (spark.createDataFrame([(int(built["L"]), int(built["n"]))],
+                           "L int, n bigint")
+     .write.mode("overwrite").parquet(f"{path}/meta"))
+    with pytest.raises(ValueError, match="buckets"):
+        hnsw.hnsw_read(spark, path)
+
+
+def test_merge_flat_fallback_base_admits_batch_tops(spark):
+    """ADVICE r8 #3: when the BASE graph is the degenerate flat
+    fallback (no node reached level 1 → tops = every base node), the
+    merged tops must admit the whole batch too — same entry-point
+    convention for old and new nodes — and the twin must mirror it."""
+    import hashlib
+    import re as _re
+
+    def lvl_of(i):
+        return len(_re.match(
+            "0*", hashlib.md5(str(i).encode()).hexdigest()).group(0))
+
+    flat = [i for i in range(40) if lvl_of(i) == 0]
+    base_ids, new_ids = sorted(flat[:6]), sorted(flat[6:9])
+    ids = sorted(base_ids + new_ids)
+    rows = [(i, _ml_vec(i)) for i in ids]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, vec array<double>")
+    base_df = corpus.where(F.col("vec_id").isin(base_ids))
+    batch_df = corpus.where(F.col("vec_id").isin(new_ids))
+    base_art = hnsw.hnsw_build(spark, base_df)
+    base_plain = hnsw.collect_art(base_art)
+    assert base_plain["L"] == 1
+    assert base_plain["tops"] == base_ids, "base must be flat-fallback"
+    art = hnsw.collect_art(
+        hnsw.hnsw_merge(spark, base_art, base_df, batch_df))
+    assert art["tops"] == ids, "batch nodes must join the flat tops"
+    X, nrm, idx_of, lvl = _ml_twin_parts(ids)
+    twin = hnsw._twin_merge_parts(ids, X, nrm, idx_of, lvl,
+                                  base_ids, new_ids)
+    assert art["tops"] == twin["tops"]
+    for level in art["adj"]:
+        assert art["adj"][level] == twin["adj"][level]
+
+
 def test_oracle_edge_cap(monkeypatch):
     """ADVICE r7 #2: an oversized corpus must fail loudly instead of
     emitting an unbounded VALUES literal."""

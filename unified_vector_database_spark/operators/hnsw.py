@@ -99,6 +99,11 @@ ADJ_BUCKETS = 64    # artifact partition count: bucket = pmod(src, ·)
 # it the registered probe routes through the distributed hnsw_probe
 # and no edge ever reaches the driver — the D12 size switch.
 DRIVER_BEAM_MAX_NODES = 250_000
+# What collect_art actually materializes is EDGES, so the binding
+# guard counts edges (VERDICT r8 #6): the node cap alone silently
+# assumed M stays 8 — an M/ef retune would have scaled driver memory
+# without tripping it. ~2M id pairs ≈ 32 MB at the default M.
+DRIVER_BEAM_MAX_EDGES = DRIVER_BEAM_MAX_NODES * HNSW_M
 
 
 # ------------------------------------------------------------- build
@@ -240,6 +245,23 @@ def collect_art(art: dict) -> dict:
             f"refusing to collect HNSW artifact for n={n} nodes "
             f"(> DRIVER_BEAM_MAX_NODES={DRIVER_BEAM_MAX_NODES}); "
             "use the distributed hnsw_probe")
+    # The binding bound is what actually lands on the driver: count
+    # edges (and tops) BEFORE collecting — cheap parquet/checkpoint
+    # counts vs the collect they gate. This also covers artifacts
+    # missing 'n' entirely, which previously bypassed the guard and
+    # allowed an unbounded collect (ADVICE r8 #2 + VERDICT r8 #6).
+    n_tops = art["tops"].count()
+    if n_tops > DRIVER_BEAM_MAX_NODES:
+        raise ValueError(
+            f"refusing to collect HNSW artifact: {n_tops} top-layer "
+            f"ids exceed DRIVER_BEAM_MAX_NODES={DRIVER_BEAM_MAX_NODES}"
+            "; use the distributed hnsw_probe")
+    n_edges = sum(e.count() for e in art["adj"].values())
+    if n_edges > DRIVER_BEAM_MAX_EDGES:
+        raise ValueError(
+            f"refusing to collect HNSW artifact: {n_edges} adjacency "
+            f"edges exceed DRIVER_BEAM_MAX_EDGES={DRIVER_BEAM_MAX_EDGES}"
+            "; use the distributed hnsw_probe")
     tops = sorted(int(r.vec_id) for r in art["tops"].collect())
     adj = {lvl: [(int(r.src), int(r.dst)) for r in
                  e.select("src", "dst").orderBy("src", "dst").collect()]
@@ -278,9 +300,20 @@ def hnsw_read(spark: SparkSession, path: str) -> dict:
     meta = spark.read.parquet(f"{path}/meta").first()
     adj = {lvl: spark.read.parquet(f"{path}/adj{lvl}")
            for lvl in range(int(meta.L))}
-    buckets = int(meta.buckets) if "buckets" in meta.__fields__ \
-        else ADJ_BUCKETS
-    return {"L": int(meta.L), "n": int(meta.n), "buckets": buckets,
+    if "buckets" not in meta.__fields__:
+        # Refuse to guess: hnsw_write has persisted the modulus since
+        # the field was introduced, so a meta without it is either
+        # corrupt or from an unknown writer — assuming the CURRENT
+        # ADJ_BUCKETS would mis-join _expand's bucket key if the
+        # constant ever moves, silently dropping valid edges
+        # (ADVICE r8 #1: fail loudly instead of assuming).
+        raise ValueError(
+            f"hnsw_read: {path}/meta lacks the 'buckets' field "
+            "(the adjacency partition modulus the artifact was "
+            "written with); refusing to assume ADJ_BUCKETS="
+            f"{ADJ_BUCKETS} — rewrite the artifact with hnsw_write")
+    return {"L": int(meta.L), "n": int(meta.n),
+            "buckets": int(meta.buckets),
             "tops": spark.read.parquet(f"{path}/tops"), "adj": adj}
 
 
@@ -852,10 +885,18 @@ def hnsw_merge(spark: SparkSession, base_art: dict, base_corpus: DataFrame,
                    .distinct(), full, n_full), "src")
         adj[lvl] = (base_keep.union(base_upd).union(new_final)
                     .localCheckpoint())
-    tops = (_ids_df(spark, base_art["tops"]).select("vec_id")
-            .union(levels_b.where(F.col("level") >= base_art["L"])
-                   .select("vec_id"))
-            .coalesce(1).localCheckpoint())
+    base_tops = _ids_df(spark, base_art["tops"]).select("vec_id")
+    new_tops = (levels_b.where(F.col("level") >= base_art["L"])
+                .select("vec_id"))
+    if base_art["L"] == 1 and base_tops.count() == int(base_art["n"]):
+        # Flat-fallback base (hnsw_build's degenerate branch: no node
+        # reached level 1, so tops = every base node). The base's
+        # entry-point convention is "everyone", so admit the whole
+        # batch too — otherwise inserted nodes would be the only
+        # level-0 nodes excluded from the seeds, an inconsistent
+        # convention for tiny corpora (ADVICE r8 #3; twin mirrors).
+        new_tops = levels_b.select("vec_id")
+    tops = base_tops.union(new_tops).coalesce(1).localCheckpoint()
     return {"L": base_art["L"], "n": n_full, "tops": tops, "adj": adj}
 
 
@@ -1144,8 +1185,12 @@ def _twin_merge_parts(ids, X, nrm, idx_of, lvl,
                 merged[q] = topm(q, dset)
         adj[level] = sorted((s, d) for s, ds in merged.items()
                             for d in ds)
-    tops = sorted(set(base["tops"])
-                  | {q for q in new_ids if lvl[q] >= base["L"]})
+    if base["L"] == 1 and len(base["tops"]) == len(base_ids):
+        # flat-fallback base: admit the whole batch (hnsw_merge mirror)
+        new_tops = set(new_ids)
+    else:
+        new_tops = {q for q in new_ids if lvl[q] >= base["L"]}
+    tops = sorted(set(base["tops"]) | new_tops)
     return {"L": base["L"], "n": len(ids), "tops": tops, "adj": adj}
 
 

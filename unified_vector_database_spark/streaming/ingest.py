@@ -183,7 +183,7 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "uvdb_sjoin_" + uuid.uuid4().hex[:8]
     q = (joined.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_done(q)
     return (spark.table(name)
             .select(F.col("click_id"),
                     F.col("purchase_id"),
@@ -270,6 +270,23 @@ def _pinned_stream_shuffle(spark: SparkSession):
     return _pin()
 
 
+def _await_done(q, seconds: int = 300) -> None:
+    """awaitTermination with the timeout made LOUD: every one-shot
+    replay query here runs trigger(availableNow) and must finish well
+    inside `seconds`. awaitTermination(timeout) returns False on
+    timeout without stopping the query — silently proceeding would
+    read a half-written sink, and (inside _pinned_stream_shuffle)
+    leave the still-running query's later micro-batches executing at
+    a different state width than its earlier ones (ADVICE r8 #4).
+    Stop the straggler before any conf is restored, then fail."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} did not terminate "
+            f"within {seconds}s; stopped it rather than read a "
+            "partial sink")
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     import uuid
 
@@ -282,7 +299,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     with _pinned_stream_shuffle(spark):
         q = (stream_df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_done(q)
     return spark.table(name)
 
 
@@ -896,7 +913,7 @@ def stream_upsert_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (stream.writeStream.foreachBatch(_sink)
                    .option("checkpointLocation", ck)
                    .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_done(q)
     version = col.describe().version
     return (col.read()
                .groupBy("event_type")
