@@ -293,8 +293,9 @@ _PRIORITY = [
 _FORCE_RECHECK: list[str] = ["hnsw_knn"]
 
 
-def _lifetime_green() -> set[str]:
-    """Union of hash-green rows across every CORRECTNESS_r*.json.
+def _green_rounds() -> dict[str, int]:
+    """name -> MOST RECENT round with a hash-green row, unioned across
+    every CORRECTNESS_r*.json.
 
     The repo root is derived from the package location (not __file__)
     so the contract survives the driver copying this adapter to /tmp.
@@ -302,21 +303,25 @@ def _lifetime_green() -> set[str]:
     """
     import glob
     import json
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(
         registry.__file__)))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     try:
         for path in sorted(glob.glob(os.path.join(repo,
                                                   "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$",
+                          os.path.basename(path))
+            rnd = int(m.group(1)) if m else 0
             with open(path) as f:
                 rows = json.load(f)
             for name, r in rows.items():
                 if (isinstance(r, dict) and r.get("rows_match")
                         and r.get("schema_match") and r.get("hash_match")):
-                    green.add(name)
+                    green[name] = max(green.get(name, 0), rnd)
     except Exception:
-        return set()
+        return {}
     return green
 
 
@@ -325,19 +330,28 @@ def _ordered(names) -> list[str]:
 
     Never-driver-green queries first (in _PRIORITY queue order), then
     green queries whose code changed this round (_FORCE_RECHECK), then
-    the stable-green tail.  This replaces the hand-restaged rotation
-    that round 6 shipped stale (VERDICT r6 #1): the ordering is
+    the stable-green tail ordered STALEST-FIRST (ascending last-green
+    round, _PRIORITY order within a round).  The backlog staging
+    replaces the hand-restaged rotation that round 6 shipped stale
+    (VERDICT r6 #1); the stale-first tail (VERDICT r8 #5) makes every
+    query re-prove roughly every ceil(|registry|/50) rounds even as
+    shared substrate keeps changing, instead of the oldest greens
+    hiding behind the _PRIORITY tail forever.  The ordering is
     recomputed from CORRECTNESS_r*.json on every call, so a fresh
-    driver run always drains the backlog.
+    driver run always drains the backlog first.
     """
     ranked = [n for n in _PRIORITY if n in names]
     ranked += [n for n in names if n not in set(ranked)]
-    green = _lifetime_green()
-    if not green:
+    rounds = _green_rounds()
+    if not rounds:
         return ranked
+    green = set(rounds)
     recheck = [n for n in ranked if n in _FORCE_RECHECK and n in green]
     backlog = [n for n in ranked if n not in green]
-    stable = [n for n in ranked if n in green and n not in set(recheck)]
+    pos = {n: i for i, n in enumerate(ranked)}
+    stable = sorted((n for n in ranked
+                     if n in green and n not in set(recheck)),
+                    key=lambda n: (rounds[n], pos[n]))
     return backlog + recheck + stable
 
 

@@ -62,6 +62,38 @@ def test_backlog_order_is_stable_queue_order():
     assert ranked == sorted(ranked, key=lambda n: prio_rank[n])
 
 
+def _green_last_round() -> dict[str, int]:
+    import re
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        with open(path) as f:
+            rows = json.load(f)
+        for name, r in rows.items():
+            if (isinstance(r, dict) and r.get("rows_match")
+                    and r.get("schema_match") and r.get("hash_match")):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def test_stable_tail_is_stalest_first():
+    """VERDICT r8 #5: after the backlog and force-recheck slots, the
+    stable-green tail must be ordered by ascending last-green round —
+    the oldest proofs re-verify first, so every query re-proves at
+    least every ~ceil(|registry|/50) rounds."""
+    names = list(entrymod.queries())
+    last = _green_last_round()
+    if not last:
+        return
+    tail = [n for n in names
+            if n in last and n not in entrymod._FORCE_RECHECK]
+    tail_rounds = [last[n] for n in tail]
+    assert tail_rounds == sorted(tail_rounds), (
+        "stable tail not stalest-first; first inversions: "
+        f"{[(n, last[n]) for n in tail[:8]]}")
+
+
 def test_queries_and_oracles_align():
     """oracle_sql() keys are a subset of queries() and share the same
     staged ordering for the shared prefix."""
