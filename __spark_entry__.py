@@ -280,6 +280,10 @@ _PRIORITY = [
     "hybrid_tri_fusion", "bm25_pruned_search", "lsh_buckets",
     "sq8_quantize", "stream_join_attribution", "wav_audio_features",
     "ppm_image_features",
+    # r9 registrations — appended LAST so they queue BEHIND the 25-name
+    # r8 backlog (slots 1-25) and never displace it within the driver's
+    # ~50-slot budget:
+    "hnsw_knn_dist", "hnsw_batch_knn_dist",
 ]
 
 

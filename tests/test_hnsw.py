@@ -154,6 +154,24 @@ def test_registered_route_equality(spark, sf_dir, monkeypatch):
     assert drv == dist
 
 
+def test_dist_entries_pin_distributed_route(spark, sf_dir):
+    """The *_dist registered entries must (a) execute the distributed
+    probes — route-asserted in-op via LAST_ROUTE — and (b) return
+    exactly what the size-switched entries return, so their shared
+    oracles stay valid for both."""
+    plain_single = [(r.vec_id, r.score) for r in
+                    hnsw.hnsw_knn(spark, sf_dir).collect()]
+    dist_single = hnsw.hnsw_knn_dist(spark, sf_dir)
+    assert hnsw.LAST_ROUTE == "hnsw_probe"
+    assert [(r.vec_id, r.score) for r in dist_single.collect()] \
+        == plain_single
+    plain_batch = [tuple(r) for r in
+                   hnsw.hnsw_batch_knn(spark, sf_dir).collect()]
+    dist_batch = hnsw.hnsw_batch_knn_dist(spark, sf_dir)
+    assert hnsw.LAST_ROUTE == "hnsw_probe_batch"
+    assert [tuple(r) for r in dist_batch.collect()] == plain_batch
+
+
 def test_batch_probe_equals_single_probes(spark, sf_dir):
     """hnsw_probe_batch must be a pure batching of hnsw_probe: for
     every query in the panel, identical ids AND scores in identical

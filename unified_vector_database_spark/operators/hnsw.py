@@ -319,6 +319,19 @@ def hnsw_read(spark: SparkSession, path: str) -> dict:
 
 # ------------------------------------------------------------- probe
 
+# Route recorder: each probe entry point stamps its name here at call
+# time. The *_dist registered queries (and the route tests) assert it,
+# so the CORRECTNESS row they earn certifies the route that actually
+# executed — not a silently size-switched fallback (VERDICT r8 #2:
+# "assert the route in the op, not just tests").
+LAST_ROUTE: str | None = None
+
+
+def _mark_route(name: str) -> None:
+    global LAST_ROUTE
+    LAST_ROUTE = name
+
+
 def _ids_df(spark: SparkSession, ids) -> DataFrame:
     if isinstance(ids, DataFrame):
         return ids
@@ -365,6 +378,7 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
     (qvec) row. Each hop joins the bounded frontier to the adjacency
     (co-keyed on src at scale) — the corpus is only ever touched
     through vec_id lookups of visited candidates."""
+    _mark_route("hnsw_probe")
     score = D.cosine("vec", "qvec").alias("score")
 
     # Beam state (frontier/visited) is bounded by ef·M rows — single-
@@ -492,6 +506,7 @@ def hnsw_probe_driver(spark: SparkSession, corpus: DataFrame, art: dict,
     qcells convention). Identical hop/tie-break semantics to
     hnsw_probe; equality pinned in tests/test_hnsw.py. Batch probing
     (many queries) uses hnsw_probe, which keeps state distributed."""
+    _mark_route("hnsw_probe_driver")
     adj: dict[int, dict[int, list[int]]] = {}
     for lvl, pairs in art["adj"].items():
         m: dict[int, list[int]] = {}
@@ -558,6 +573,33 @@ def hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnsw_probe(spark, sart["corpus"], sart, qdf, k=10)
 
 
+@register("hnsw_knn_dist", oracle=lambda: _hnsw_oracle())
+def hnsw_knn_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_knn PINNED to the distributed beam — the route that exists
+    at 100 TB. The size-switched hnsw_knn entry always takes the
+    driver-side beam at driver-checkable corpus sizes, so its green
+    CORRECTNESS row never certifies the scale route (VERDICT r8 #2);
+    this entry runs hnsw_probe over the written bucket-partitioned
+    artifact handles unconditionally (no edge ever reaches the
+    driver), asserts the executed route, and shares hnsw_knn's exact
+    oracle — the result is route-invariant by construction, and the
+    driver hash row now proves it."""
+    sart = session_art(spark, sf_dir)
+    qrow = sart["corpus"].where(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            f"hnsw_knn_dist: query vector vec_id=0 not present in "
+            f"{sf_dir}/embeddings — the query-id convention needs it")
+    qvec = [float(v) for v in qrow.vec]
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
+    out = hnsw_probe(spark, sart["corpus"], sart, qdf, k=10)
+    if LAST_ROUTE != "hnsw_probe":
+        raise AssertionError(
+            f"hnsw_knn_dist executed route {LAST_ROUTE!r}, expected "
+            "the distributed 'hnsw_probe'")
+    return out
+
+
 # -------------------------------------------------------- batch probe
 
 def _batch_visited(spark: SparkSession, corpus: DataFrame, art: dict,
@@ -620,6 +662,7 @@ def hnsw_probe_batch(spark: SparkSession, corpus: DataFrame, art: dict,
     tree flat (the dedup_clusters fixpoint convention). Hop count and
     tie-breaks are identical to hnsw_probe — per-query equality is
     pinned in tests/test_hnsw.py."""
+    _mark_route("hnsw_probe_batch")
     visited = _batch_visited(spark, corpus, art, queries, ef, hops)
     score = D.cosine("vec", "qvec").alias("score")
     wq = W.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
@@ -661,6 +704,7 @@ def hnsw_probe_batch_driver(spark: SparkSession, corpus: DataFrame,
     rows), ~L+hops jobs total vs the distributed form's per-hop
     materializations. Hop order and (-score, id) tie-breaks are
     identical to hnsw_probe_batch; equality pinned in tests."""
+    _mark_route("hnsw_probe_batch_driver")
     adj: dict[int, dict[int, list[int]]] = {}
     for lvl, prs in art["adj"].items():
         m: dict[int, list[int]] = {}
@@ -791,6 +835,26 @@ def hnsw_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hnsw_probe_batch_driver(spark, sart["corpus"],
                                        sart["plain"], queries, k=10)
     return hnsw_probe_batch(spark, sart["corpus"], sart, queries, k=10)
+
+
+@register("hnsw_batch_knn_dist", oracle=lambda: _hnsw_batch_oracle())
+def hnsw_batch_knn_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_batch_knn PINNED to the fully distributed batch beam —
+    the engine's actual retrieval shape at scale (distributed
+    (qid, vec_id) state, one expansion join + one scoring join + one
+    qid window per hop for ALL queries). Same rationale as
+    hnsw_knn_dist: the size switch means the plain entry's driver row
+    only ever certifies the batched driver beam; this one
+    hash-certifies hnsw_probe_batch itself, route-asserted in-op,
+    against the identical per-qid unrolled oracle."""
+    sart = session_art(spark, sf_dir)
+    queries = _batch_queries(sart["corpus"])
+    out = hnsw_probe_batch(spark, sart["corpus"], sart, queries, k=10)
+    if LAST_ROUTE != "hnsw_probe_batch":
+        raise AssertionError(
+            f"hnsw_batch_knn_dist executed route {LAST_ROUTE!r}, "
+            "expected the distributed 'hnsw_probe_batch'")
+    return out
 
 
 # -------------------------------------------------- incremental ingest
