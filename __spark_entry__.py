@@ -283,7 +283,7 @@ _PRIORITY = [
     # r9 registrations — appended LAST so they queue BEHIND the 25-name
     # r8 backlog (slots 1-25) and never displace it within the driver's
     # ~50-slot budget:
-    "hnsw_knn_dist", "hnsw_batch_knn_dist",
+    "hnsw_knn_dist", "hnsw_batch_knn_dist", "hnsw_sq8_knn",
 ]
 
 

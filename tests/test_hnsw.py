@@ -191,6 +191,36 @@ def test_batch_probe_equals_single_probes(spark, sf_dir):
         assert rows == single, f"qid {qid} diverged"
 
 
+def test_sq8_beam_recall_vs_flat(spark, sf_dir):
+    """Quantized-beam + exact-rescore recall@10 against the exact FLAT
+    scan: SQ8 decode error on these 64-dim embeddings is small, so the
+    oversampled rescore should hold recall near the raw beam's (~0.98
+    measured); gate at 0.8 like the raw probe."""
+    corpus = _corpus(spark, sf_dir)
+    exact = {r.vec_id for r in
+             knn(corpus, _query(spark, sf_dir, 0), k=10).collect()}
+    got = hnsw.hnsw_sq8_knn(spark, sf_dir).collect()
+    assert len(got) == 10
+    assert got[0].vec_id == 0 and got[0].score == pytest.approx(1.0)
+    assert len({r.vec_id for r in got} & exact) >= 8
+    # the approx column is the quantized beam score — close to, but
+    # not identical to, the exact rescore (decode error is real)
+    assert any(abs(r.approx - r.score) > 0 for r in got)
+
+
+def test_sq8_route_equality(spark, sf_dir, monkeypatch):
+    """hnsw_sq8_knn's size switch must be invisible in the result:
+    driver-beam route vs forced distributed route (fresh session
+    cache) — identical ids, approx AND exact scores."""
+    drv = [(r.vec_id, r.approx, r.score) for r in
+           hnsw.hnsw_sq8_knn(spark, sf_dir).collect()]
+    monkeypatch.setattr(hnsw, "DRIVER_BEAM_MAX_NODES", 0)
+    monkeypatch.setattr(hnsw, "_SESSION_ART", {})
+    dist = [(r.vec_id, r.approx, r.score) for r in
+            hnsw.hnsw_sq8_knn(spark, sf_dir).collect()]
+    assert drv == dist
+
+
 def test_merge_matches_twin(spark, sf_dir):
     """Incremental ingest parity: the distributed hnsw_merge and the
     Spark-free twin must produce the identical merged graph — the

@@ -857,6 +857,95 @@ def hnsw_batch_knn_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------- quantized beam (SQ8)
+
+# Shortlist depth = k * oversample for the quantized-beam + exact-
+# rescore contract (ES knn `rescore_vector.oversample`, Qdrant
+# quantization `oversampling`): the beam ranks DEQUANTIZED scores, so
+# the true top-k can sit a few ranks deeper — rescoring 3x candidates
+# recovers it with a bounded exact pass.
+HNSW_SQ8_OVERSAMPLE = 3
+
+_SQ8_CORPUS: dict[tuple[str, str], DataFrame] = {}
+
+
+def sq8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized-resident corpus the SQ8 beam scores against:
+    (vec_id, vec) where vec is the SQ8 round-trip (lo + code*(hi-lo)/
+    255 — the exact decode ivf_sq8_knn uses, term-for-term the
+    oracle's arithmetic). At 100 TB the index artifact stores the
+    1-byte codes (8x less I/O than float64) and this decode runs
+    map-side inside each scoring join; the session-resident copy here
+    caches the decoded frame once, the same serving-time trade
+    session_art makes for the raw corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SQ8_CORPUS:
+        from .index import sq8_bounds, sq8_quantize
+
+        corpus = _corpus_for(spark, sf_dir)
+        bounds = sq8_bounds(corpus)
+        dec = F.zip_with(
+            "codes",
+            F.zip_with("lo", "hi",
+                       lambda lo, hi: F.struct(lo.alias("lo"),
+                                               hi.alias("hi"))),
+            lambda c, bb: bb.lo + c.cast("double")
+            * ((bb.hi - bb.lo) / F.lit(255.0)))
+        _SQ8_CORPUS[key] = (
+            sq8_quantize(corpus, bounds).select("vec_id", "codes")
+            .crossJoin(F.broadcast(bounds))
+            .withColumn("vec", dec).select("vec_id", "vec")
+            .coalesce(4).localCheckpoint(eager=False))
+    return _SQ8_CORPUS[key]
+
+
+@register("hnsw_sq8_knn", oracle=lambda: _hnsw_sq8_oracle())
+def hnsw_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW over SQ8-quantized vectors with exact rescore — the
+    composite that makes graph ANN affordable at 100 TB and the
+    production default of the reference's backends (Qdrant scalar
+    quantization + oversampling + rescore; ES dense_vector
+    `int8_hnsw` with `rescore_vector`; reference docs/.guide.md
+    provisions both). Composes I16's quantization with I25's graph:
+    the SAME graph artifact (session_art — structure is built once;
+    quantization compresses what the beam SCORES, the Qdrant
+    posture), beam-scored against the 1-byte-code decode
+    (asymmetric: raw query vs dequantized candidates), then the top
+    k*{HNSW_SQ8_OVERSAMPLE} beam survivors are exactly rescored and
+    the true top-k returned as (vec_id, approx, score).
+
+    Scale shape: identical hop joins to hnsw_knn but every candidate
+    read touches 64 bytes of codes instead of 512 bytes of float64 —
+    the memory story that lets the graph's working set stay resident;
+    the exact vectors are read for the shortlist rows alone. Route is
+    size-switched like hnsw_knn (driver beam at driver-checkable
+    sizes, distributed hnsw_probe above the cap — equality pinned in
+    tests); the oracle unrolls the identical beam with the decode
+    spelled out in SQL over the twin's embedded adjacency."""
+    sart = session_art(spark, sf_dir)
+    corpus_q = sq8_corpus(spark, sf_dir)
+    qrow = sart["corpus"].where(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            f"hnsw_sq8_knn: query vector vec_id=0 not present in "
+            f"{sf_dir}/embeddings — the query-id convention needs it")
+    qvec = [float(v) for v in qrow.vec]
+    shortlist_k = 10 * HNSW_SQ8_OVERSAMPLE
+    if "plain" in sart:
+        short = hnsw_probe_driver(spark, corpus_q, sart["plain"],
+                                  qvec, k=shortlist_k)
+    else:
+        qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
+        short = hnsw_probe(spark, corpus_q, sart, qdf, k=shortlist_k)
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
+    short = short.select("vec_id", F.col("score").alias("approx"))
+    return (sart["corpus"].join(F.broadcast(short), "vec_id")
+            .crossJoin(F.broadcast(qdf))
+            .select("vec_id", "approx",
+                    D.cosine("vec", "qvec").alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id").limit(10))
+
+
 # -------------------------------------------------- incremental ingest
 
 MERGE_SPLIT = 50  # vec_id < MERGE_SPLIT arrive as the ingest batch
@@ -1260,9 +1349,16 @@ def _twin_merge_parts(ids, X, nrm, idx_of, lvl,
 
 # ---------------------------------------------------------- oracle
 
-_COS = ("list_dot_product(e.vec, q.vec)"
-        "/(sqrt(list_dot_product(e.vec, e.vec))"
-        "*sqrt(list_dot_product(q.vec, q.vec)))")
+def _cos_sql(tbl: str) -> str:
+    """Explicit-form cosine of `tbl.vec` vs the query — the fold
+    functions/distance.py evaluates (DuckDB's builtin similarity is
+    not bit-reproducible; this spelled-out form is)."""
+    return (f"list_dot_product({tbl}.vec, q.vec)"
+            f"/(sqrt(list_dot_product({tbl}.vec, {tbl}.vec))"
+            "*sqrt(list_dot_product(q.vec, q.vec)))")
+
+
+_COS = _cos_sql("e")
 
 
 def _vals(pairs) -> str:
@@ -1300,10 +1396,19 @@ def _hnsw_merge_oracle() -> str:
     return _beam_oracle_sql(_twin_merge(), "_hnsw_merge_oracle")
 
 
-def _beam_oracle_sql(art: dict, what: str) -> str:
+def _beam_oracle_sql(art: dict, what: str, beam_tbl: str = "e",
+                     prefix_ctes: tuple = (),
+                     final: str | None = None) -> str:
+    """Unrolled fixed-depth beam over the twin's embedded adjacency.
+    `beam_tbl` is the (vec_id, vec) CTE every beam stage scores
+    against (`e` = exact vectors; the SQ8 oracle passes its decode
+    CTE); `final` is a template with a {vis} placeholder for the last
+    visited-set CTE, defaulting to the plain exact top-10."""
     _guard_oracle_edges(art, what)
+    cosb = _cos_sql(beam_tbl)
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        *prefix_ctes,
         "q AS (SELECT vec FROM e WHERE vec_id = 0)",
         "tops(vec_id) AS (VALUES " +
         ",".join(f"({i})" for i in art["tops"]) + ")",
@@ -1313,8 +1418,8 @@ def _beam_oracle_sql(art: dict, what: str) -> str:
 
     def best(src_cte: str, name: str, limit: int) -> str:
         return (f"{name} AS (SELECT s.vec_id FROM {src_cte} s "
-                f"JOIN e USING (vec_id), q "
-                f"ORDER BY {_COS} DESC, s.vec_id LIMIT {limit})")
+                f"JOIN {beam_tbl} USING (vec_id), q "
+                f"ORDER BY {cosb} DESC, s.vec_id LIMIT {limit})")
 
     ctes.append(best("tops", "f_top", HNSW_SEEDS))
     prev = "f_top"
@@ -1333,8 +1438,44 @@ def _beam_oracle_sql(art: dict, what: str) -> str:
             f"JOIN {prev} f ON a.src = f.vec_id)")
         ctes.append(best(f"v{h}", f"f0_{h}", HNSW_EF))
         prev, vis = f"f0_{h}", f"v{h}"
-    return (
-        "WITH " + ",\n".join(ctes) +
-        f"\nSELECT e.vec_id, {_COS} AS score "
-        f"FROM e JOIN {vis} USING (vec_id), q "
+    if final is None:
+        final = (f"SELECT e.vec_id, {_COS} AS score "
+                 "FROM e JOIN {vis} USING (vec_id), q "
+                 "ORDER BY score DESC, e.vec_id LIMIT 10")
+    return "WITH " + ",\n".join(ctes) + "\n" + final.format(vis=vis)
+
+
+# SQ8 decode CTEs: per-dim min/max bounds over the corpus, then the
+# exact linear round-trip ivf_sq8_knn uses (lo + round(...)*(hi-lo)/
+# 255) — term-for-term the Spark-side sq8_corpus arithmetic, so the
+# beam's approx scores are bit-identical across engines.
+_SQ8_DQ_CTES = (
+    "px AS (SELECT generate_subscripts(embedding, 1) AS pos, "
+    "unnest(embedding::DOUBLE[]) AS x FROM embeddings)",
+    "bnd AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM px GROUP BY pos)",
+    "b AS (SELECT list(lo ORDER BY pos) AS lo, "
+    "list(hi ORDER BY pos) AS hi FROM bnd)",
+    "dq AS (SELECT vec_id, list_transform("
+    "range(1, len(embedding) + 1), "
+    "i -> b.lo[i] + CAST(round(((embedding::DOUBLE[])[i] - b.lo[i]) "
+    "/ (CASE WHEN b.hi[i] - b.lo[i] = 0 THEN 1.0 "
+    "ELSE b.hi[i] - b.lo[i] END) * 255) AS INT) "
+    "* ((b.hi[i] - b.lo[i]) / 255.0e0)) AS vec FROM embeddings, b)",
+)
+
+
+def _hnsw_sq8_oracle() -> str:
+    """The hnsw_knn beam unrolled over DEQUANTIZED vectors (the dq
+    CTE), shortlist k*oversample by approx score, exact rescore from
+    the raw embeddings — the full quantized-graph contract in SQL."""
+    shortlist = 10 * HNSW_SQ8_OVERSAMPLE
+    final = (
+        f"SELECT e.vec_id, s.approx, {_COS} AS score "
+        "FROM e JOIN (SELECT v.vec_id, " + _cos_sql("dq") + " AS approx "
+        "FROM {vis} v JOIN dq USING (vec_id), q "
+        f"ORDER BY approx DESC, v.vec_id LIMIT {shortlist}) s "
+        "USING (vec_id), q "
         "ORDER BY score DESC, e.vec_id LIMIT 10")
+    return _beam_oracle_sql(_twin_build(), "_hnsw_sq8_oracle",
+                            beam_tbl="dq", prefix_ctes=_SQ8_DQ_CTES,
+                            final=final)
