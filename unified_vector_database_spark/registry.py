@@ -57,7 +57,8 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import api  # noqa: F401
     from .operators import (  # noqa: F401
-        analytics, arrow_knn, cleanup, dedup, esagg, esagg2, esagg3,
+        analytics, analyzer, arrow_knn, cleanup, dedup, esagg, esagg2,
+        esagg3,
         esagg4, esagg5, esagg6, esagg7, esql, esql2, evaluation, geo,
         graph,
         hnsw,
