@@ -284,7 +284,8 @@ _PRIORITY = [
     # r8 backlog (slots 1-25) and never displace it within the driver's
     # ~50-slot budget:
     "hnsw_knn_dist", "hnsw_batch_knn_dist", "hnsw_sq8_knn",
-    "analyzed_match_search",
+    "analyzed_match_search", "hnsw_filtered_knn",
+    "analyzed_phrase_search",
 ]
 
 

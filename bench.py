@@ -159,6 +159,11 @@ HEADLINE = [
     "minhash_estimate_error",
     # r8-built: HNSW batch probe + incremental ingest merge
     "hnsw_batch_knn", "hnsw_merge_knn",
+    # r9-built: distributed-route certification twins, quantized-graph
+    # composite, analyzer-chain match
+    "hnsw_knn_dist", "hnsw_batch_knn_dist", "hnsw_sq8_knn",
+    "analyzed_match_search", "hnsw_filtered_knn",
+    "analyzed_phrase_search",
 ]
 
 

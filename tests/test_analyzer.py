@@ -106,6 +106,47 @@ def test_empty_analyzed_query_refused(spark):
         analyzed_bm25(docs, "the a an")
 
 
+def test_phrase_occurrences_both_engines(spark):
+    """Position semantics pinned on a synthetic frame: inflected
+    surface forms AND stopword-gap closing both produce phrase hits;
+    occurrence counts agree between Spark and DuckDB."""
+    from unified_vector_database_spark.operators.analyzer import \
+        _phrase_occ_sql
+    rows = [(1, "a quick merge here"),          # synonym+stem bigram
+            (2, "fast the merge"),              # stopword gap closes
+            (3, "fast sort merge"),             # non-contiguous: miss
+            (4, "quick merges quick merges"),   # two occurrences
+            (5, "merge fast"),                  # wrong order: miss
+            (6, "")]
+    terms = T.analyze_py("quick merges")
+    assert terms == ["fast", "merg"]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    an = docs.select("doc_id", T.analyzed_tokens("text").alias("a"))
+    got = {r.doc_id: r.n for r in
+           an.select("doc_id", F.expr(
+               _phrase_occ_sql("a", terms, "spark")).alias("n"))
+           .collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 2, 5: 0, 6: 0}
+    con = duckdb.connect()
+    atok = T.analyzed_tokens_sql("text", "duck")
+    occ = _phrase_occ_sql("a", terms, "duck")
+    for doc_id, text in rows:
+        n = con.execute(
+            f"SELECT {occ} FROM (SELECT {atok} AS a FROM "
+            "(SELECT ? AS text))", [text]).fetchone()[0]
+        assert n == got[doc_id], f"duck diverged on doc {doc_id}"
+    con.close()
+
+
+def test_phrase_registered_nonempty(spark, sf_dir):
+    from unified_vector_database_spark.operators.analyzer import \
+        analyzed_phrase_search
+    rows = analyzed_phrase_search(spark, sf_dir).collect()
+    assert rows and all(r.n_occ >= 1 for r in rows)
+    assert all(rows[i].n_occ >= rows[i + 1].n_occ
+               for i in range(len(rows) - 1))
+
+
 def test_oracle_registered():
     from unified_vector_database_spark import registry
     registry.load_all()

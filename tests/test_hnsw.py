@@ -191,6 +191,31 @@ def test_batch_probe_equals_single_probes(spark, sf_dir):
         assert rows == single, f"qid {qid} diverged"
 
 
+def test_filtered_knn_respects_filter_and_routes_agree(spark, sf_dir,
+                                                       monkeypatch):
+    """hnsw_filtered_knn: every hit passes the label filter, self is
+    top-1 (vec 0 carries an allowed label), and the driver/distributed
+    routes agree row for row. Also: the filtered result must differ
+    from the unfiltered probe (the filter is real, not vacuous)."""
+    from unified_vector_database_spark import tables as _t
+    emb = _t.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    allowed = {int(r.vec_id) for r in
+               emb.where(F.col("label").isin(*hnsw.FILTER_LABELS))
+               .select("vec_id").collect()}
+    rows = hnsw.hnsw_filtered_knn(spark, sf_dir).collect()
+    assert rows, "filtered probe returned nothing"
+    assert all(r.vec_id in allowed for r in rows)
+    assert rows[0].vec_id == 0 and rows[0].score == pytest.approx(1.0)
+    unfiltered = {r.vec_id for r in hnsw.hnsw_knn(spark, sf_dir).collect()}
+    assert {r.vec_id for r in rows} != unfiltered
+    drv = [(r.vec_id, r.score) for r in rows]
+    monkeypatch.setattr(hnsw, "DRIVER_BEAM_MAX_NODES", 0)
+    monkeypatch.setattr(hnsw, "_SESSION_ART", {})
+    dist = [(r.vec_id, r.score) for r in
+            hnsw.hnsw_filtered_knn(spark, sf_dir).collect()]
+    assert drv == dist
+
+
 def test_sq8_beam_recall_vs_flat(spark, sf_dir):
     """Quantized-beam + exact-rescore recall@10 against the exact FLAT
     scan: SQ8 decode error on these 64-dim embeddings is small, so the

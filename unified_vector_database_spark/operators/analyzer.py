@@ -113,6 +113,60 @@ SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 15
 """
 
 
+PHRASE_QUERY = "quick merges"
+
+
+def _phrase_occ_sql(arr: str, terms: list[str], engine: str) -> str:
+    """Occurrence count of the analyzed phrase inside the analyzed
+    token array `arr` — contiguous POST-ANALYSIS positions (stopword
+    removal closes gaps, so 'fast the merge' matches 'fast merge';
+    ES's default keeps position gaps — documented delta, identical on
+    both engines here). The scalar comparisons are shared verbatim;
+    only the list builtins differ (1-based element access in both)."""
+    m = len(terms)
+    if engine == "spark":
+        fi, sz, ext = "filter", "size", "element_at"
+        seq = f"sequence(1, size({arr}) - {m - 1})"
+    else:
+        fi, sz, ext = "list_filter", "len", "list_extract"
+        seq = f"range(1, len({arr}) - {m - 1} + 1)"
+    conds = " AND ".join(
+        f"{ext}({arr}, i + {j}) = '{t}'" for j, t in enumerate(terms))
+    # guard: Spark's sequence(1, 0) DESCENDS instead of emitting
+    # empty (the ngram_array pitfall) — gate on array length in both
+    # engines so the expressions stay twins
+    return (f"CASE WHEN {sz}({arr}) >= {m} "
+            f"THEN {sz}({fi}({seq}, i -> {conds})) ELSE 0 END")
+
+
+@register("analyzed_phrase_search", oracle=lambda: f"""
+WITH an AS (SELECT doc_id,
+            {analyzed_tokens_sql('text', 'duck')} AS a FROM documents),
+occ AS (SELECT doc_id,
+        {_phrase_occ_sql('a', analyze_py(PHRASE_QUERY), 'duck')} AS n_occ
+        FROM an)
+SELECT doc_id, CAST(n_occ AS INT) AS n_occ FROM occ WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id LIMIT 15
+""")
+def analyzed_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match_phrase` THROUGH the analyzer: the surface phrase
+    "{PHRASE_QUERY}" analyzes to the corpus-stem bigram and matches
+    contiguous post-analysis positions — both the inflection/synonym
+    normalization AND stopword-gap closing are hits whitespace phrase
+    matching (T3b) cannot produce. One map-side pass: per-doc
+    analyzed array, position scan as a filtered index sequence (no
+    explode, no shuffle), TakeOrdered page."""
+    terms = analyze_py(PHRASE_QUERY)
+    docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
+    an = docs.select("doc_id", analyzed_tokens("text").alias("a"))
+    occ = an.select(
+        "doc_id",
+        F.expr(_phrase_occ_sql("a", terms, "spark"))
+         .cast("int").alias("n_occ"))
+    return (occ.where(F.col("n_occ") > 0)
+               .orderBy(F.desc("n_occ"), "doc_id").limit(15))
+
+
 @register("analyzed_match_search", oracle=_analyzed_oracle)
 def analyzed_match_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `match` with the default analyzer chain: the surface query

@@ -373,11 +373,16 @@ def _expand(adj: DataFrame, frontier: DataFrame, qid: bool = False,
 
 def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
                query_df: DataFrame, k: int,
-               ef: int = HNSW_EF, hops: int = HNSW_HOPS) -> DataFrame:
+               ef: int = HNSW_EF, hops: int = HNSW_HOPS,
+               keep: DataFrame | None = None) -> DataFrame:
     """Beam-search probe. `corpus` = (vec_id, vec); `query_df` = one
     (qvec) row. Each hop joins the bounded frontier to the adjacency
     (co-keyed on src at scale) — the corpus is only ever touched
-    through vec_id lookups of visited candidates."""
+    through vec_id lookups of visited candidates. `keep` (optional
+    (vec_id) frame) is the ES `knn.filter` contract at fixed beam
+    depth: traversal is UNRESTRICTED (failing nodes still route the
+    beam), only the final result collection is filtered — a semi join
+    of the visited set before the top-k."""
     _mark_route("hnsw_probe")
     score = D.cosine("vec", "qvec").alias("score")
 
@@ -405,6 +410,9 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
             .coalesce(1).distinct()
         f = best(n, ef)
         visited = n
+    if keep is not None:
+        visited = visited.join(F.broadcast(keep.select("vec_id")),
+                               "vec_id", "left_semi")
     return (corpus.join(F.broadcast(visited), "vec_id")
                   .crossJoin(F.broadcast(query_df))
                   .select("vec_id", score)
@@ -498,7 +506,8 @@ def _score_ids(corpus: DataFrame, qcol: F.Column, ids) -> dict:
 
 def hnsw_probe_driver(spark: SparkSession, corpus: DataFrame, art: dict,
                       qvec: list[float], k: int,
-                      ef: int = HNSW_EF, hops: int = HNSW_HOPS) -> DataFrame:
+                      ef: int = HNSW_EF, hops: int = HNSW_HOPS,
+                      keep: set | None = None) -> DataFrame:
     """Single-query probe with the beam state driver-side: the
     adjacency is already a driver-resident artifact and every hop's
     state is ≤ ef·M ids, so the cluster only scores candidate ids
@@ -544,7 +553,8 @@ def hnsw_probe_driver(spark: SparkSession, corpus: DataFrame, art: dict,
             ensure(n)
         f = top(n, ef)
         visited = n
-    res = top(visited, k)
+    pool = visited if keep is None else {i for i in visited if i in keep}
+    res = top(pool, k)
     return spark.createDataFrame([(i, scores[i]) for i in res],
                                  "vec_id bigint, score double")
 
@@ -855,6 +865,55 @@ def hnsw_batch_knn_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"hnsw_batch_knn_dist executed route {LAST_ROUTE!r}, "
             "expected the distributed 'hnsw_probe_batch'")
     return out
+
+
+# ---------------------------------------------- filtered graph search
+
+# The registered filter: embeddings.label IN FILTER_LABELS (~20% of
+# the corpus). vec_id=0 itself carries label 2, so the filtered probe
+# also proves the trivial invariant (self passes its own filter).
+FILTER_LABELS = (2, 5)
+
+
+@register("hnsw_filtered_knn", oracle=lambda: _hnsw_filtered_oracle())
+def hnsw_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the graph index — ES `knn` with `filter` /
+    Qdrant filtered search, the single most common production ANN
+    request shape (metadata predicate + vector). Semantics at the
+    engine's fixed beam depth: the beam TRAVERSES the graph
+    unrestricted (nodes failing the filter still route it — pruning
+    them would disconnect the walk, the classic filtered-HNSW
+    failure), and only result COLLECTION is filtered: top-k over
+    visited ∩ filter. ES additionally deepens the search adaptively
+    to guarantee k results under selective filters; here the fixed
+    ef=96 beam bounds the candidate pool, so highly selective filters
+    can return fewer than k — documented, and the oracle mirrors the
+    exact same contract.
+
+    Scale shape: the filter is a semi join of the BOUNDED visited set
+    (ef·M ids) against the predicate — at scale that is an id-join
+    that prunes to the visited rows, never a corpus scan beyond the
+    probe's own lookups; the label predicate itself pushes down to
+    the embeddings scan."""
+    sart = session_art(spark, sf_dir)
+    qrow = sart["corpus"].where(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            f"hnsw_filtered_knn: query vector vec_id=0 not present in "
+            f"{sf_dir}/embeddings — the query-id convention needs it")
+    qvec = [float(v) for v in qrow.vec]
+    emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    allowed = emb.where(F.col("label").isin(*FILTER_LABELS)) \
+                 .select("vec_id")
+    if "plain" in sart:
+        # "plain" exists only when n <= DRIVER_BEAM_MAX_NODES, so the
+        # collected filter id set is bounded by the same cap
+        keep = {int(r.vec_id) for r in allowed.collect()}
+        return hnsw_probe_driver(spark, sart["corpus"], sart["plain"],
+                                 qvec, k=10, keep=keep)
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
+    return hnsw_probe(spark, sart["corpus"], sart, qdf, k=10,
+                      keep=allowed)
 
 
 # --------------------------------------------- quantized beam (SQ8)
@@ -1462,6 +1521,21 @@ _SQ8_DQ_CTES = (
     "ELSE b.hi[i] - b.lo[i] END) * 255) AS INT) "
     "* ((b.hi[i] - b.lo[i]) / 255.0e0)) AS vec FROM embeddings, b)",
 )
+
+
+def _hnsw_filtered_oracle() -> str:
+    """The hnsw_knn beam unrolled UNFILTERED (traversal is
+    unrestricted by contract), with only the final collection
+    filtered: top-k over visited ∩ the label predicate."""
+    labels = ",".join(str(x) for x in FILTER_LABELS)
+    prefix = (f"allowed AS (SELECT vec_id FROM embeddings "
+              f"WHERE label IN ({labels}))",)
+    final = (f"SELECT e.vec_id, {_COS} AS score "
+             "FROM e JOIN {vis} USING (vec_id) "
+             "JOIN allowed USING (vec_id), q "
+             "ORDER BY score DESC, e.vec_id LIMIT 10")
+    return _beam_oracle_sql(_twin_build(), "_hnsw_filtered_oracle",
+                            prefix_ctes=prefix, final=final)
 
 
 def _hnsw_sq8_oracle() -> str:
