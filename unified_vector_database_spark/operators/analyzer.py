@@ -28,8 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import tables
 from ..constants import BM25_B, BM25_K1
-from ..functions.text import analyze_py, analyzed_tokens, \
-    analyzed_tokens_sql
+from ..functions.text import analyze_py, analyzed_tokens_sql
 from ..registry import register
 
 # Surface query: inflections + a synonym + stopwords. Analysis maps it
@@ -50,16 +49,26 @@ def analyzed_bm25(docs: DataFrame, query: str,
     terms = list(dict.fromkeys(analyze_py(query)))
     if not terms:
         raise ValueError(f"query {query!r} analyzed to zero terms")
-    atoks = analyzed_tokens("text")
-
-    def eq(term):  # NB: a 2-arg lambda would become an (elem, idx) lambda
-        return lambda t: t == F.lit(term)
-
-    per = docs.select(
-        "doc_id",
-        F.size(atoks).alias("dl"),
-        *[F.size(F.filter(atoks, eq(term))).alias(f"tf_{i}")
-          for i, term in enumerate(terms)])
+    if any(not t.isalnum() for t in terms):
+        raise ValueError(f"analyzed terms {terms!r} are not plain "
+                         "tokens — refusing to splice into SQL")
+    # Evaluate the analyzer ONCE per row. Spark's higher-order-
+    # function lambdas are interpreted (no whole-stage codegen, so no
+    # common-subexpression elimination): a projection referencing the
+    # analyzed array len(terms)+1 times re-runs the whole chain that
+    # many times (measured 6.5 s vs 0.9 s at sf0.1 for this 5-term
+    # query). Binding the array as a one-element transform's lambda
+    # variable makes every reference a bound value.
+    fields = ["'dl', size(a)"] + [
+        f"'tf_{i}', size(filter(a, x -> x = '{t}'))"
+        for i, t in enumerate(terms)]
+    bound = (f"element_at(transform(array("
+             f"{analyzed_tokens_sql('text', 'spark')}), "
+             f"a -> named_struct({', '.join(fields)})), 1)")
+    per = (docs.select("doc_id", F.expr(bound).alias("s"))
+               .select("doc_id", F.col("s.dl").alias("dl"),
+                       *[F.col(f"s.tf_{i}").alias(f"tf_{i}")
+                         for i in range(len(terms))]))
     stats = per.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
@@ -158,11 +167,15 @@ def analyzed_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no shuffle), TakeOrdered page."""
     terms = analyze_py(PHRASE_QUERY)
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
-    an = docs.select("doc_id", analyzed_tokens("text").alias("a"))
-    occ = an.select(
-        "doc_id",
-        F.expr(_phrase_occ_sql("a", terms, "spark"))
-         .cast("int").alias("n_occ"))
+    # same single-evaluation binding as analyzed_bm25: the occurrence
+    # expression references the analyzed array ~5 times, and inlined
+    # references re-run the interpreted analyzer chain each
+    # (measured 15 s vs 1.1 s at sf0.1)
+    bound = (f"element_at(transform(array("
+             f"{analyzed_tokens_sql('text', 'spark')}), "
+             f"a -> {_phrase_occ_sql('a', terms, 'spark')}), 1)")
+    occ = docs.select("doc_id",
+                      F.expr(bound).cast("int").alias("n_occ"))
     return (occ.where(F.col("n_occ") > 0)
                .orderBy(F.desc("n_occ"), "doc_id").limit(15))
 
