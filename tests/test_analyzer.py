@@ -21,6 +21,8 @@ SAMPLES = [
     "  spaced   out   tokens  ",
     "",
     "merge merges merging merged MERGE",
+    "\tfast merge\n",   # tabs/newlines: trim() is spaces-only in SQL
+    " fast\tmerge ",    # embedded tab must survive both engines alike
 ]
 
 

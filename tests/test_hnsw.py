@@ -327,6 +327,18 @@ def test_collect_art_refuses_oversized(spark, sf_dir, monkeypatch):
         hnsw.collect_art(hnsw.art_for(spark, sf_dir))
 
 
+def test_edge_cap_admits_full_multilevel_graph():
+    """The edge cap must cover the FULL geometric level sum (n·M·16/15)
+    at the node cap — an exactly-n·M cap spuriously refused corpora in
+    the top ~6% of the admitted node band (review-caught)."""
+    import math
+    worst = math.ceil(hnsw.DRIVER_BEAM_MAX_NODES * hnsw.HNSW_M * 16 / 15)
+    assert hnsw.DRIVER_BEAM_MAX_EDGES >= worst
+    # and it still trips on a real M inflation at the same node count
+    assert hnsw.DRIVER_BEAM_MAX_NODES * (hnsw.HNSW_M * 2) \
+        > hnsw.DRIVER_BEAM_MAX_EDGES
+
+
 def test_collect_art_edge_guard_without_n(spark, sf_dir, monkeypatch):
     """ADVICE r8 #2 + VERDICT r8 #6: the collect guard must bind on
     EDGES, and an artifact handed over without an 'n' key must hit the

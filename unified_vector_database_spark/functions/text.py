@@ -134,7 +134,10 @@ def analyze_py(text: str) -> list[str]:
     to pin expression parity in tests."""
     syn = dict(SYNONYMS)
     out = []
-    for t in text.strip().split(" "):
+    # strip(" ") — SPACES ONLY, mirroring SQL trim() exactly; Python's
+    # bare strip() also eats tabs/newlines, which trim() leaves in
+    # place and the twin contract forbids diverging on (review-caught)
+    for t in text.strip(" ").split(" "):
         if not t:
             continue
         t = t.lower()

@@ -30,6 +30,7 @@ from .. import tables
 from ..constants import BM25_B, BM25_K1
 from ..functions.text import analyze_py, analyzed_tokens_sql
 from ..registry import register
+from .hybrid import bm25_score_from_tf
 
 # Surface query: inflections + a synonym + stopwords. Analysis maps it
 # onto corpus stems ('fast','merg','join','big','tabl') — whitespace
@@ -69,27 +70,7 @@ def analyzed_bm25(docs: DataFrame, query: str,
                .select("doc_id", F.col("s.dl").alias("dl"),
                        *[F.col(f"s.tf_{i}").alias(f"tf_{i}")
                          for i in range(len(terms))]))
-    stats = per.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
-        *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
-          for i in range(len(terms))])
-    parts = []
-    for i in range(len(terms)):
-        tf = F.col(f"tf_{i}").cast("double")
-        dfc = F.col(f"df_{i}").cast("double")
-        idf = F.log(1 + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
-        w = (idf * tf * (BM25_K1 + 1.0)
-             / (tf + BM25_K1 * (1.0 - BM25_B
-                                + BM25_B * F.col("dl") / F.col("avgdl"))))
-        parts.append(F.when(tf > 0, w).otherwise(F.lit(0.0)))
-    total = parts[0]
-    for p in parts[1:]:
-        total = total + p
-    tfs = [F.col(f"tf_{i}") for i in range(len(terms))]
-    hit = (tfs[0] if len(tfs) == 1 else F.greatest(*tfs)) > 0
-    out = (per.crossJoin(F.broadcast(stats))
-              .where(hit)
-              .select("doc_id", F.round(total, 6).alias("score")))
+    out = bm25_score_from_tf(per, len(terms))
     if k is not None:
         out = out.orderBy(F.desc("score"), "doc_id").limit(k)
     return out
@@ -133,6 +114,9 @@ def _phrase_occ_sql(arr: str, terms: list[str], engine: str) -> str:
     both engines here). The scalar comparisons are shared verbatim;
     only the list builtins differ (1-based element access in both)."""
     m = len(terms)
+    if any(not t.isalnum() for t in terms):
+        raise ValueError(f"analyzed phrase terms {terms!r} are not "
+                         "plain tokens — refusing to splice into SQL")
     if engine == "spark":
         fi, sz, ext = "filter", "size", "element_at"
         seq = f"sequence(1, size({arr}) - {m - 1})"

@@ -102,8 +102,11 @@ DRIVER_BEAM_MAX_NODES = 250_000
 # What collect_art actually materializes is EDGES, so the binding
 # guard counts edges (VERDICT r8 #6): the node cap alone silently
 # assumed M stays 8 — an M/ef retune would have scaled driver memory
-# without tripping it. ~2M id pairs ≈ 32 MB at the default M.
-DRIVER_BEAM_MAX_EDGES = DRIVER_BEAM_MAX_NODES * HNSW_M
+# without tripping it. The bound is the FULL multi-level adjacency:
+# level l holds ~n·M/16^l edges, so Σ_l = n·M·16/15 — a cap of
+# exactly n·M would spuriously refuse corpora in the top ~6% of the
+# node band (review-caught). ~2.14M id pairs ≈ 34 MB at the default M.
+DRIVER_BEAM_MAX_EDGES = DRIVER_BEAM_MAX_NODES * HNSW_M * 16 // 15 + 1
 
 
 # ------------------------------------------------------------- build
@@ -236,7 +239,12 @@ def collect_art(art: dict) -> dict:
     """Bounded materialization of a DataFrame-handle artifact into the
     plain-lists form the driver-side beam (and the twin-parity tests)
     consume. Guarded by the same node cap the registered size switch
-    uses — above it the caller must stay on the distributed probe."""
+    uses — above it the caller must stay on the distributed probe.
+    An artifact handed over WITHOUT an 'n' key is still edge-guarded
+    and collects, but its plain form carries n=None: the probe
+    functions never read n, while hnsw_merge requires a keyed base
+    artifact (int(base_art['n']) — documented, not inferred here,
+    because tops∪adj cannot recover isolated non-top nodes)."""
     if not isinstance(art.get("tops"), DataFrame):
         return art  # already plain
     n = art.get("n")
@@ -323,7 +331,12 @@ def hnsw_read(spark: SparkSession, path: str) -> dict:
 # time. The *_dist registered queries (and the route tests) assert it,
 # so the CORRECTNESS row they earn certifies the route that actually
 # executed — not a silently size-switched fallback (VERDICT r8 #2:
-# "assert the route in the op, not just tests").
+# "assert the route in the op, not just tests"). Scope limits, stated
+# plainly: the stamp certifies which code path CONSTRUCTED the plan
+# (the routes build structurally different plans, so that IS the
+# route), and it assumes the driver's registered queries run
+# sequentially — a concurrent-probe harness would need a
+# thread-local here.
 LAST_ROUTE: str | None = None
 
 
@@ -411,8 +424,14 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
         f = best(n, ef)
         visited = n
     if keep is not None:
-        visited = visited.join(F.broadcast(keep.select("vec_id")),
-                               "vec_id", "left_semi")
+        # broadcast the BOUNDED side: visited is ef·M ids, keep can be
+        # a large filtered scan — semi-joining keep against the
+        # broadcast visited set yields the identical intersection
+        # without ever broadcasting the predicate side (review-caught:
+        # the first form broadcast keep, which at the distributed
+        # route's scale is exactly the side that doesn't fit)
+        visited = (keep.select("vec_id")
+                   .join(F.broadcast(visited), "vec_id", "left_semi"))
     return (corpus.join(F.broadcast(visited), "vec_id")
                   .crossJoin(F.broadcast(query_df))
                   .select("vec_id", score)
@@ -990,13 +1009,12 @@ def hnsw_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sf_dir}/embeddings — the query-id convention needs it")
     qvec = [float(v) for v in qrow.vec]
     shortlist_k = 10 * HNSW_SQ8_OVERSAMPLE
+    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
     if "plain" in sart:
         short = hnsw_probe_driver(spark, corpus_q, sart["plain"],
                                   qvec, k=shortlist_k)
     else:
-        qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
         short = hnsw_probe(spark, corpus_q, sart, qdf, k=shortlist_k)
-    qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
     short = short.select("vec_id", F.col("score").alias("approx"))
     return (sart["corpus"].join(F.broadcast(short), "vec_id")
             .crossJoin(F.broadcast(qdf))

@@ -73,12 +73,22 @@ def bm25_scores(spark: SparkSession, sf_dir: str,
         F.size(tokens("text")).alias("dl"),
         *[F.size(F.filter(tokens("text"), eq(term))).alias(f"tf_{i}")
           for i, term in enumerate(terms)])
+    return bm25_score_from_tf(per, len(terms))
+
+
+def bm25_score_from_tf(per: DataFrame, n_terms: int) -> DataFrame:
+    """BM25 score from a per-doc (doc_id, dl, tf_0..tf_{n-1}) frame:
+    one scalar stats agg (N, avgdl, per-term df) broadcast back,
+    map-side idf/weight arithmetic, round(.., 6). The ONE copy of the
+    scoring formula — shared by the raw-token path above and the
+    analyzed path (operators/analyzer.py), so a k1/b or idf change
+    can never diverge them (review-caught duplication)."""
     stats = per.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
-          for i in range(len(terms))])
+          for i in range(n_terms)])
     parts = []
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf = F.col(f"tf_{i}").cast("double")
         dfc = F.col(f"df_{i}").cast("double")
         idf = F.log(1 + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
@@ -89,7 +99,8 @@ def bm25_scores(spark: SparkSession, sf_dir: str,
     total = parts[0]
     for p in parts[1:]:
         total = total + p
-    hit = F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
+    tfs = [F.col(f"tf_{i}") for i in range(n_terms)]
+    hit = (tfs[0] if len(tfs) == 1 else F.greatest(*tfs)) > 0
     return (per.crossJoin(F.broadcast(stats))
                .where(hit)
                .select("doc_id", F.round(total, 6).alias("score")))
