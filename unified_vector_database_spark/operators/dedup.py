@@ -231,11 +231,15 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or a checkpointed table between the build and verify stages)
     shd = shingle_sets(docs).cache()
     hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
-    # signatures and set sizes in ONE aggregation pass
+    # signatures and set sizes in ONE aggregation pass, materialized
+    # once: three consumers (cand, na, nb) would otherwise each re-run
+    # the k-min aggregation over the cached shingles — cache() marks
+    # the logical plan but each consumer still plans its own exchange
+    # above it, so the agg shuffle repeats per consumer without this
     per_doc = hashed.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
           for j in range(_K)],
-        F.count("*").alias("n"))
+        F.count("*").alias("n")).cache()
     sig = per_doc.drop("n")
     cand = lsh_candidate_pairs(sig)
     nsh = per_doc.select("doc_id", "n")
@@ -347,10 +351,13 @@ def verified_edges(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
     join; candidates only ever come from band buckets."""
     shd = shingle_sets(docs).cache()
     hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
+    # materialized once: cand + na + nb each re-run the k-min agg
+    # shuffle over the cached shingles otherwise (one row per doc, so
+    # the checkpoint is corpus-bounded, never shingle-bounded)
     per_doc = hashed.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
           for j in range(_K)],
-        F.count("*").alias("n"))
+        F.count("*").alias("n")).cache()
     cand = lsh_candidate_pairs(per_doc.drop("n"))
     nsh = per_doc.select("doc_id", "n")
     sa, sb = shd.alias("sa"), shd.alias("sb")

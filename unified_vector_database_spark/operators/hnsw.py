@@ -411,17 +411,25 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
                       .limit(limit).select("vec_id"))
 
     nb = art.get("buckets", ADJ_BUCKETS)
-    f = best(_ids_df(spark, art["tops"]).select("vec_id"), HNSW_SEEDS)
+    # Per-hop localCheckpoint, exactly the _batch_visited cadence: each
+    # hop's frontier feeds TWO consumers (the next expansion and the
+    # union into visited) and visited feeds two more, so without the
+    # cut every best() re-evaluates the whole beam prefix and the plan
+    # tree doubles per hop (the batch route measured 14.7 s vs 5.0 s at
+    # sf0.1 under the sparser cadence; the single-query state is ≤ ef·M
+    # one-partition rows, so each cut is one tiny task).
+    f = best(_ids_df(spark, art["tops"]).select("vec_id"), HNSW_SEEDS) \
+        .localCheckpoint(eager=False)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
         n = f.union(_expand(a, f, buckets=nb)).coalesce(1).distinct()
-        f = best(n, HNSW_SEEDS)
+        f = best(n, HNSW_SEEDS).localCheckpoint(eager=False)
     a0 = _adj_df(spark, art["adj"][0])
     visited = f
     for _ in range(hops):
         n = visited.union(_expand(a0, f, buckets=nb)) \
-            .coalesce(1).distinct()
-        f = best(n, ef)
+            .coalesce(1).distinct().localCheckpoint(eager=False)
+        f = best(n, ef).localCheckpoint(eager=False)
         visited = n
     if keep is not None:
         # broadcast the BOUNDED side: visited is ef·M ids, keep can be
