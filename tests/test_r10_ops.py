@@ -95,9 +95,11 @@ def test_opq_probe_reads_codes_artifact_not_vectors(spark, sf_dir):
     mu, r, cbs, qvec = _opq_artifacts(sf_dir)
     emb = tables.load(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-    rotated = corpus.select(
-        "vec_id", _rotate_col(F.col("vec"), mu, r).alias("vec"))
-    codes = opq_codes_artifact(spark, sf_dir, rotated, cbs)
+    codes = opq_codes_artifact(
+        spark, sf_dir,
+        lambda: corpus.select(
+            "vec_id", _rotate_col(F.col("vec"), mu, r).alias("vec")),
+        cbs)
     plan = _plan(pq_adc_scores(codes, qvec, cbs)
                  .orderBy("adc", "vec_id").limit(64))
     # the ADC shortlist pass scans the codes artifact, not embeddings

@@ -376,7 +376,7 @@ def verified_edges(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         check_every: int = 2) -> DataFrame:
+                         check_every: int = 1) -> DataFrame:
     """(id, cluster_id) for every node in `edges`, cluster_id = min
     node id reachable — min-label propagation WITH pointer doubling.
 
@@ -396,13 +396,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     a fixpoint — a silently split cluster would diverge from the
     transitive-closure oracle, so non-convergence must be loud.
 
-    r4 (VERDICT #8): the fixpoint test runs every `check_every`
-    rounds, against the labels at the LAST check — valid because
-    min-propagation is monotone (a node's label never increases), so
-    equality across the window proves nothing moved in any round
-    inside it. Costs at most check_every-1 extra propagation rounds
-    past the fixpoint; saves a count job per skipped round. Labels are
-    also checkpointed BEFORE the count (r3 evaluated the whole round's
+    r4 (VERDICT #8) ran the fixpoint test every 2 rounds against the
+    labels at the LAST check; r9 opt: the check now compares against
+    the IMMEDIATELY PREVIOUS round every round (check_every=1).
+    Validity: one round is a deterministic function f of the label
+    frame, so labels==f(labels) IS the fixpoint — and comparing vs a
+    stale multi-round-old baseline could only detect it later, never
+    earlier. On the measured corpora the old baseline staleness cost
+    2 extra propagation rounds (identity-labels baseline at the first
+    check never matches); a count over two tiny co-keyed label frames
+    is ~3x cheaper than a propagation round, so checking every round
+    wins at every scale (at 100 TB the propagation round dominates
+    the count even more). check_every > 1 remains available for
+    clusters where a count's job latency rivals a round. Labels are
+    checkpointed BEFORE the count (r3 evaluated the whole round's
     lineage once for the count and AGAIN for the checkpoint).
     """
     # materialize the edge pipeline ONCE (the union below would
@@ -419,7 +426,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     labels = (und.select(F.col("src").alias("id")).distinct()
                  .withColumn("label", F.col("id"))
                  .localCheckpoint())
-    last_checked = labels
     for rnd in range(max_iter):
         prev = labels
         prop = (und.join(labels, und.src == labels.id)
@@ -436,21 +442,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         labels = (grow.groupBy("id").agg(F.min("label").alias("label"))
                       .localCheckpoint())
         # round 0 always changes something on a non-empty edge set;
-        # check once labels can have stabilized, then every
-        # check_every rounds. The FINAL allowed round compares against
-        # the immediately previous round (not the possibly-stale
-        # last_checked snapshot): a graph whose fixpoint lands on a
-        # non-check round would otherwise show changed > 0 vs the old
-        # snapshot and raise despite having converged.
+        # from round 1 on, compare against the immediately previous
+        # round (see docstring: f(labels)==labels IS the fixpoint, and
+        # this detects it as early as possible). The FINAL allowed
+        # round always checks vs prev so a fixpoint landing exactly on
+        # it cannot raise as non-convergence.
         if rnd > 0 and (rnd % check_every == 0 or rnd == max_iter - 1):
-            baseline = prev if rnd == max_iter - 1 else last_checked
             changed = (labels.alias("n")
-                             .join(baseline.alias("o"), "id")
+                             .join(prev.alias("o"), "id")
                              .where(F.col("n.label") != F.col("o.label"))
                              .count())
             if changed == 0:
                 return labels
-            last_checked = labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the duplicate graph is deeper than expected — raise max_iter")
@@ -826,11 +829,19 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_parallel(spark, sf_dir, "documents", "doc_id")
     shd = shingle_sets(docs).cache()
     hashed = shd.select("doc_id", md5_int32("shingle").alias("h"))
+    # Materialize the two fan-out intermediates (the captured r9 plan
+    # had 59 Exchanges / 70 HashAggregates with ZERO reuse): per_doc
+    # feeds FIVE consumers (cand, sa, sb, na, nb) and cand feeds TWO
+    # (est, inter) — each consumer otherwise re-runs the signature
+    # aggregation / the banded self-join from the cached shingles.
+    # Both frames are corpus-bounded (one row per doc / per candidate
+    # pair), never shingle-bounded.
     per_doc = hashed.groupBy("doc_id").agg(
         *[F.min(minhash_perm(F.col("h"), j)).alias(f"m{j}")
           for j in range(_K)],
-        F.count("*").alias("n"))
-    cand = lsh_candidate_pairs(per_doc.drop("n"), bucket_cap=EST_BUCKET_CAP)
+        F.count("*").alias("n")).cache()
+    cand = lsh_candidate_pairs(per_doc.drop("n"),
+                               bucket_cap=EST_BUCKET_CAP).cache()
     sa = per_doc.select("doc_id", *[f"m{j}" for j in range(_K)]).alias("sa")
     sb = per_doc.select("doc_id", *[f"m{j}" for j in range(_K)]).alias("sb")
     agree = None

@@ -1698,9 +1698,16 @@ def _seq_rotate(x, mu, r):
 
 
 def opq_codes_artifact(spark: SparkSession, sf_dir: str,
-                       rotated: DataFrame, cbs) -> DataFrame:
+                       rotated, cbs) -> DataFrame:
+    """`rotated` is a THUNK returning the rotated-corpus frame, not
+    the frame itself: _rotate_col's 64x64 literal matrix costs
+    seconds of driver-side Catalyst analysis just to CONSTRUCT, and
+    on every probe after the first the artifact already exists — the
+    frame would be analyzed and thrown away (measured ~4 s of pure
+    no-action driver time per opq_pq_knn call; guide §7.3 planning
+    cost)."""
     path = artifact_path("opq_codes", sf_dir)
-    _build_if_absent(path, lambda p: pq_encode(rotated, cbs)
+    _build_if_absent(path, lambda p: pq_encode(rotated(), cbs)
                      .write.mode("overwrite").parquet(p))
     return spark.read.parquet(path)
 
@@ -1728,9 +1735,11 @@ def opq_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load_parallel(spark, sf_dir, "embeddings", "vec_id")
     corpus = emb.select("vec_id", D.vec_double("embedding").alias("vec"))
-    rotated = corpus.select(
-        "vec_id", _rotate_col(F.col("vec"), mu, r).alias("vec"))
-    codes = opq_codes_artifact(spark, sf_dir, rotated, cbs)
+    codes = opq_codes_artifact(
+        spark, sf_dir,
+        lambda: corpus.select(
+            "vec_id", _rotate_col(F.col("vec"), mu, r).alias("vec")),
+        cbs)
     qrot = _seq_rotate(np.asarray(qvec, dtype=np.float64),
                        np.asarray(mu), np.asarray(r))
     short = (pq_adc_scores(codes, qrot, cbs)

@@ -346,12 +346,20 @@ class Collection:
         fsio.write_json(self._manifest_path, m.to_json())
 
     def _commit(self, df: DataFrame, m: Manifest) -> int:
+        from pyspark.sql import Observation
+
         new_version = m.version + 1
-        writer = df.write.mode("overwrite")
+        # row count observed INSIDE the write job (CollectMetrics node)
+        # — the previous read-back count was a second full job per
+        # commit (file listing + footer scan), paid by every
+        # upsert/delete/update/compact across the lifecycle operators.
+        obs = Observation()
+        writer = (df.observe(obs, F.count(F.lit(1)).alias("n"))
+                  .write.mode("overwrite"))
         if m.partition_by:
             writer = writer.partitionBy(*m.partition_by)
         writer.parquet(self._data_path(new_version))
-        n = self.spark.read.parquet(self._data_path(new_version)).count()
+        n = int(obs.get["n"])
         m.version = new_version
         self._write_manifest(m)
         return n
