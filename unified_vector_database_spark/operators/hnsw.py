@@ -411,25 +411,31 @@ def hnsw_probe(spark: SparkSession, corpus: DataFrame, art: dict,
                       .limit(limit).select("vec_id"))
 
     nb = art.get("buckets", ADJ_BUCKETS)
-    # Per-hop localCheckpoint, exactly the _batch_visited cadence: each
-    # hop's frontier feeds TWO consumers (the next expansion and the
-    # union into visited) and visited feeds two more, so without the
-    # cut every best() re-evaluates the whole beam prefix and the plan
-    # tree doubles per hop (the batch route measured 14.7 s vs 5.0 s at
-    # sf0.1 under the sparser cadence; the single-query state is ≤ ef·M
-    # one-partition rows, so each cut is one tiny task).
+    # Lineage cuts on exactly the MULTI-CONSUMER state and nothing
+    # else: `n`/`visited` feeds two consumers per hop (best() and the
+    # next union), so without a cut the plan doubles per hop (the
+    # batch route measured 14.7 s vs 5.0 s at sf0.1 for a sparser
+    # cadence). The frontier f = best(n) over a checkpointed n is a
+    # SHALLOW single-consumer plan (the next expansion's broadcast
+    # side), so checkpointing it too would only add planning calls —
+    # each lazy localCheckpoint costs ~60-100 ms of driver-side
+    # physical planning per call (measured), ~2x/hop of pure overhead.
+    # Only the seed frontier fans out twice (first union + expansion)
+    # and keeps its cut.
     f = best(_ids_df(spark, art["tops"]).select("vec_id"), HNSW_SEEDS) \
         .localCheckpoint(eager=False)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
-        n = f.union(_expand(a, f, buckets=nb)).coalesce(1).distinct()
-        f = best(n, HNSW_SEEDS).localCheckpoint(eager=False)
+        n = (f.union(_expand(a, f, buckets=nb)).coalesce(1).distinct()
+             .localCheckpoint(eager=False))
+        f = best(n, HNSW_SEEDS)
     a0 = _adj_df(spark, art["adj"][0])
-    visited = f
+    visited = f.localCheckpoint(eager=False) if art["L"] > 1 else f
+    f = visited
     for _ in range(hops):
         n = visited.union(_expand(a0, f, buckets=nb)) \
             .coalesce(1).distinct().localCheckpoint(eager=False)
-        f = best(n, ef).localCheckpoint(eager=False)
+        f = best(n, ef)
         visited = n
     if keep is not None:
         # broadcast the BOUNDED side: visited is ef·M ids, keep can be
@@ -664,20 +670,25 @@ def _batch_visited(spark: SparkSession, corpus: DataFrame, art: dict,
     f = best(seeds, HNSW_SEEDS).localCheckpoint(eager=False)
     for lvl in range(art["L"] - 1, 0, -1):
         a = _adj_df(spark, art["adj"][lvl])
-        n = f.union(_expand(a, f, qid=True, buckets=nb)).distinct()
-        f = best(n, HNSW_SEEDS).localCheckpoint(eager=False)
+        n = (f.union(_expand(a, f, qid=True, buckets=nb)).distinct()
+             .localCheckpoint(eager=False))
+        f = best(n, HNSW_SEEDS)
     a0 = _adj_df(spark, art["adj"][0])
-    visited = f
-    # Both per-hop states checkpoint: the frontier feeds TWO consumers
-    # (next hop's expansion and its union into visited) and visited
-    # feeds two more — without the cut, each branch re-evaluates the
-    # whole beam prefix and the probe re-scores hop 1 exponentially
-    # often (measured 14.7 s vs 5.0 s at sf0.1 with a sparser
-    # checkpoint cadence).
+    visited = f.localCheckpoint(eager=False) if art["L"] > 1 else f
+    f = visited
+    # Lineage cuts on the MULTI-CONSUMER state only (see hnsw_probe):
+    # visited/n feeds two consumers per hop, so it checkpoints —
+    # without that cut each branch re-evaluates the whole beam prefix
+    # and the probe re-scores hop 1 exponentially often (measured
+    # 14.7 s vs 5.0 s at sf0.1 with a sparser cadence). The per-hop
+    # frontier best(n) reads a checkpointed n and has ONE consumer
+    # (the next expansion), so its former checkpoint was pure
+    # planning overhead (~60-100 ms per lazy localCheckpoint call,
+    # measured).
     for _ in range(hops):
         n = (visited.union(_expand(a0, f, qid=True, buckets=nb))
              .distinct().localCheckpoint(eager=False))
-        f = best(n, ef).localCheckpoint(eager=False)
+        f = best(n, ef)
         visited = n
     return visited
 
