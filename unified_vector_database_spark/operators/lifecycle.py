@@ -371,8 +371,12 @@ def alias_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
         Collection.set_alias(root, "events_write", f"events_{gen:06d}")
         for chunk in range(ROLL_CHUNKS):
             w = Collection.open_alias(spark, root, "events_write")
-            w.upsert(ev.where(F.col("chunk") == chunk).drop("chunk"))
-            if w.count() >= ROLL_MAX_DOCS and chunk < ROLL_CHUNKS - 1:
+            # upsert returns the committed row count (observed inside
+            # the write job) — the rollover condition needs no second
+            # count scan of the generation (r9 opt)
+            n_committed = w.upsert(
+                ev.where(F.col("chunk") == chunk).drop("chunk"))
+            if n_committed >= ROLL_MAX_DOCS and chunk < ROLL_CHUNKS - 1:
                 gen += 1
                 Collection.create(spark, root, f"events_{gen:06d}",
                                   id_col="event_id")

@@ -80,7 +80,15 @@ def span_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
              .where(F.col("nd") >= 2).select("gram"))
     per = (ex.join(dup, "gram")
              .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
-    base = g.select("doc_id", F.size("grams").alias("n_windows"))
+    # n_windows from the CACHED posting stream, not a second full
+    # tokenize+ngram pass: grams are distinct per doc, so the per-doc
+    # explode count IS size(grams). Zero-window docs vanish in the
+    # explode, so rejoin against the bare id scan (no text touched)
+    # and coalesce to 0 — same rows, one corpus pass less (r9 opt).
+    cnt = ex.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    base = (docs.select("doc_id").join(cnt, "doc_id", "left")
+                .select("doc_id", F.coalesce("n_windows", F.lit(0))
+                        .alias("n_windows")))
     return (base.join(per, "doc_id", "left")
                 .select("doc_id", "n_windows",
                         F.coalesce("n_dup", F.lit(0))

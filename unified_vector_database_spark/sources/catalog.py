@@ -39,6 +39,11 @@ class Manifest:
     # metadata analog of the IVF cid layout (operators/index.py).
     # None = unpartitioned. Absent in pre-r2 manifests -> default.
     partition_by: list[str] | None = None
+    # Row count of the CURRENT version, recorded at commit time from
+    # the write job's observed metrics (r9 opt): count()/stats()/
+    # compact() read it instead of re-scanning parquet footers. None
+    # (pre-r9 manifests) -> callers fall back to a Spark count.
+    rows: int | None = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -243,6 +248,9 @@ class Collection:
         return self.spark.read.parquet(path)
 
     def count(self) -> int:
+        m = self.describe()
+        if m.rows is not None:
+            return m.rows  # recorded at commit time — no scan
         df = self.read()
         return 0 if df is None else df.count()
 
@@ -287,7 +295,7 @@ class Collection:
         current = self.read()
         if current is None:
             return 0
-        n = current.count()
+        n = m.rows if m.rows is not None else current.count()
         files = max(1, -(-n // target_rows_per_file))
         return self._commit(current.repartition(files), m)
 
@@ -323,6 +331,9 @@ class Collection:
             raise ValueError(f"no snapshot {tag!r}")
         m = self.describe()
         m.version = snaps[tag]
+        # the recorded count belongs to the version being abandoned;
+        # the restored version's count is unknown here (None -> scan)
+        m.rows = None
         self._write_manifest(m)
 
     # --------------------------------------------------------- private
@@ -361,5 +372,6 @@ class Collection:
         writer.parquet(self._data_path(new_version))
         n = int(obs.get["n"])
         m.version = new_version
+        m.rows = n
         self._write_manifest(m)
         return n
