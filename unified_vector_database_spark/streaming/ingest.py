@@ -244,9 +244,12 @@ def _replay_events(spark: SparkSession, sf_dir: str, tag: str,
 # state partition either way), but every micro-batch trigger pays one
 # task per state partition — at replay scale 32 partitions is pure
 # scheduler overhead (measured 6.3 s -> 3.7 s at 8 on stream_countmin,
-# sf0.1). A real deployment sizes this to keyspace x executor count;
-# env-overridable for that reason.
-STREAM_SHUFFLE_PARTITIONS = 8
+# sf0.1; r9 re-measured 8 -> 4 at identical controls: another
+# ~0.3-0.6 s per query, with 2.5k-32k-row micro-batches still putting
+# >600 rows in every state task — the width is sized to the replay
+# BATCH, not to the local core count). A real deployment sizes this
+# to keyspace x executor count; env-overridable for that reason.
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 def _pinned_stream_shuffle(spark: SparkSession):
