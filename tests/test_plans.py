@@ -524,17 +524,34 @@ def test_hnsw_probe_hops_prune_artifact_partitions(spark, sf_dir):
     carries the same key, and Catalyst turns the bucket-equality
     broadcast join into a dynamic partition pruning subquery — so a
     hop reads only the frontier's buckets, not every partition. This
-    is the plan shape ADVICE r7 #1 asked the docs claim to match."""
+    is the plan shape ADVICE r7 #1 asked the docs claim to match.
+
+    r9: hnsw_probe now cuts lineage per hop (localCheckpoint on the
+    multi-consumer beam state), so the PROBE's final explain only
+    shows the top-k over the last checkpointed RDD — the hop joins
+    plan (and prune) inside each per-hop sub-plan instead. The pinned
+    property is unchanged; the observation point moves to the hop
+    join itself: _expand over the written artifact with a bounded
+    frontier, exactly the shape every hop plans."""
     from pyspark.sql import functions as F
 
     from unified_vector_database_spark.operators import hnsw
 
     art = hnsw.art_for(spark, sf_dir)
     corpus = hnsw._corpus_for(spark, sf_dir)
+    frontier = corpus.where(F.col("vec_id") < 8).select("vec_id")
+    nb = art.get("buckets", hnsw.ADJ_BUCKETS)
+    hop = hnsw._expand(hnsw._adj_df(spark, art["adj"][0]), frontier,
+                       buckets=nb)
+    txt = plan_text(hop)
+    assert "dynamicpruning" in txt.lower(), "hop scans read all buckets"
+    # and the probe built on those hops still answers over the
+    # artifact route (route marker + non-empty top-k)
     q = (corpus.where(F.col("vec_id") == 7)
          .select(F.col("vec").alias("qvec")))
-    txt = plan_text(hnsw.hnsw_probe(spark, corpus, art, q, k=10))
-    assert "dynamicpruning" in txt.lower(), "hop scans read all buckets"
+    out = hnsw.hnsw_probe(spark, corpus, art, q, k=10)
+    assert hnsw.LAST_ROUTE == "hnsw_probe"
+    assert out.count() > 0
 
 
 def test_r9_ops_plan_shapes(spark, sf_dir):
