@@ -52,10 +52,24 @@ def get_spark(app: str = "unified_vector_database_spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Preloading worker daemon: forked workers inherit pandas/
+        # numpy/pyarrow + the package modules copy-on-write instead of
+        # each fresh worker paying ~2-4 s of imports (32 simultaneous
+        # cold imports measured as 9-24 s stalls on the first Arrow
+        # kernel stage after a pool flush — see daemon.py). The daemon
+        # needs the package importable at daemon START (before
+        # pyFiles are registered), hence executorEnv.PYTHONPATH; on a
+        # real cluster the package is pip-installed on executors and
+        # only the daemon.module conf is needed.
+        .config("spark.python.daemon.module",
+                "unified_vector_database_spark.daemon")
+        .config("spark.executorEnv.PYTHONPATH", pkg_parent)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
